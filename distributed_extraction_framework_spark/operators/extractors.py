@@ -1,0 +1,496 @@
+"""The extractor suite — reference §2.2 re-expressed as ONE fused Catalyst pass.
+
+Architecture (vs the reference's `rdd.map(CompositeParseExtractor)`,
+DistExtractionJob.scala:39-58): every extractor is a function
+``enriched DataFrame → Column[array<quad>]``. ``extract()`` concatenates
+all those arrays in a single ``select``, applies the reference's *per-page*
+dedup (``array_distinct`` — DistDeduplicatingWriterDestination.scala:26-40,
+dedup is within a page, NOT global, so it costs zero shuffles), and
+explodes once.
+
+The result is the same physical shape as the reference's hand-fused
+pipeline: **one scan → one projection stage → no shuffle**, except the
+regex/link extraction runs JVM-side inside whole-stage codegen and only
+the brace-balanced template parse crosses into Python (one Arrow batch
+pass — functions/wikitext.py).
+
+At 100 TB this matters: a per-extractor union would re-scan `text`
+(the fat column) once per extractor; the fused form reads it exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import schema as S
+from ..functions import wikitext as W
+
+# --------------------------------------------------------------------------
+# column helpers
+# --------------------------------------------------------------------------
+
+def ucfirst(c: Column) -> Column:
+    return F.concat(F.upper(F.substring(c, 1, 1)), F.substr(c, F.lit(2)))
+
+
+def base_norm(c: Column) -> Column:
+    """MediaWiki-style link-target normalization (pre-capitalization):
+    trim → strip #fragment → trim → spaces→underscores."""
+    c = F.trim(c)
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.trim(c)
+    return F.regexp_replace(c, r" ", "_")
+
+
+def resource_uri(lang: Column, title: Column) -> Column:
+    """Language-localized resource URI (reference: subject URI scheme,
+    SURVEY.md §2.2 — `http://{lang.}host/resource/{Title}`)."""
+    host = F.when(lang == "en", F.lit(S.RESOURCE_HOST)).otherwise(
+        F.concat(lang, F.lit("." + S.RESOURCE_HOST))
+    )
+    return F.concat(F.lit("http://"), host, F.lit("/resource/"), title)
+
+
+def _s(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def quad(dataset, subj, pred, obj, lang=None, datatype=None, context=None) -> Column:
+    """A quad struct with canonical field names (schema.QUAD_COLS)."""
+    return F.struct(
+        _s(dataset).alias("dataset"),
+        _s(subj).alias("subj"),
+        _s(pred).alias("pred"),
+        _s(obj).alias("obj"),
+        (_null_str() if lang is None else _s(lang)).alias("lang"),
+        (_null_str() if datatype is None else _s(datatype)).alias("datatype"),
+        (_null_str() if context is None else _s(context)).alias("context"),
+    )
+
+
+def _empty_quads() -> Column:
+    return F.expr(f"CAST(array() AS array<{S.QUAD_STRUCT_DDL}>)")
+
+
+def guard(cond: Column, arr: Column) -> Column:
+    """arr if cond else [] — per-row extractor gating without a filter node
+    (keeps everything in the single fused projection)."""
+    return F.when(cond, arr).otherwise(_empty_quads())
+
+
+# --------------------------------------------------------------------------
+# page preparation (derived columns — reference WikiTitle decode,
+# WikiTitleSerializer.scala:14-21, and the namespace enum)
+# --------------------------------------------------------------------------
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Derive title / ns / ids / subject URI / provenance context.
+
+    All Catalyst expressions — stays inside whole-stage codegen. ``page_id``
+    / ``rev_id`` are deterministic crc32s (the reference carries dump ids;
+    a crawl corpus has none, so ids derive from the row key).
+    """
+    title = F.regexp_extract(F.col("url"), r"/wiki/(.+)$", 1)
+    ts_s = F.date_format(F.col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+    df = (
+        # null text must not null-propagate into the quad arrays (a page with
+        # no payload still emits its projection datasets — page_ids etc.)
+        pages.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("title", title)
+        .withColumn(
+            "ns",
+            F.when(F.col("title").startswith("Category:"), F.lit(S.NS_CATEGORY))
+            .when(F.col("title").startswith("Template:"), F.lit(S.NS_TEMPLATE))
+            .when(F.col("title").startswith("File:"), F.lit(S.NS_FILE))
+            .otherwise(F.lit(S.NS_MAIN)),
+        )
+        .withColumn("page_id", F.crc32(F.encode(F.col("url"), "utf-8")))
+        .withColumn(
+            "rev_id",
+            F.crc32(F.encode(F.concat(F.col("url"), F.lit("#"), ts_s), "utf-8")),
+        )
+        .withColumn("subj", resource_uri(F.col("lang"), F.col("title")))
+        .withColumn("context", F.concat(F.col("url"), F.lit("#ts="), ts_s))
+        .withColumn(
+            "local_title",
+            F.when(
+                F.col("ns") != S.NS_MAIN,
+                F.substr(F.col("title"), F.instr(F.col("title"), ":") + F.lit(1)),
+            ).otherwise(F.col("title")),
+        )
+    )
+    return df
+
+
+def enrich_pages(prepared: DataFrame, with_parse: bool = True) -> DataFrame:
+    """Add the shared extraction intermediates, computed ONCE per page:
+    internal-link targets, external links, template names, redirect target,
+    and (optionally) the pandas-UDF structural parse."""
+    df = (
+        prepared.withColumn(
+            "ilinks",
+            F.transform(
+                F.regexp_extract_all("text", F.lit(W.INTERNAL_LINK_PATTERN), F.lit(1)),
+                lambda x: base_norm(F.split_part(x, F.lit("|"), F.lit(1))),
+            ),
+        )
+        .withColumn(
+            "elinks",
+            F.concat(
+                F.regexp_extract_all("text", F.lit(W.BRACKET_EXTERNAL_PATTERN), F.lit(1)),
+                F.regexp_extract_all("text", F.lit(W.BARE_EXTERNAL_PATTERN), F.lit(1)),
+            ),
+        )
+        .withColumn(
+            "tmpl_names",
+            F.transform(
+                F.regexp_extract_all("text", F.lit(W.TEMPLATE_NAME_PATTERN), F.lit(1)),
+                lambda x: ucfirst(base_norm(x)),
+            ),
+        )
+        .withColumn(
+            "redirect_target",
+            F.regexp_extract("text", W.REDIRECT_PATTERN, 1),
+        )
+    )
+    if with_parse:
+        df = df.withColumn("parsed", W.make_parse_page_udf()(F.col("text")))
+    return df
+
+
+# --------------------------------------------------------------------------
+# the extractor suite — each returns Column[array<quad>] over enriched pages
+# --------------------------------------------------------------------------
+_c = F.col
+
+
+def labels(e) -> Column:
+    """LabelExtractor — rdfs:label ← title (lang-tagged). Main ns."""
+    q = F.array(
+        quad("labels", _c("subj"), S.RDFS_LABEL,
+             F.regexp_replace(_c("local_title"), "_", " "),
+             lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context"))
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def category_labels(e) -> Column:
+    """CategoryLabelExtractor — rdfs:label for Category-ns pages."""
+    q = F.array(
+        quad("category_labels", _c("subj"), S.RDFS_LABEL,
+             F.regexp_replace(_c("local_title"), "_", " "),
+             lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context"))
+    )
+    return guard(_c("ns") == S.NS_CATEGORY, q)
+
+
+def page_ids(e) -> Column:
+    """PageIdExtractor — dbo:wikiPageID (xsd:integer)."""
+    return F.array(
+        quad("page_ids", _c("subj"), S.DBO_WIKI_PAGE_ID,
+             _c("page_id").cast("string"), datatype=S.XSD_INTEGER,
+             context=_c("context"))
+    )
+
+
+def revision_ids(e) -> Column:
+    """RevisionIdExtractor — dbo:wikiPageRevisionID (xsd:integer)."""
+    return F.array(
+        quad("revision_ids", _c("subj"), S.DBO_WIKI_REVISION_ID,
+             _c("rev_id").cast("string"), datatype=S.XSD_INTEGER,
+             context=_c("context"))
+    )
+
+
+def revision_uris(e) -> Column:
+    """ProvenanceExtractor — prov:wasDerivedFrom ← crawl snapshot URI."""
+    return F.array(
+        quad("revision_uris", _c("subj"), S.PROV_DERIVED_FROM, _c("context"),
+             context=_c("context"))
+    )
+
+
+def wikipedia_links(e) -> Column:
+    """ArticlePageExtractor — foaf:isPrimaryTopicOf / primaryTopic /
+    rdf:type foaf:Document. Main ns."""
+    q = F.array(
+        quad("wikipedia_links", _c("subj"), S.FOAF_IS_PRIMARY_TOPIC_OF,
+             _c("url"), context=_c("context")),
+        quad("wikipedia_links", _c("url"), S.FOAF_PRIMARY_TOPIC, _c("subj"),
+             context=_c("context")),
+        quad("wikipedia_links", _c("url"), S.RDF_TYPE, S.FOAF_DOCUMENT,
+             context=_c("context")),
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def redirects(e) -> Column:
+    """RedirectExtractor — dbo:wikiPageRedirects ← redirect target
+    (reference regex semantics: DistRedirects.scala:155-170)."""
+    tgt = ucfirst(base_norm(_c("redirect_target")))
+    q = F.array(
+        quad("redirects", _c("subj"), S.DBO_WIKI_REDIRECTS,
+             resource_uri(_c("lang"), tgt), context=_c("context"))
+    )
+    return guard(_c("redirect_target") != "", q)
+
+
+def _is_category(t: Column) -> Column:
+    return t.startswith("Category:")
+
+
+def _is_interlanguage(t: Column) -> Column:
+    return t.rlike(W.INTERLANGUAGE_PREFIX)
+
+
+def article_categories(e) -> Column:
+    """ArticleCategoriesExtractor — dcterms:subject ← [[Category:X]]. Main ns."""
+    cats = F.filter(_c("ilinks"), _is_category)
+    q = F.transform(
+        cats,
+        lambda t: quad("article_categories", _c("subj"), S.DCT_SUBJECT,
+                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def skos_categories(e) -> Column:
+    """SkosCategoriesExtractor — Category pages: skos:Concept type,
+    prefLabel, broader ← parent categories."""
+    parents = F.filter(_c("ilinks"), _is_category)
+    base = F.array(
+        quad("skos_categories", _c("subj"), S.RDF_TYPE, S.SKOS_CONCEPT,
+             context=_c("context")),
+        quad("skos_categories", _c("subj"), S.SKOS_PREFLABEL,
+             F.regexp_replace(_c("local_title"), "_", " "),
+             lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context")),
+    )
+    broader = F.transform(
+        parents,
+        lambda t: quad("skos_categories", _c("subj"), S.SKOS_BROADER,
+                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    )
+    return guard(_c("ns") == S.NS_CATEGORY, F.concat(base, broader))
+
+
+def page_links(e) -> Column:
+    """PageLinksExtractor — dbo:wikiPageWikiLink ← every internal link
+    (excluding category + interlanguage routes). Main ns. The highest
+    fan-out extractor."""
+    tgts = F.filter(
+        _c("ilinks"),
+        lambda t: (~_is_category(t)) & (~_is_interlanguage(t)) & (F.length(t) > 0),
+    )
+    q = F.transform(
+        tgts,
+        lambda t: quad("page_links", _c("subj"), S.DBO_WIKI_LINK,
+                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    )
+    return guard((_c("ns") == S.NS_MAIN) & (_c("redirect_target") == ""), q)
+
+
+def external_links(e) -> Column:
+    """ExternalLinksExtractor — dbo:wikiPageExternalLink ← external URLs."""
+    q = F.transform(
+        F.array_distinct(_c("elinks")),
+        lambda u: quad("external_links", _c("subj"), S.DBO_WIKI_EXTERNAL_LINK,
+                       u, context=_c("context")),
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def interlanguage_links(e) -> Column:
+    """InterLanguageLinksExtractor — owl:sameAs ← [[de:Titel]] links."""
+    tgts = F.filter(_c("ilinks"), _is_interlanguage)
+    q = F.transform(
+        tgts,
+        lambda t: quad(
+            "interlanguage_links", _c("subj"), S.OWL_SAMEAS,
+            resource_uri(
+                F.split_part(t, F.lit(":"), F.lit(1)),
+                ucfirst(F.split_part(t, F.lit(":"), F.lit(2))),
+            ),
+            context=_c("context"),
+        ),
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def article_templates(e) -> Column:
+    """ArticleTemplatesExtractor — dbo:wikiPageUsesTemplate ← every
+    transcluded template (incl. nested)."""
+    q = F.transform(
+        F.array_distinct(_c("tmpl_names")),
+        lambda t: quad("article_templates", _c("subj"), S.DBO_WIKI_USES_TEMPLATE,
+                       resource_uri(_c("lang"), F.concat(F.lit("Template:"), t)),
+                       context=_c("context")),
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def geo_coordinates(e) -> Column:
+    """GeoExtractor — geo:lat / geo:long / georss:point ← {{Coord}} templates
+    (parsed in the vectorized pandas pass; DMS→decimal in the kernel)."""
+    def fmt(d: Column) -> Column:
+        return F.format_number(d, 6)
+
+    q = F.flatten(
+        F.transform(
+            _c("parsed.coords"),
+            lambda co: F.array(
+                quad("geo_coordinates", _c("subj"), S.GEO_LAT,
+                     fmt(co["lat"]), datatype=S.XSD_FLOAT, context=_c("context")),
+                quad("geo_coordinates", _c("subj"), S.GEO_LONG,
+                     fmt(co["lon"]), datatype=S.XSD_FLOAT, context=_c("context")),
+                quad("geo_coordinates", _c("subj"), S.GEORSS_POINT,
+                     F.concat(fmt(co["lat"]), F.lit(" "), fmt(co["lon"])),
+                     context=_c("context")),
+            ),
+        )
+    )
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+_INT_RE = r"^-?[0-9][0-9,]*$"
+_DBL_RE = r"^-?[0-9][0-9,]*\.[0-9]+$"
+_LINK_VALUE_RE = r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$"
+_URL_VALUE_RE = r"^https?://\S+$"
+
+
+def infobox_properties(e) -> Column:
+    """InfoboxExtractor — dbp:{key} ← raw infobox key/values with datatype
+    guessing (numeric comma-stripping, link→resource, url→resource)."""
+    def mk(kv: Column) -> Column:
+        key = F.regexp_replace(F.trim(kv["key"]), " ", "_")
+        val = F.trim(kv["value"])
+        pred = F.concat(F.lit(S.PROPERTY), key)
+        link_t = F.regexp_extract(val, _LINK_VALUE_RE, 1)
+        return (
+            F.when(
+                val.rlike(_INT_RE),
+                quad("infobox_properties", _c("subj"), pred,
+                     F.regexp_replace(val, ",", ""), datatype=S.XSD_INTEGER,
+                     context=_c("context")),
+            )
+            .when(
+                val.rlike(_DBL_RE),
+                quad("infobox_properties", _c("subj"), pred,
+                     F.regexp_replace(val, ",", ""), datatype=S.XSD_DOUBLE,
+                     context=_c("context")),
+            )
+            .when(
+                link_t != "",
+                quad("infobox_properties", _c("subj"), pred,
+                     resource_uri(_c("lang"), ucfirst(base_norm(link_t))),
+                     context=_c("context")),
+            )
+            .when(
+                val.rlike(_URL_VALUE_RE),
+                quad("infobox_properties", _c("subj"), pred, val,
+                     context=_c("context")),
+            )
+            .otherwise(
+                quad("infobox_properties", _c("subj"), pred, val,
+                     lang=_c("lang"), datatype=S.RDF_LANGSTRING,
+                     context=_c("context"))
+            )
+        )
+
+    q = F.transform(_c("parsed.infobox"), mk)
+    return guard(_c("ns") == S.NS_MAIN, q)
+
+
+def abstracts(e) -> Column:
+    """AbstractExtractor (published semantics, markup-stripped first
+    paragraph) — dbo:abstract, lang-tagged. Main ns, non-redirect."""
+    t = _c("text")
+    # drop templates (2 passes handle one nesting level), category links,
+    # then render links to their anchor/target and strip bold markers
+    t = F.regexp_replace(t, r"\{\{[^{}]*\}\}", "")
+    t = F.regexp_replace(t, r"\{\{[^{}]*\}\}", "")
+    t = F.regexp_replace(t, r"\[\[Category:[^\[\]]*\]\]", "")
+    t = F.regexp_replace(t, r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]", r"$1")
+    t = F.regexp_replace(t, r"\[\[([^\[\]]*)\]\]", r"$1")
+    t = F.regexp_replace(t, r"'''", "")
+    first_para = F.trim(F.split_part(t, F.lit("\n\n"), F.lit(1)))
+    q = F.array(
+        quad("abstracts", _c("subj"), S.DBO_ABSTRACT, first_para,
+             lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context"))
+    )
+    return guard(
+        (_c("ns") == S.NS_MAIN)
+        & (_c("redirect_target") == "")
+        & (F.length(first_para) > 0),
+        q,
+    )
+
+
+def disambiguations(e) -> Column:
+    """DisambiguationExtractor — dbo:wikiPageDisambiguates ← each link on a
+    {{Disambiguation}} page."""
+    is_dab = F.array_contains(_c("tmpl_names"), "Disambiguation")
+    tgts = F.filter(
+        _c("ilinks"),
+        lambda t: (~_is_category(t)) & (~_is_interlanguage(t)) & (F.length(t) > 0),
+    )
+    q = F.transform(
+        tgts,
+        lambda t: quad("disambiguations", _c("subj"), S.DBO_WIKI_DISAMBIGUATES,
+                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    )
+    return guard((_c("ns") == S.NS_MAIN) & is_dab, q)
+
+
+# name → (extractor fn, needs pandas parse pass)
+EXTRACTORS: dict[str, tuple[Callable[[DataFrame], Column], bool]] = {
+    "labels": (labels, False),
+    "category_labels": (category_labels, False),
+    "page_ids": (page_ids, False),
+    "revision_ids": (revision_ids, False),
+    "revision_uris": (revision_uris, False),
+    "wikipedia_links": (wikipedia_links, False),
+    "redirects": (redirects, False),
+    "article_categories": (article_categories, False),
+    "skos_categories": (skos_categories, False),
+    "page_links": (page_links, False),
+    "external_links": (external_links, False),
+    "interlanguage_links": (interlanguage_links, False),
+    "article_templates": (article_templates, False),
+    "geo_coordinates": (geo_coordinates, True),
+    "infobox_properties": (infobox_properties, True),
+    "abstracts": (abstracts, False),
+    "disambiguations": (disambiguations, False),
+}
+
+
+def extract(
+    pages: DataFrame,
+    extractors: list[str] | None = None,
+    namespaces: tuple[int, ...] = S.EXTRACTION_NAMESPACES,
+) -> DataFrame:
+    """Run the (selected) extractor suite in one fused pass → quads.
+
+    Physical plan: parquet scan → filter(ns) → single projection (all
+    regex extraction + the one pandas parse) → explode → that's it.
+    Zero shuffles, matching the reference's single-stage main job
+    (SURVEY.md §4 'operator fusion').
+    """
+    names = list(EXTRACTORS) if extractors is None else list(extractors)
+    needs_parse = any(EXTRACTORS[n][1] for n in names)
+    e = enrich_pages(prepare_pages(pages), with_parse=needs_parse)
+    e = e.filter(F.col("ns").isin(*namespaces))
+    arrays = [EXTRACTORS[n][0](e) for n in names]
+    all_quads = F.array_distinct(F.concat(*arrays) if len(arrays) > 1 else arrays[0])
+    return e.select(F.explode(all_quads).alias("q")).select("q.*")
+
+
+def extractor_df(pages: DataFrame, name: str) -> DataFrame:
+    """Single extractor as a standalone quads DataFrame (tests / queries)."""
+    return extract(pages, extractors=[name])

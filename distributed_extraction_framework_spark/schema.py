@@ -1,0 +1,174 @@
+"""Schemas and vocabulary for the KG-construction engine.
+
+The two record types mirror the reference's data model (SURVEY.md §1):
+
+* the input page  — reference ``WikiPage`` (WikiPageSerializer.scala:15-23),
+  re-shaped per BASELINE.json input_hint as a Common-Crawl-style row
+  ``(url, warc_ts, html, text, lang)``;
+* the output quad — reference ``Quad`` (7 strings,
+  QuadSeqWritableTest.scala:16-22).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --------------------------------------------------------------------------
+# input table: Common-Crawl-style web pages (BASELINE.json input_hint)
+# --------------------------------------------------------------------------
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+# derived columns added by operators.extractors.prepare_pages()
+PREPARED_EXTRA_COLS = ("title", "ns", "page_id", "rev_id", "subj", "context")
+
+# --------------------------------------------------------------------------
+# output record: the RDF quad (reference Quad — 7 flat strings)
+# --------------------------------------------------------------------------
+QUAD_COLS = ("dataset", "subj", "pred", "obj", "lang", "datatype", "context")
+
+QUAD_SCHEMA = StructType(
+    [
+        StructField("dataset", StringType(), False),
+        StructField("subj", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("obj", StringType(), False),
+        StructField("lang", StringType(), True),
+        StructField("datatype", StringType(), True),
+        StructField("context", StringType(), True),
+    ]
+)
+
+# result of the single vectorized parse pass (functions.wikitext.parse_page_udf)
+PARSED_PAGE_SCHEMA = StructType(
+    [
+        StructField(
+            "infobox",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("template", StringType()),
+                        StructField("key", StringType()),
+                        StructField("value", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "coords",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("lat", DoubleType()),
+                        StructField("lon", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# --------------------------------------------------------------------------
+# namespaces (the reference's int-keyed enum — SURVEY.md §1.1;
+# namespace filter set: DistConfigLoader.scala:105-112)
+# --------------------------------------------------------------------------
+NS_MAIN = 0
+NS_FILE = 6
+NS_TEMPLATE = 10
+NS_CATEGORY = 14
+EXTRACTION_NAMESPACES = (NS_MAIN, NS_FILE, NS_TEMPLATE, NS_CATEGORY)
+
+NS_PREFIXES = {"Category": NS_CATEGORY, "Template": NS_TEMPLATE, "File": NS_FILE}
+
+# --------------------------------------------------------------------------
+# vocabulary (public W3C/FOAF/DC vocab + this engine's own ontology ns)
+# --------------------------------------------------------------------------
+RESOURCE_HOST = "kg.example.org"
+
+
+def resource_prefix(lang: str) -> str:
+    """Language-localized resource namespace (en is the bare host)."""
+    host = RESOURCE_HOST if lang == "en" else f"{lang}.{RESOURCE_HOST}"
+    return f"http://{host}/resource/"
+
+
+ONTOLOGY = "http://kg.example.org/ontology/"
+PROPERTY = "http://kg.example.org/property/"  # raw infobox properties
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+DCT_SUBJECT = "http://purl.org/dc/terms/subject"
+FOAF_PRIMARY_TOPIC = "http://xmlns.com/foaf/0.1/primaryTopic"
+FOAF_IS_PRIMARY_TOPIC_OF = "http://xmlns.com/foaf/0.1/isPrimaryTopicOf"
+FOAF_DOCUMENT = "http://xmlns.com/foaf/0.1/Document"
+SKOS_CONCEPT = "http://www.w3.org/2004/02/skos/core#Concept"
+SKOS_PREFLABEL = "http://www.w3.org/2004/02/skos/core#prefLabel"
+SKOS_BROADER = "http://www.w3.org/2004/02/skos/core#broader"
+GEO_LAT = "http://www.w3.org/2003/01/geo/wgs84_pos#lat"
+GEO_LONG = "http://www.w3.org/2003/01/geo/wgs84_pos#long"
+GEORSS_POINT = "http://www.georss.org/georss/point"
+PROV_DERIVED_FROM = "http://www.w3.org/ns/prov#wasDerivedFrom"
+
+DBO_WIKI_PAGE_ID = ONTOLOGY + "wikiPageID"
+DBO_WIKI_REVISION_ID = ONTOLOGY + "wikiPageRevisionID"
+DBO_WIKI_REDIRECTS = ONTOLOGY + "wikiPageRedirects"
+DBO_WIKI_LINK = ONTOLOGY + "wikiPageWikiLink"
+DBO_WIKI_EXTERNAL_LINK = ONTOLOGY + "wikiPageExternalLink"
+DBO_WIKI_USES_TEMPLATE = ONTOLOGY + "wikiPageUsesTemplate"
+DBO_WIKI_DISAMBIGUATES = ONTOLOGY + "wikiPageDisambiguates"
+DBO_ABSTRACT = ONTOLOGY + "abstract"
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_INTEGER = XSD + "integer"
+XSD_DOUBLE = XSD + "double"
+XSD_FLOAT = XSD + "float"
+XSD_STRING = XSD + "string"
+XSD_DATETIME = XSD + "dateTime"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+# dataset names (the multiplexing key of the reference's sink — SURVEY.md D1/K1)
+DATASETS = (
+    "labels",
+    "page_ids",
+    "revision_ids",
+    "revision_uris",
+    "wikipedia_links",
+    "redirects",
+    "category_labels",
+    "article_categories",
+    "skos_categories",
+    "page_links",
+    "external_links",
+    "interlanguage_links",
+    "geo_coordinates",
+    "article_templates",
+    "infobox_properties",
+    "mappingbased_objects",
+    "mappingbased_literals",
+    "instance_types",
+    "abstracts",
+    "disambiguations",
+)
+
+# DDL string of a quad struct (for typed empty-array literals / casts)
+QUAD_STRUCT_DDL = (
+    "struct<dataset:string,subj:string,pred:string,obj:string,"
+    "lang:string,datatype:string,context:string>"
+)

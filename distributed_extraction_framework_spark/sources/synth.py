@@ -1,0 +1,228 @@
+"""Deterministic synthetic Common-Crawl-style pages source.
+
+Replaces the reference's one-page enwiki fixture
+(extraction/src/test/resources/data/enwiki/20160407/...multistream.xml.bz2)
+with a seed-fixed generator covering every markup construct the extractor
+suite consumes (FIXTURES.md §1): bold leads, internal/external/
+interlanguage links, categories, redirect chains + a 2-cycle, template-ns
+redirect pairs, infoboxes, coordinate templates, file pages, and
+pathological rows.
+
+Generation is a pure function of (index, n_pages) — ``make_page`` — so the
+table is identical whether built driver-side (tests / pure-Python oracle)
+or distributed via ``spark.range(n).mapInPandas`` (bench at sf0.1+, and the
+same shape scales to 10^12 rows on a real cluster: no driver materialized
+list, no shuffle, one narrow stage).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schema import PAGES_SCHEMA
+
+SEED = 42
+
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta river mountain city music history "
+    "physics painter engine bridge island harbor castle valley forest star "
+    "quantum theory novel poem symphony treaty empire dynasty festival"
+).split()
+
+_EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _rng(i: int) -> random.Random:
+    return random.Random(SEED * 1_000_003 + i)
+
+
+def _lang(i: int, r: random.Random) -> str:
+    x = r.random()
+    if x < 0.8:
+        return "en"
+    return "de" if x < 0.9 else "fr"
+
+
+def _main_idx(i: int, n: int, r: random.Random) -> int:
+    """A deterministic main-article index (residue 0-69) != i."""
+    if n <= 100:
+        t = r.randrange(min(n, 70))
+    else:
+        t = r.randrange(n // 100) * 100 + r.randrange(70)
+    if t == i:
+        t = (t + 100) % n if t + 100 < n else (t + 1) % min(n, 70)
+    return t
+
+
+def _title(i: int) -> str:
+    """Deterministic title for page index i (underscored form)."""
+    res = i % 100
+    if res < 70:
+        return f"Article_{i}"
+    if res < 78:
+        return f"Article_{i}"  # redirect pages are main-ns articles
+    if res < 86:
+        return f"Category:Cat_{i}"
+    if res < 90:
+        return f"Template:Tmpl_{i}"
+    if res < 93:
+        return f"File:File_{i}.png"
+    if res == 96:
+        return f"Éxample_Ünïcode_{i}"
+    if res == 98:
+        return f"Article_{i}_(disambiguation)"
+    return f"Article_{i}"
+
+
+def _link(target_title: str, r: random.Random) -> str:
+    """Render an internal link, sometimes with spaces / an anchor."""
+    t = target_title.replace("_", " ") if r.random() < 0.4 else target_title
+    if r.random() < 0.3:
+        return f"[[{t}|{r.choice(_WORDS)} anchor]]"
+    return f"[[{t}]]"
+
+
+def _sentence(r: random.Random, k: int = 8) -> str:
+    return " ".join(r.choice(_WORDS) for _ in range(k)) + "."
+
+
+def _main_article_text(i: int, n: int, title: str, lang: str, r: random.Random) -> str:
+    parts = [f"'''{title.replace('_', ' ')}''' is a {r.choice(_WORDS)} {r.choice(_WORDS)}."]
+    for _ in range(r.randint(2, 8)):
+        parts.append(_sentence(r) + " " + _link(_title(_main_idx(i, n, r)), r))
+    # external links
+    for _ in range(r.randint(0, 2)):
+        parts.append(f"[http://ext.example.com/{r.choice(_WORDS)}/{r.randrange(1000)} {r.choice(_WORDS)} site]")
+    if r.random() < 0.4:
+        parts.append(f"See also http://bare.example.org/{r.choice(_WORDS)}{r.randrange(100)}")
+    # interlanguage link (en pages only)
+    if lang == "en" and r.random() < 0.35:
+        parts.append(f"[[de:Artikel_{r.randrange(n)}]]")
+    # plain templates
+    for _ in range(r.randint(1, 3)):
+        tk = r.randrange(n)
+        parts.append(f"{{{{Tmpl_{tk - (tk % 100) + 86 + (tk % 4)}|{r.choice(_WORDS)}}}}}")
+    # coordinates
+    cr = r.random()
+    if cr < 0.15:
+        parts.append(f"{{{{Coord|{r.randrange(90)}|{r.randrange(60)}|{r.randrange(60)}|{r.choice('NS')}|{r.randrange(180)}|{r.randrange(60)}|{r.randrange(60)}|{r.choice('EW')}}}}}")
+    elif cr < 0.3:
+        parts.append(f"{{{{Coord|{round(r.uniform(-90, 90), 4)}|{round(r.uniform(-180, 180), 4)}}}}}")
+    # infobox
+    if r.random() < 0.5:
+        kind = r.choice(["settlement", "company", "person"])
+        box = [f"{{{{Infobox {kind}", f"| name = {title.replace('_', ' ')}"]
+        box.append(f"| population = {r.randrange(1000, 9_999_999):,}")
+        box.append(f"| area_km2 = {round(r.uniform(0.5, 5000), 2)}")
+        box.append(f"| website = http://www.{r.choice(_WORDS)}.example.org")
+        box.append(f"| located_in = [[{_title(_main_idx(i, n, r)).replace('_', ' ')}]]")
+        box.append(f"| motto = {_sentence(r, 4)}")
+        box.append("}}")
+        parts.append("\n".join(box))
+    # categories at the bottom
+    for _ in range(r.randint(1, 3)):
+        ck = r.randrange(n)
+        parts.append(f"[[Category:Cat_{ck - (ck % 100) + 78 + (ck % 8)}]]")
+    return "\n\n".join(parts)
+
+
+def _redirect_text(i: int, n: int, r: random.Random) -> str:
+    res = i % 100
+    if res in (71, 73, 74) and i + 1 < n:
+        target = _title(i + 1)  # chain hop: 71→72, 73→74→75
+    elif res == 76 and i + 1 < n:
+        target = _title(i + 1)  # cycle half: 76→77
+    elif res == 77:
+        target = _title(i - 1)  # cycle half: 77→76
+    else:  # 70, 72, 75 and chain tails: land on a main article
+        target = _title(_main_idx(i, n, r))
+    sp = target.replace("_", " ") if r.random() < 0.5 else target
+    kw = r.choice(["#REDIRECT", "#redirect", "#Redirect"])
+    return f"{kw} [[{sp}]]"
+
+
+def make_page(i: int, n: int) -> dict:
+    """Pure deterministic page row for index ``i`` of an ``n``-page corpus."""
+    r = _rng(i)
+    res = i % 100
+    title = _title(i)
+    lang = _lang(i, r)
+    if 70 <= res < 78:
+        text = _redirect_text(i, n, r)
+    elif 78 <= res < 86:  # category page
+        parent = i - (i % 100) + 78 + ((i // 100) % 8)
+        text = (
+            f"'''{title.split(':', 1)[1].replace('_', ' ')}''' category page.\n"
+            f"[[Category:Cat_{parent}]]"
+        )
+    elif 86 <= res < 90:  # template page
+        if res == 88:  # template redirect (feeds the R1 redirect harvest)
+            text = f"#REDIRECT [[Template:Tmpl_{i + 1}]]"
+        else:
+            text = f"Template documentation. {{{{{title.split(':', 1)[1]}|doc}}}}"
+    elif 90 <= res < 93:  # file page
+        text = f"File description {_sentence(r)} [[Category:Cat_{i - (i % 100) + 80}]]"
+    elif res == 93:
+        text = ""
+    elif res == 94:
+        text = _sentence(r, 30)
+    elif res == 95:
+        text = f"Broken [[unclosed link and {{{{Unclosed template\nmore text"
+    elif res == 97:
+        para = _sentence(r) + f" [[{_title(_main_idx(i, n, r))}]] "
+        text = ("'''%s''' long page.\n" % title) + (para * 200)
+    elif res == 99:
+        text = f"\t '''{title}''' \n\n\t text with   whitespace [[Article_{max(i - 99, 0)}]]\n"
+    elif res == 98:  # disambiguation page
+        links = " ".join(f"* [[{_title(_main_idx(i, n, r))}]]" for _ in range(3))
+        text = f"{{{{Disambiguation}}}}\n'''{title.replace('_', ' ')}''' may refer to:\n{links}"
+    else:  # 96 and main articles
+        text = _main_article_text(i, n, title, lang, r)
+
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    html = (
+        f'<html><head><title>{title}</title></head>'
+        f'<body><pre data-kind="source">{esc}</pre></body></html>'
+    ).encode("utf-8")
+    ts = _EPOCH + dt.timedelta(seconds=(i * 37) % 31_536_000)
+    return {
+        "url": f"https://{lang}.pages.example.org/wiki/{title}",
+        "warc_ts": ts,
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def local_pages(n: int) -> list[dict]:
+    """Driver-side page list (tests + pure-Python oracle)."""
+    return [make_page(i, n) for i in range(n)]
+
+
+def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed synthesis: ``spark.range(n)`` → mapInPandas(make_page).
+
+    One narrow stage, no driver materialization — the generator itself
+    scales linearly with executors (this is also the scaling-bench input).
+    """
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng_df = spark.range(0, n, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_page(int(i), n) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=list(PAGES_SCHEMA.names))
+
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark: SparkSession, n: int, path: str, partitions: int | None = None) -> None:
+    """Materialize a synthetic pages table to parquet (Iceberg on a real
+    cluster — same writer call with ``.format("iceberg")``)."""
+    synth_pages(spark, n, partitions).write.mode("overwrite").parquet(path)
