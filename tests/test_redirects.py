@@ -1,0 +1,120 @@
+"""Redirect harvest + transitive closure + connected components.
+
+Model: the reference's DistRedirectsTest (distributed-vs-sequential map
+equality) plus chain/cycle semantics of the upstream resolveMap."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark import schema as S
+from distributed_extraction_framework_spark.functions.wikitext import REDIRECT_PATTERN
+from distributed_extraction_framework_spark.operators.canonicalize import (
+    canonical_mapping,
+    connected_components,
+)
+from distributed_extraction_framework_spark.operators.redirects import (
+    harvest_redirects,
+    resolve_objects,
+    transitive_closure,
+)
+from distributed_extraction_framework_spark.operators.extractors import extract
+
+_REDIR = re.compile(REDIRECT_PATTERN)
+
+
+def _seq_redirects(pages_local, template_only=True):
+    """Sequential harvest (the reference's Redirects.loadFromSource analog)."""
+    out = {}
+    for p in pages_local:
+        m = _REDIR.match(p["text"] or "")
+        if not m:
+            continue
+        title = p["url"].split("/wiki/", 1)[1]
+        tgt = m.group(1).strip().replace(" ", "_")
+        tgt = tgt[:1].upper() + tgt[1:]
+        if template_only and not (
+            title.startswith("Template:") and tgt.startswith("Template:")
+        ):
+            continue
+        src = S.resource_prefix(p["lang"]) + title
+        dst = S.resource_prefix(p["lang"]) + tgt
+        out[src] = dst
+    return out
+
+
+def test_harvest_matches_sequential(spark, pages_df, pages_local):
+    got = dict(
+        (r["src"], r["dst"]) for r in harvest_redirects(pages_df).collect()
+    )
+    want = _seq_redirects(pages_local, template_only=True)
+    assert got == want and len(want) > 0
+
+
+def test_harvest_all_namespaces(spark, pages_df, pages_local):
+    got = dict(
+        (r["src"], r["dst"])
+        for r in harvest_redirects(pages_df, namespaces=None).collect()
+    )
+    want = _seq_redirects(pages_local, template_only=False)
+    assert got == want
+    assert len(want) > len(_seq_redirects(pages_local, template_only=True))
+
+
+def test_transitive_closure_chains_and_cycles(spark):
+    rows = [
+        ("A", "B"), ("B", "C"), ("C", "D"),   # 3-hop chain
+        ("X", "Y"), ("Y", "X"),               # 2-cycle
+        ("P", "Q"),                            # single hop
+    ]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+    assert ("A", "D") in got and ("B", "D") in got and ("C", "D") in got
+    assert ("P", "Q") in got
+    assert not any(s in ("X", "Y") for s, _ in got), "cycle members must drop"
+
+
+def test_closure_on_corpus_is_fixed_point(spark, pages_df):
+    cl = transitive_closure(harvest_redirects(pages_df, namespaces=None))
+    rows = cl.collect()
+    srcs = {r["src"] for r in rows}
+    dsts = {r["dst"] for r in rows}
+    assert not (srcs & dsts), "closure must leave no resolvable dst"
+
+
+def test_resolve_objects_rewrites_template_links(spark, pages_df):
+    quads = extract(pages_df, extractors=["article_templates"])
+    cl = transitive_closure(harvest_redirects(pages_df))
+    resolved = resolve_objects(quads, cl, datasets=("article_templates",))
+    redirect_srcs = {r["src"] for r in cl.collect()}
+    assert redirect_srcs, "fixture must contain template redirects"
+    left = resolved.filter(F.col("obj").isin(*redirect_srcs)).count()
+    assert left == 0, "no object may still point at a redirect source"
+    # and resolution must not change row count
+    assert resolved.count() == quads.count()
+
+
+def test_connected_components_basic(spark):
+    rows = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")]
+    labels = connected_components(spark.createDataFrame(rows, ["src", "dst"]))
+    comp = {r["vertex"]: r["component"] for r in labels.collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == "d"
+    assert "f" not in comp  # self-loop only → no edge → not a vertex
+
+
+def test_connected_components_on_sameas(spark, pages_df):
+    sameas = (
+        extract(pages_df, extractors=["interlanguage_links"])
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+    labels = connected_components(sameas)
+    m = canonical_mapping(labels)
+    # every non-representative maps to the lexicographic min of its component
+    rows = labels.collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r["vertex"])
+    for comp, members in by_comp.items():
+        assert comp == min(members + [comp])
+    assert m.count() > 0
