@@ -1,0 +1,305 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five strategies over a documents table (id, text) — each designed for the
+100 TB regime, tested at sf0.1:
+
+* exact          — hash-groupBy on a content digest (one shuffle on a
+                   64-char key, not the document body)
+* MinHash + LSH  — shingle → k minhashes → b bands → bucket join; only
+                   bucket-colliding pairs are verified (no O(n²) pass)
+* SimHash        — 64-bit weighted fingerprint; Hamming-ball candidates
+                   via band equality + ``bit_count`` verify (JVM-side)
+* n-gram Jaccard — inverted-index self-join on shared shingles, exact
+                   Jaccard from co-occurrence counts (no pairwise cross)
+* embedding cosine — see operators/similarity.py (near_duplicates_by_embedding)
+
+MinHash/SimHash signatures are numpy-vectorized pandas UDFs (Arrow batch
+in, one signature column out); all pair generation, counting, and
+verification stays in Catalyst.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# deterministic 64-bit mix constants (splitmix64, public domain)
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK
+    return x ^ (x >> 31)
+
+
+# NB: python's hash() is salted per-process for str — NOT usable across
+# executors. Stable crc32/adler32 digest pair instead:
+def _stable_gram_hash(grams: list[str]) -> np.ndarray:
+    import zlib
+
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    lo = np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    hi = np.fromiter(
+        (zlib.adler32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    return _splitmix64((hi << np.uint64(32)) | lo)
+
+
+def _word_shingles(text: str, k: int) -> list[str]:
+    words = text.split()
+    if not words:
+        return []
+    if len(words) < k:
+        return [" ".join(words)]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+# --------------------------------------------------------------------------
+# 1. exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per identical text. Shuffles the 32-byte md5,
+    never the document body."""
+    digest = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    w = Window.partitionBy("_digest").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(digest, n_docs, canonical_id) for groups with >1 member."""
+    digest = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    return (
+        df.withColumn("digest", digest)
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash + LSH
+# --------------------------------------------------------------------------
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Append ``minhash: array<long>`` (k permutation-min signatures)."""
+    seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hs = _stable_gram_hash(_word_shingles(t if isinstance(t, str) else "", shingle_k))
+            if hs.size == 0:
+                out.append([0] * num_hashes)
+                continue
+            # h_i(x) = splitmix64(x ^ seed_i); min over shingles, vectorized
+            m = _splitmix64(hs[None, :] ^ seeds[:, None]).min(axis=1)
+            out.append(m.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("minhash", minhash(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard_est) with est ≥ threshold.
+
+    LSH: signature split into ``bands`` bands of r rows; docs colliding in
+    ANY band become candidates (bucket equi-join — a plain shuffle join on
+    the band hash, so AQE handles bucket skew). Jaccard is then ESTIMATED
+    from full-signature agreement — only candidates pay that cost.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = add_minhash(df, text_col, num_hashes, shingle_k).select(
+        F.col(id_col).alias("id"), "minhash"
+    )
+    banded = sig.select(
+        "id",
+        "minhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("minhash", b * r + 1, r).cast("string")).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "minhash", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        cands.withColumn("jaccard_est", agree / F.lit(num_hashes))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. SimHash
+# --------------------------------------------------------------------------
+
+def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``simhash: long`` — 64-bit sign-aggregated token fingerprint."""
+
+    @F.pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        bits = np.arange(64, dtype=np.uint64)
+        for t in texts:
+            hs = _stable_gram_hash((t if isinstance(t, str) else "").split())
+            if hs.size == 0:
+                out.append(0)
+                continue
+            onbits = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).sum(axis=0)
+            v = np.where(onbits * 2 > hs.size, 1, 0).astype(np.uint64)
+            out.append(int((v << bits).sum()) - (1 << 64) if (v[63] == 1) else int((v << bits).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return df.withColumn("simhash", simhash(F.col(text_col)))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: with 4 16-bit bands, any pair within Hamming 3
+    agrees exactly on ≥1 band → candidates = band equi-join; verify with
+    JVM ``bit_count(a ^ b)``.
+    """
+    sh = add_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = sh.select(
+        "id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "key"], "inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. exact n-gram Jaccard via inverted index
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair sharing ≥1 n-gram.
+
+    All Catalyst: explode distinct n-grams → self-join the inverted index
+    on the n-gram → count common grams per pair → |A∪B| = |A|+|B|-common.
+    Documents sharing no n-gram never meet (no cross join anywhere).
+    """
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    sizes = g.select("id", F.size("grams").alias("n_grams"))
+    inv = g.select("id", F.explode("grams").alias("gram")).filter(
+        F.col("gram") != ""
+    )
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), "gram")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,192 @@
+"""Dedup family + similarity search + text analysis over the driver's
+documents/embeddings tables (sf0.001) and crafted fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators import dedup, similarity
+from distributed_extraction_framework_spark.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs):
+    """documents plus exact + near duplicates with known ids."""
+    base = docs.limit(20).collect()
+    rows = [(r["doc_id"], r["text"]) for r in base]
+    nxt = 100000
+    made = []
+    for r in base[:5]:
+        rows.append((nxt, r["text"]))  # exact dup
+        made.append((r["doc_id"], nxt, "exact"))
+        nxt += 1
+        words = r["text"].split()
+        words[0] = "CHANGED"
+        rows.append((nxt, " ".join(words)))  # near dup
+        made.append((r["doc_id"], nxt, "near"))
+        nxt += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df, made
+
+
+def test_exact_dedup(spark, dup_docs):
+    df, made = dup_docs
+    kept = dedup.exact_dedup(df)
+    assert kept.count() == df.count() - 5
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    for orig, dup, kind in made:
+        if kind == "exact":
+            assert orig in kept_ids and dup not in kept_ids
+
+    groups = dedup.exact_duplicate_groups(df)
+    assert groups.count() == 5
+    assert all(r["n_docs"] == 2 for r in groups.collect())
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    df, made = dup_docs
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    for orig, dup, kind in made:
+        a, b = min(orig, dup), max(orig, dup)
+        assert (a, b) in pairs, f"{kind} dup {a},{b} not found"
+    # every reported pair must be genuinely similar (true 3-gram jaccard)
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+
+    def true_jacc(x, y):
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+        A, B = sh(texts[x]), sh(texts[y])
+        return len(A & B) / len(A | B)
+
+    for a, b in pairs:
+        assert true_jacc(a, b) >= 0.35, f"false positive ({a},{b})"
+
+
+def test_minhash_deterministic(spark, dup_docs):
+    df, _ = dup_docs
+    a = dedup.add_minhash(df).select("doc_id", "minhash").collect()
+    b = dedup.add_minhash(df).select("doc_id", "minhash").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_simhash_near_duplicates(spark, dup_docs):
+    df, made = dup_docs
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(df, max_hamming=6).collect()
+    }
+    for orig, dup, kind in made:
+        if kind == "exact":
+            assert (min(orig, dup), max(orig, dup)) in pairs
+
+
+def test_ngram_jaccard(spark, dup_docs):
+    df, made = dup_docs
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.4).collect()
+    }
+    for orig, dup, kind in made:
+        key = (min(orig, dup), max(orig, dup))
+        assert key in got
+        if kind == "exact":
+            assert got[key] == pytest.approx(1.0)
+
+
+def test_bruteforce_cosine_topk(spark, embs):
+    q = embs.limit(5)
+    res = similarity.cosine_topk_bruteforce(q, embs, k=3)
+    rows = res.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert all(rs[i]["cos"] >= rs[i + 1]["cos"] for i in range(len(rs) - 1))
+        assert all(r["neighbor_id"] != qid for r in rs)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, embs):
+    q = embs.limit(10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(q, embs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(
+            q, embs, dim=64, k=5, n_planes=4, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"multi-table LSH recall {recall:.2f} too low"
+
+
+def test_ivf_topk_runs(spark, embs):
+    res = similarity.ivf_topk(embs.limit(5), embs, k=3, n_cells=8, n_probe=2)
+    assert res.count() > 0
+    assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_text_profile(spark, docs):
+    prof = T.profile_documents(docs)
+    rows = prof.limit(50).collect()
+    for r in rows:
+        assert r["n_tokens_ws"] > 0
+        assert r["n_tokens_bpe"] >= r["n_tokens_ws"]
+        assert 0.0 <= r["quality"] <= 1.0
+        assert len(r["fingerprint"]) == 32
+    # word-soup docs are built from english-ish tokens: 'the' appears
+    en = prof.filter(F.col("lang_guess") == "en").count()
+    assert en > 0
+
+
+def test_winnowing_fingerprint(spark, dup_docs):
+    df, made = dup_docs
+    w = T.make_winnowing_udf()
+    fp = df.withColumn("w", w(F.col("text"))).select("doc_id", "w").collect()
+    by_id = {r["doc_id"]: set(r["w"]) for r in fp}
+    for orig, dup, kind in made:
+        inter = by_id[orig] & by_id[dup]
+        union = by_id[orig] | by_id[dup]
+        sim = len(inter) / len(union)
+        if kind == "exact":
+            assert sim == 1.0
+        else:
+            assert sim > 0.5
+
+
+def test_multimodal_plumbing(spark):
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    media = M.synth_media(spark, 60)
+    feats = M.extract_media_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 60
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # determinism
+    again = {r["media_id"]: r["feature"] for r in M.extract_media_features(media, 16).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+
+    imgs = M.resize_images(media).collect()
+    assert all(r["width"] == 64 for r in imgs)
+    frames = M.sample_video_frames(media, every_ms=1000)
+    assert frames.count() > media.filter("kind='video'").count()
