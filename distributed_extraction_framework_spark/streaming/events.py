@@ -1,0 +1,158 @@
+"""Structured-streaming operators.
+
+The reference is batch-only (SURVEY.md §2.3: resumability via marker files,
+no state stores); a Common-Crawl-scale KG pipeline additionally needs
+incremental ingestion. Three streaming shapes:
+
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation over
+  an events stream (late data handled by the watermark);
+* ``sessionize`` — session windows (gap-based), batch AND streaming form;
+* ``stream_extract`` — the extractor suite applied to a pages STREAM:
+  the fused extraction pass is stateless/narrow, so the same ``extract()``
+  plan runs under ``readStream`` unchanged — this is the payoff of keeping
+  the pipeline shuffle-free;
+* ``running_counts_stateful`` — applyInPandasWithState custom stateful
+  operator (per-key running aggregates with timeout).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window counts + sums per event_type."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user (works in batch and streaming)."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
+RUNNING_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_total", LongType()),
+        StructField("sum_total", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def running_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-event_type running totals via
+    applyInPandasWithState (processing-time timeout disabled)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_total": [n], "sum_total": [s]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_extract(spark: SparkSession, pages_path: str, extractors=None) -> DataFrame:
+    """The fused extractor suite over a pages STREAM — identical plan, no
+    state, so it slots under readStream unchanged."""
+    from ..operators.extractors import extract
+    from ..schema import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(pages_path)
+    )
+    return extract(stream, extractors=extractors)
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion against current files
+    (test/smoke harness: memory sink + processAllAvailable)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,112 @@
+"""End-to-end pipeline: materialization, N-Triples sink, lineage, resume."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators.extractors import extract
+from distributed_extraction_framework_spark.plans import materialize as M
+from distributed_extraction_framework_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def quads(spark, pages_df):
+    return extract(pages_df).cache()
+
+
+def test_ntriples_rendering(spark, quads):
+    lines = M.render_ntriples(quads).collect()
+    assert all(r["line"].endswith(" .") for r in lines)
+    by_kind = {"res": 0, "lang": 0, "typed": 0}
+    for r in lines:
+        ln = r["line"]
+        assert ln.startswith("<http")
+        if ln.rstrip(" .").endswith(">") and "^^" not in ln:
+            by_kind["res"] += 1
+        elif '"@' in ln:
+            by_kind["lang"] += 1
+        elif "^^<" in ln:
+            by_kind["typed"] += 1
+    assert all(v > 0 for v in by_kind.values()), by_kind
+    # no raw newlines may survive escaping
+    assert not any("\n" in r["line"] for r in lines)
+
+
+def test_ntriples_sink_multiplexes_by_dataset(spark, quads, tmp_path):
+    out = str(tmp_path / "nt")
+    M.write_ntriples(quads, out)
+    dirs = {os.path.basename(p) for p in glob.glob(out + "/dataset=*")}
+    assert "dataset=labels" in dirs and "dataset=page_links" in dirs
+    txt = spark.read.text(out + "/dataset=labels").collect()
+    assert txt and all(t["value"].startswith("<http") for t in txt)
+
+
+def test_graph_tables(spark, quads):
+    e, l, n, p = (
+        M.edges_table(quads), M.literals_table(quads),
+        M.nodes_table(quads), M.predicates_table(quads),
+    )
+    assert e.count() + l.count() == quads.count()
+    assert n.filter(F.col("n_out") > 0).count() > 0
+    assert n.filter(F.col("n_in") > 0).count() > 0
+    assert p.filter(F.col("n_quads") <= 0).count() == 0
+    # every edge endpoint is a node
+    missing = (
+        e.select(F.col("subj").alias("uri"))
+        .union(e.select(F.col("obj").alias("uri")))
+        .distinct()
+        .join(n, "uri", "left_anti")
+        .count()
+    )
+    assert missing == 0
+
+
+def test_pipeline_end_to_end_and_resume(spark, pages_df, tmp_path):
+    wh = str(tmp_path / "warehouse")
+    out1 = run_pipeline(spark, pages_df, wh)
+    q1 = out1["quads"].count()
+    e1 = out1["edges"].count()
+    links1 = out1["entity_links"].count()
+    assert q1 > 0 and e1 > 0 and links1 > 0
+
+    lineage = spark.read.parquet(wh + "/lineage")
+    stages = {r["stage"] for r in lineage.collect()}
+    assert {"quads", "redirect_closure", "quads_resolved",
+            "quads_canonical", "entity_links", "edges"} <= stages
+    # per-partition lineage: quads stage records one row per dataset
+    per_part = lineage.filter(
+        (F.col("stage") == "quads") & (F.col("partition") != "*")
+    )
+    assert per_part.count() >= 15
+    assert per_part.filter(F.col("n_rows") <= 0).count() == 0
+
+    # resume: second run must reuse every stage (same input fingerprint)
+    import time
+
+    t0 = time.time()
+    out2 = run_pipeline(spark, pages_df, wh)
+    resume_wall = time.time() - t0
+    assert out2["quads"].count() == q1
+    assert out2["edges"].count() == e1
+    lineage2 = spark.read.parquet(wh + "/lineage")
+    # no new stage rows were appended for the core stages on resume
+    n_quads_rows = lineage2.filter(F.col("stage") == "quads").select(
+        "run_id"
+    ).distinct().count()
+    assert n_quads_rows == 1, "resume must not recompute the quads stage"
+
+    metrics = spark.read.parquet(wh + "/metrics")
+    assert metrics.filter(F.col("metric") == "quads_out").count() >= 1
+
+
+def test_pipeline_canonicalizes_sameas(spark, pages_df, tmp_path):
+    wh = str(tmp_path / "wh2")
+    out = run_pipeline(spark, pages_df, wh, link_entities=False)
+    q = out["quads"]
+    sameas = q.filter(F.col("pred").endswith("sameAs"))
+    # after canonicalization subj of a sameAs pair is its component min
+    rows = sameas.select("subj", "obj").collect()
+    for r in rows:
+        assert min(r["subj"], r["obj"]) == r["subj"] or r["subj"] <= r["obj"]
