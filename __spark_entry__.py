@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001: build the
+deterministic wiki-markup pages table from ``documents`` and run the FULL
+fused extractor suite (17 datasets, one scan, zero shuffles).
+
+``queries()`` / ``oracle_sql()`` expose the operator inventory
+(SURVEY.md §2 + the training-data ops) with DuckDB oracles; implementation
+in distributed_extraction_framework_spark/plans/driver_queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    from distributed_extraction_framework_spark.session import ship_package
+
+    ship_package(spark)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: constructed pages @ sf0.001 → full fused extraction."""
+    _ensure_shipped(spark)
+    from distributed_extraction_framework_spark.operators.extractors import extract
+    from distributed_extraction_framework_spark.plans.driver_queries import _pages
+
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return extract(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from distributed_extraction_framework_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from distributed_extraction_framework_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,797 @@
+"""Driver-contract queries + DuckDB oracles (__spark_entry__ backend).
+
+Each entry pairs a Spark implementation (running the REAL engine operators)
+with an independent ANSI-SQL oracle DuckDB can run on the driver's
+pre-registered views (documents / embeddings / events / lineitem / ...).
+
+For the extraction family, both sides first build the SAME deterministic
+wiki-markup pages table from ``documents`` via a shared portable-SQL
+construction (``PAGES_CTE`` — identical text executed by Spark SQL and
+DuckDB), then extract: Spark through operators/extractors.py, the oracle
+through RE2 regexp SQL mirroring the published DBpedia semantics.
+
+Numeric discipline for cross-engine hash equality:
+* double sums go through DECIMAL(18,6) (exact, order-independent);
+* similarity scores are computed in double and ROUNDED; ranking orders by
+  the rounded score so ties break identically;
+* timestamps render as 'yyyy-MM-dd HH:mm:ss' strings (session TZ pinned
+  UTC in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schema as S
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators.extractors import extractor_df
+from ..operators.linking import link_entities, surface_forms_from_labels
+from ..operators.redirects import harvest_redirects, transitive_closure
+from ..streaming import events as STR
+
+# --------------------------------------------------------------------------
+# shared construction: documents → wiki-markup pages (portable SQL)
+# --------------------------------------------------------------------------
+# plain string (NOT an f-string: the wiki braces {{ }} must survive intact)
+PAGES_CTE = """
+SELECT
+  doc_id,
+  CASE WHEN doc_id % 17 = 3 THEN 'Category:Topic_' || (doc_id % 50)
+       ELSE 'Doc_' || doc_id END AS title,
+  'https://en.pages.example.org/wiki/' ||
+    (CASE WHEN doc_id % 17 = 3 THEN 'Category:Topic_' || (doc_id % 50)
+          ELSE 'Doc_' || doc_id END) AS url,
+  TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+  CASE
+    WHEN doc_id % 17 = 3 THEN
+      chr(39) || chr(39) || chr(39) || 'Topic ' || (doc_id % 50) ||
+      chr(39) || chr(39) || chr(39) ||
+      ' category page. [[Category:Parent_' || (doc_id % 5) || ']]'
+    WHEN doc_id % 10 <= 1 THEN '#REDIRECT [[Doc_' || (doc_id + 1) || ']]'
+    ELSE
+      chr(39) || chr(39) || chr(39) || 'Doc ' || doc_id ||
+      chr(39) || chr(39) || chr(39) || ' is about ' || split_part(text, ' ', 1) ||
+      '. See [[Doc_' || ((doc_id * 7) % 100) || ']] and [[' ||
+      split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) || '|anchor]].' ||
+      ' [[Category:Cat_' || (doc_id % 7) || ']]' ||
+      ' [http://ext.example.org/' || split_part(text, ' ', 1) || ' site] and' ||
+      ' http://bare.example.org/' || split_part(text, ' ', 2) ||
+      ' {{Tmpl_' || (doc_id % 5) || '|' || split_part(text, ' ', 1) || '}}' ||
+      (CASE WHEN doc_id % 3 = 0 THEN
+        ' {{Infobox thing | name = ' || split_part(text, ' ', 1) ||
+        ' | population = ' || (doc_id * 37) ||
+        ' | area = ' || (doc_id % 100) || '.25' ||
+        ' | site = http://www.' || split_part(text, ' ', 2) || '.org' ||
+        ' | located_in = [[Doc_' || ((doc_id * 3) % 100) || ']]}}'
+       ELSE '' END) ||
+      (CASE WHEN doc_id % 4 = 1 THEN
+        ' {{Coord|' || (doc_id % 90) || '.5|' || (doc_id % 180) || '.25}}'
+       ELSE '' END) ||
+      (CASE WHEN doc_id % 6 = 2 THEN ' [[de:Doc_' || doc_id || ']]' ELSE '' END)
+  END AS text,
+  'en' AS lang
+FROM {tbl}
+"""
+
+RES = "http://kg.example.org/resource/"
+RES_DE = "http://de.kg.example.org/resource/"
+LS = S.RDF_LANGSTRING
+
+_DEC_SUM = "round(cast(sum(cast({x} as decimal(18,6))) as double), 4)"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__defs_docs")
+    return spark.sql(PAGES_CTE.replace("{tbl}", "__defs_docs"))
+
+
+def _dec_sum_spark(col: str):
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), 4
+    )
+
+
+# --------------------------------------------------------------------------
+# relational suite (TPC-H-ish — the operators the pipeline relies on)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum_spark("l_quantity").alias("sum_qty"),
+            _dec_sum_spark("l_extendedprice").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {_DEC_SUM.format(x='l_quantity')} AS sum_qty,
+       {_DEC_SUM.format(x='l_extendedprice')} AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customer_revenue(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(_dec_sum_spark("l_extendedprice").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+ORACLE_TOP_CUSTOMER = f"""
+SELECT c_custkey, c_mktsegment,
+       {_DEC_SUM.format(x='l_extendedprice')} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_part_type_stats(spark, sf_dir):
+    """Broadcast dimension join: lineitem ⨝ part (small side broadcast)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"),
+             _dec_sum_spark("l_quantity").alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_PART_TYPE = f"""
+SELECT p_brand, count(*) AS n_items, {_DEC_SUM.format(x='l_quantity')} AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q_topk_orders_per_priority(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey",
+                F.round(F.col("o_totalprice").cast("decimal(18,6)").cast("double"), 4).alias("price"))
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_orderpriority, rank, o_orderkey, price FROM (
+  SELECT o_orderpriority, o_orderkey,
+         round(cast(cast(o_totalprice as decimal(18,6)) as double), 4) AS price,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def q_distinct_event_users(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, count(*) AS n_users
+FROM (SELECT DISTINCT event_type, user_id FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_window_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = STR.windowed_event_counts(e, window="1 hour", watermark="1 hour")
+    return agg.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n_events",
+        F.round(F.col("sum_value").cast("decimal(18,6)").cast("double"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_WINDOW_HOURLY = f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n_events,
+       round(cast(cast(round(sum(cast(value as decimal(18,6))), 6) as decimal(18,6)) as double), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = STR.sessionize(e, gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("sess_start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+        "n_events",
+        F.round(F.col("sum_value").cast("decimal(18,6)").cast("double"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grouped AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       count(*) AS n_events,
+       round(cast(cast(round(sum(cast(value as decimal(18,6))), 6) as decimal(18,6)) as double), 4) AS sum_value
+FROM grouped GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# text / training-data suite over documents
+# --------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(F.col("text")).alias("n_ws"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT doc_id,
+  CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) END AS n_ws,
+  len(regexp_extract_all(coalesce(text,''), '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _marker_sql(words):
+    return (
+        r"len(regexp_extract_all(coalesce(text,''), '(?i)\b("
+        + "|".join(words)
+        + r")\b', 1))"
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+    {_marker_sql(T.LANG_MARKERS['en'])} AS s_en,
+    {_marker_sql(T.LANG_MARKERS['de'])} AS s_de,
+    {_marker_sql(T.LANG_MARKERS['fr'])} AS s_fr,
+    {_marker_sql(T.LANG_MARKERS['es'])} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM scored
+"""
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.exact_dedup(d).select("doc_id")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(coalesce(text,'')) ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w
+  FROM documents WHERE trim(coalesce(text,'')) <> ''
+), g AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+  FROM d
+), gf AS (
+  SELECT id, grams FROM g WHERE len(grams) > 0
+), sizes AS (
+  SELECT id, len(grams) AS n FROM gf
+), inv AS (
+  SELECT id, unnest(grams) AS gram FROM gf
+), iv AS (SELECT id, gram FROM inv WHERE gram <> ''),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM iv a JOIN iv b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(common / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE common / (sa.n + sb.n - common) >= 0.5
+"""
+
+
+def q_minhash_near_dups(spark, sf_dir):  # non-SQL (hash permutations)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_pairs(d, threshold=0.7).select(
+        "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+def q_simhash_near_dups(spark, sf_dir):  # non-SQL (bit sketches)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_near_duplicates(d, max_hamming=8)
+
+
+def q_winnowing(spark, sf_dir):  # non-SQL (stateful window minima)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = T.make_winnowing_udf()
+    return d.select("doc_id", F.size(w(F.col("text"))).alias("n_fingerprints"))
+
+
+# --------------------------------------------------------------------------
+# similarity suite over embeddings
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 20)
+    res = SIM.cosine_topk_bruteforce(q, e, k=5)
+    # re-rank on the ROUNDED score so ties break identically cross-engine
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+                F.col("r").alias("rank"))
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qv, v), 6) AS cos
+  FROM q JOIN e ON e.vec_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(SIM.cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.5)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+"""
+
+
+def q_lsh_ann(spark, sf_dir):  # approximate — rows-only by design
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.lsh_topk(e.filter(F.col("vec_id") < 10), e, dim=64, k=5)
+
+
+def q_entity_links(spark, sf_dir):  # non-SQL (Aho-Corasick)
+    pages = _pages(spark, sf_dir)
+    quads = extractor_df(pages, "labels")
+    sf = surface_forms_from_labels(quads)
+    return link_entities(pages, sf).select("subj", "surface", "obj", "n_mentions")
+
+
+def q_stateful_running_counts(spark, sf_dir):
+    """Streaming applyInPandasWithState driven to completion; the final
+    per-type totals equal a batch groupBy — that's the oracle."""
+    import shutil
+    import tempfile
+    import os
+
+    d = tempfile.mkdtemp(prefix="defs_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-0.parquet"))
+    stream = STR.read_event_stream(spark, d)
+    rc = STR.running_counts_stateful(stream)
+    name = "defs_running_oracle"
+    STR.run_to_memory(rc, name, output_mode="update")
+    return spark.sql(
+        f"select event_type, max(n_total) as n_total from {name} group by event_type"
+    )
+
+
+ORACLE_STATEFUL_RUNNING = """
+SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# extraction family over the constructed pages (shared CTE both engines)
+# --------------------------------------------------------------------------
+def _oracle_pages() -> str:
+    return "WITH RECURSIVE pages AS (" + PAGES_CTE.replace("{tbl}", "documents") + ")"
+
+
+# portable-SQL fragments for the oracle side
+_UFN = "upper(substr(replace(trim({x}), ' ', '_'), 1, 1)) || substr(replace(trim({x}), ' ', '_'), 2)"
+_MAIN = "doc_id % 17 <> 3"
+_NONREDIR = "doc_id % 17 <> 3 AND doc_id % 10 > 1"
+_ISREDIR = "doc_id % 17 <> 3 AND doc_id % 10 <= 1"
+
+
+def _x(spark, sf_dir, name, cols=("subj", "pred", "obj")):
+    return extractor_df(_pages(spark, sf_dir), name).select(*cols)
+
+
+def q_x_labels(spark, sf_dir):
+    return _x(spark, sf_dir, "labels", ("subj", "pred", "obj", "lang"))
+
+
+ORACLE_X_LABELS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
+       replace(title, '_', ' ') AS obj, lang
+FROM pages WHERE {_MAIN}
+"""
+
+
+def q_x_page_links(spark, sf_dir):
+    return _x(spark, sf_dir, "page_links")
+
+
+ORACLE_X_PAGE_LINKS = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+)
+SELECT DISTINCT '{RES}' || title AS subj, '{S.DBO_WIKI_LINK}' AS pred,
+       '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS obj
+FROM t
+WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+  AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+"""
+
+
+def q_x_article_categories(spark, sf_dir):
+    return _x(spark, sf_dir, "article_categories")
+
+
+ORACLE_X_CATEGORIES = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+)
+SELECT DISTINCT '{RES}' || title AS subj, '{S.DCT_SUBJECT}' AS pred,
+       '{RES}' || tgt AS obj
+FROM t WHERE tgt LIKE 'Category:%'
+"""
+
+
+def q_x_redirects(spark, sf_dir):
+    return _x(spark, sf_dir, "redirects")
+
+
+ORACLE_X_REDIRECTS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.DBO_WIKI_REDIRECTS}' AS pred,
+       '{RES}Doc_' || (doc_id + 1) AS obj
+FROM pages WHERE {_ISREDIR}
+"""
+
+
+def q_x_article_templates(spark, sf_dir):
+    return _x(spark, sf_dir, "article_templates")
+
+
+ORACLE_X_TEMPLATES = f"""
+{_oracle_pages()},
+names AS (
+  SELECT title,
+         unnest(regexp_extract_all(text, '\\{{\\{{ *([^{{}}|]+?) *[|}}]', 1)) AS nm
+  FROM pages WHERE {_NONREDIR}
+), t AS (SELECT title, {_UFN.format(x='nm')} AS tmpl FROM names)
+SELECT DISTINCT '{RES}' || title AS subj, '{S.DBO_WIKI_USES_TEMPLATE}' AS pred,
+       '{RES}Template:' || tmpl AS obj
+FROM t
+"""
+
+
+def q_x_external_links(spark, sf_dir):
+    return _x(spark, sf_dir, "external_links")
+
+
+ORACLE_X_EXTERNAL = f"""
+{_oracle_pages()},
+u AS (
+  SELECT title, unnest(
+    regexp_extract_all(text, '\\[(https?://[^ \\]]+)', 1) ||
+    regexp_extract_all(text, '(?:^|[^\\[=/])(https?://[^ \\]\\[<>"{{}}|]+)', 1)
+  ) AS url
+  FROM pages WHERE {_NONREDIR}
+)
+SELECT DISTINCT '{RES}' || title AS subj, '{S.DBO_WIKI_EXTERNAL_LINK}' AS pred,
+       url AS obj
+FROM u
+"""
+
+
+def q_x_infobox(spark, sf_dir):
+    return _x(spark, sf_dir, "infobox_properties",
+              ("subj", "pred", "obj", "lang", "datatype"))
+
+
+_IB_LINK = "regexp_extract(v, '^\\[\\[([^\\[\\]|]+)\\]\\]$', 1)"
+_IB_LINK_UFN = _UFN.format(x=_IB_LINK)
+
+ORACLE_X_INFOBOX = f"""
+{_oracle_pages()},
+boxes AS (
+  SELECT title, regexp_extract(text, '\\{{\\{{Infobox ([^{{}}]*)\\}}\\}}', 1) AS body
+  FROM pages WHERE {_NONREDIR} AND doc_id % 3 = 0
+), kv AS (
+  SELECT title,
+         trim(split_part(part, '=', 1)) AS k,
+         trim(split_part(part, '=', 2)) AS v
+  FROM (SELECT title, unnest(string_split(body, '|')) AS part FROM boxes)
+  WHERE part LIKE '%=%'
+)
+SELECT '{RES}' || title AS subj,
+       '{S.PROPERTY}' || replace(k, ' ', '_') AS pred,
+       CASE
+         WHEN regexp_matches(v, '^-?[0-9][0-9,]*$') THEN replace(v, ',', '')
+         WHEN regexp_matches(v, '^-?[0-9][0-9,]*\\.[0-9]+$') THEN replace(v, ',', '')
+         WHEN regexp_matches(v, '^\\[\\[[^\\[\\]|]+\\]\\]$')
+           THEN '{RES}' || ({_IB_LINK_UFN})
+         ELSE v END AS obj,
+       CASE WHEN regexp_matches(v, '^-?[0-9][0-9,]*$') THEN NULL
+            WHEN regexp_matches(v, '^-?[0-9][0-9,]*\\.[0-9]+$') THEN NULL
+            WHEN regexp_matches(v, '^\\[\\[[^\\[\\]|]+\\]\\]$') THEN NULL
+            WHEN regexp_matches(v, '^https?://[^ ]+$') THEN NULL
+            ELSE 'en' END AS lang,
+       CASE WHEN regexp_matches(v, '^-?[0-9][0-9,]*$') THEN '{S.XSD_INTEGER}'
+            WHEN regexp_matches(v, '^-?[0-9][0-9,]*\\.[0-9]+$') THEN '{S.XSD_DOUBLE}'
+            WHEN regexp_matches(v, '^\\[\\[[^\\[\\]|]+\\]\\]$') THEN NULL
+            WHEN regexp_matches(v, '^https?://[^ ]+$') THEN NULL
+            ELSE '{LS}' END AS datatype
+FROM kv
+"""
+
+
+def q_x_geo(spark, sf_dir):
+    return _x(spark, sf_dir, "geo_coordinates")
+
+
+ORACLE_X_GEO = f"""
+{_oracle_pages()},
+g AS (
+  SELECT title,
+         printf('%.6f', (doc_id % 90) + 0.5) AS lat,
+         printf('%.6f', (doc_id % 180) + 0.25) AS lon
+  FROM pages WHERE {_NONREDIR} AND doc_id % 4 = 1
+)
+SELECT '{RES}' || title AS subj, '{S.GEO_LAT}' AS pred, lat AS obj FROM g
+UNION ALL
+SELECT '{RES}' || title, '{S.GEO_LONG}', lon FROM g
+UNION ALL
+SELECT '{RES}' || title, '{S.GEORSS_POINT}', lat || ' ' || lon FROM g
+"""
+
+
+def q_x_skos(spark, sf_dir):
+    return _x(spark, sf_dir, "skos_categories")
+
+
+ORACLE_X_SKOS = f"""
+{_oracle_pages()},
+cats AS (SELECT doc_id, title FROM pages WHERE doc_id % 17 = 3)
+SELECT '{RES}' || title AS subj, '{S.RDF_TYPE}' AS pred, '{S.SKOS_CONCEPT}' AS obj FROM cats
+UNION ALL
+SELECT '{RES}' || title, '{S.SKOS_PREFLABEL}', 'Topic ' || (doc_id % 50) FROM cats
+UNION ALL
+SELECT '{RES}' || title, '{S.SKOS_BROADER}', '{RES}Category:Parent_' || (doc_id % 5) FROM cats
+"""
+
+
+def q_x_interlanguage(spark, sf_dir):
+    return _x(spark, sf_dir, "interlanguage_links")
+
+
+ORACLE_X_INTERLANGUAGE = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.OWL_SAMEAS}' AS pred,
+       '{RES_DE}Doc_' || doc_id AS obj
+FROM pages WHERE {_NONREDIR} AND doc_id % 6 = 2
+"""
+
+
+def q_x_abstracts(spark, sf_dir):
+    return _x(spark, sf_dir, "abstracts", ("subj", "obj", "lang"))
+
+
+ORACLE_X_ABSTRACTS = f"""
+{_oracle_pages()},
+s1 AS (SELECT title, regexp_replace(text, '\\{{\\{{[^{{}}]*\\}}\\}}', '', 'g') AS t
+       FROM pages WHERE {_NONREDIR}),
+s2 AS (SELECT title, regexp_replace(t, '\\{{\\{{[^{{}}]*\\}}\\}}', '', 'g') AS t FROM s1),
+s3 AS (SELECT title, regexp_replace(t, '\\[\\[Category:[^\\[\\]]*\\]\\]', '', 'g') AS t FROM s2),
+s4 AS (SELECT title, regexp_replace(t, '\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]', '\\1', 'g') AS t FROM s3),
+s5 AS (SELECT title, regexp_replace(t, '\\[\\[([^\\[\\]]*)\\]\\]', '\\1', 'g') AS t FROM s4),
+s6 AS (SELECT title, replace(t, chr(39) || chr(39) || chr(39), '') AS t FROM s5),
+s7 AS (SELECT title, trim(split_part(t, chr(10) || chr(10), 1)) AS abstract FROM s6)
+SELECT '{RES}' || title AS subj, abstract AS obj, 'en' AS lang
+FROM s7 WHERE length(abstract) > 0
+"""
+
+
+def q_redirect_closure(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    return transitive_closure(harvest_redirects(pages, namespaces=None)).select(
+        "src", "dst"
+    )
+
+
+ORACLE_REDIRECT_CLOSURE = f"""
+{_oracle_pages()},
+r AS (
+  SELECT '{RES}Doc_' || doc_id AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+),
+walk AS (
+  SELECT src, dst FROM r
+  UNION ALL
+  SELECT walk.src, r.dst FROM walk JOIN r ON walk.dst = r.src
+)
+SELECT src, dst FROM walk WHERE dst NOT IN (SELECT src FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+QUERIES = {
+    # relational / OLAP
+    "pricing_summary": q_pricing_summary,
+    "top_customer_revenue": q_top_customer_revenue,
+    "part_type_stats": q_part_type_stats,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "distinct_event_users": q_distinct_event_users,
+    "events_window_hourly": q_events_window_hourly,
+    "sessionize_events": q_sessionize,
+    # text / training-data
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "winnowing_fingerprints": q_winnowing,
+    # similarity
+    "cosine_topk": q_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_ann": q_lsh_ann,
+    # KG extraction (constructed pages)
+    "x_labels": q_x_labels,
+    "x_page_links": q_x_page_links,
+    "x_article_categories": q_x_article_categories,
+    "x_redirects": q_x_redirects,
+    "x_article_templates": q_x_article_templates,
+    "x_external_links": q_x_external_links,
+    "x_infobox_properties": q_x_infobox,
+    "x_geo_coordinates": q_x_geo,
+    "x_skos_categories": q_x_skos,
+    "x_interlanguage_links": q_x_interlanguage,
+    "x_abstracts": q_x_abstracts,
+    "redirect_closure": q_redirect_closure,
+    # linking + streaming
+    "entity_links": q_entity_links,
+    "stateful_running_counts": q_stateful_running_counts,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "top_customer_revenue": ORACLE_TOP_CUSTOMER,
+    "part_type_stats": ORACLE_PART_TYPE,
+    "topk_orders_per_priority": ORACLE_TOPK_ORDERS,
+    "distinct_event_users": ORACLE_DISTINCT_USERS,
+    "events_window_hourly": ORACLE_WINDOW_HOURLY,
+    "sessionize_events": ORACLE_SESSIONIZE,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "lang_id": ORACLE_LANG_ID,
+    "exact_dedup_docs": ORACLE_EXACT_DEDUP,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "x_labels": ORACLE_X_LABELS,
+    "x_page_links": ORACLE_X_PAGE_LINKS,
+    "x_article_categories": ORACLE_X_CATEGORIES,
+    "x_redirects": ORACLE_X_REDIRECTS,
+    "x_article_templates": ORACLE_X_TEMPLATES,
+    "x_external_links": ORACLE_X_EXTERNAL,
+    "x_infobox_properties": ORACLE_X_INFOBOX,
+    "x_geo_coordinates": ORACLE_X_GEO,
+    "x_skos_categories": ORACLE_X_SKOS,
+    "x_interlanguage_links": ORACLE_X_INTERLANGUAGE,
+    "x_abstracts": ORACLE_X_ABSTRACTS,
+    "redirect_closure": ORACLE_REDIRECT_CLOSURE,
+    "stateful_running_counts": ORACLE_STATEFUL_RUNNING,
+    # no oracle (genuinely non-SQL): minhash_near_dups, simhash_near_dups,
+    # winnowing_fingerprints, lsh_ann (approximate), entity_links (AC scan)
+}
