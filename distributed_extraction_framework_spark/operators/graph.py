@@ -1,0 +1,92 @@
+"""Graph analytics over the materialized edge table.
+
+The reference stops at emitting triples; a KG engine needs at least the
+standard link-analysis pass over the page_links graph. Implemented as
+iterative DataFrame joins (no GraphX/GraphFrames dependency):
+
+* ``pagerank`` — power iteration with damping + dangling-mass
+  redistribution; ranks and out-degrees co-partitioned on ``src`` so each
+  iteration is one shuffle (join reuses the aggregation's partitioning);
+  ``localCheckpoint`` every few rounds truncates the join lineage.
+* ``degrees`` — one union + groupBy (map-side partial agg).
+
+At 100 TB scale the edges DataFrame would be bucketed by ``src`` in the
+warehouse so the per-iteration join is co-located (SURVEY.md §4 skew
+notes apply to hub pages: AQE skew-join splits the hot partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(uri, out_deg, in_deg) from edges(src, dst)."""
+    out_d = edges.select(F.col("src").alias("uri"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+    in_d = edges.select(F.col("dst").alias("uri"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    return (
+        out_d.union(in_d)
+        .groupBy("uri")
+        .agg(F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(uri, rank) — standard power iteration, sum(rank) == 1.
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly each
+    round, so total mass is conserved (testable invariant).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    verts = (
+        e.select(F.col("src").alias("uri"))
+        .union(e.select(F.col("dst").alias("uri")))
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        with_deg = ranks.join(out_deg, ranks["uri"] == out_deg["src"], "left")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contribs = (
+            with_deg.filter(F.col("out_deg").isNotNull())
+            .select("uri", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .join(e, F.col("uri") == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            verts.join(contribs, verts["uri"] == contribs["dst"], "left")
+            .select(
+                "uri",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def top_hubs(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Highest in-degree resources — the head-entity skew diagnostic that
+    motivates the salted linking join (FIXTURES.md §3)."""
+    return (
+        degrees(edges)
+        .orderBy(F.desc("in_deg"), F.asc("uri"))
+        .limit(k)
+    )

@@ -1,0 +1,72 @@
+"""Graph analytics: PageRank power iteration + degrees, validated against
+a hand-rolled pure-Python power iteration on the same graph."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators.extractors import extract
+from distributed_extraction_framework_spark.operators.graph import (
+    degrees,
+    pagerank,
+    top_hubs,
+)
+from distributed_extraction_framework_spark.plans.materialize import edges_table
+
+
+def _py_pagerank(edge_list, iterations=10, damping=0.85):
+    verts = sorted({v for e in edge_list for v in e})
+    n = len(verts)
+    out = {}
+    adj = {}
+    for s, d in set(edge_list):
+        if s == d:
+            continue
+        out[s] = out.get(s, 0) + 1
+        adj.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in verts}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        contrib = {v: 0.0 for v in verts}
+        for s, ds in adj.items():
+            share = ranks[s] / out[s]
+            for d in ds:
+                contrib[d] += share
+        base = (1 - damping) / n + damping * dangling / n
+        ranks = {v: base + damping * contrib[v] for v in verts}
+    return ranks
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("e", "e"),
+        ("f", "a"),  # f dangling after its only edge; e self-loop dropped
+    ]
+    df = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["uri"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+    want = _py_pagerank([e for e in edge_list if e[0] != e[1]], iterations=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_on_extracted_links(spark, pages_df):
+    quads = extract(pages_df, extractors=["page_links"])
+    edges = edges_table(quads).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    ranks = pagerank(edges, iterations=6)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, rel=1e-6)
+    assert ranks.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_degrees_and_hubs(spark):
+    df = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")], ["src", "dst"]
+    )
+    d = {r["uri"]: (r["out_deg"], r["in_deg"]) for r in degrees(df).collect()}
+    assert d["hub"] == (1, 3)
+    assert d["a"] == (1, 1)
+    top = top_hubs(df, k=1).collect()
+    assert top[0]["uri"] == "hub"
