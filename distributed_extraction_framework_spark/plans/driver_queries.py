@@ -795,3 +795,127 @@ ORACLES = {
     # no oracle (genuinely non-SQL): minhash_near_dups, simhash_near_dups,
     # winnowing_fingerprints, lsh_ann (approximate), entity_links (AC scan)
 }
+
+
+# --------------------------------------------------------------------------
+# second wave: graph degrees, grouping sets, category labels, quality
+# --------------------------------------------------------------------------
+
+def q_x_category_labels(spark, sf_dir):
+    return _x(spark, sf_dir, "category_labels", ("subj", "pred", "obj", "lang"))
+
+
+ORACLE_X_CATEGORY_LABELS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
+       'Topic ' || (doc_id % 50) AS obj, lang
+FROM pages WHERE doc_id % 17 = 3
+"""
+
+
+def q_nodes_degree(spark, sf_dir):
+    """Degree stats of the page_links graph extracted from the constructed
+    corpus — exercises edges_table + the degree aggregation."""
+    from ..operators.graph import degrees
+
+    links = _x(spark, sf_dir, "page_links")
+    edges = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return degrees(edges.distinct()).select("uri", "out_deg", "in_deg")
+
+
+ORACLE_NODES_DEGREE = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+), e AS (
+  SELECT DISTINCT '{RES}' || title AS src,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS dst
+  FROM t WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+), d AS (
+  SELECT src AS uri, 1 AS o, 0 AS i FROM e
+  UNION ALL SELECT dst AS uri, 0 AS o, 1 AS i FROM e
+)
+SELECT uri, sum(o) AS out_deg, sum(i) AS in_deg FROM d GROUP BY uri
+"""
+
+
+def q_rollup_order_stats(spark, sf_dir):
+    """Grouping sets: rollup over (priority, status) — the cube/rollup
+    operator family."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             _dec_sum_spark("o_totalprice").alias("sum_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "sum_price",
+        )
+    )
+
+
+ORACLE_ROLLUP_ORDERS = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       {_DEC_SUM.format(x='o_totalprice')} AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_quality_profile(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+_Q_STOP = r"len(regexp_extract_all(coalesce(text,''), '(?i)\b(the|and|of|is|was)\b', 1))"
+ORACLE_QUALITY_PROFILE = f"""
+WITH m AS (
+  SELECT doc_id,
+    length(coalesce(text,'')) AS n_chars,
+    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\\s+')) END AS n_tokens,
+    len(regexp_extract_all(coalesce(text,''), '([.,;:!?])', 1)) AS n_punct,
+    {_Q_STOP} AS n_stop
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.25 END AS len_ok,
+    CASE WHEN n_tokens > 0 AND (CAST(n_punct AS DOUBLE) / n_tokens) <= 0.5
+         THEN 1.0
+         WHEN n_tokens > 0 THEN 0.5
+         WHEN n_chars > 0 THEN 0.5 ELSE 1.0 END AS punct_ok,
+    CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.5 END AS stop_ok,
+    CASE WHEN n_tokens > 0
+          AND (CAST(n_chars AS DOUBLE) / n_tokens) >= 3.0
+          AND (CAST(n_chars AS DOUBLE) / n_tokens) <= 12.0
+         THEN 1.0 ELSE 0.5 END AS wl_ok
+  FROM m
+)
+SELECT doc_id,
+       round(cast(len_ok * 0.3 + punct_ok * 0.2 + stop_ok * 0.25 + wl_ok * 0.25 as double), 4)
+         AS quality
+FROM s
+"""
+
+QUERIES.update(
+    {
+        "x_category_labels": q_x_category_labels,
+        "nodes_degree": q_nodes_degree,
+        "rollup_order_stats": q_rollup_order_stats,
+        "quality_profile": q_quality_profile,
+    }
+)
+ORACLES.update(
+    {
+        "x_category_labels": ORACLE_X_CATEGORY_LABELS,
+        "nodes_degree": ORACLE_NODES_DEGREE,
+        "rollup_order_stats": ORACLE_ROLLUP_ORDERS,
+        "quality_profile": ORACLE_QUALITY_PROFILE,
+    }
+)
