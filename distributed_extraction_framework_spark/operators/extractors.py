@@ -360,8 +360,17 @@ def geo_coordinates(e) -> Column:
 
 _INT_RE = r"^-?[0-9][0-9,]*$"
 _DBL_RE = r"^-?[0-9][0-9,]*\.[0-9]+$"
+_DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+_UNIT_RE = r"^(-?[0-9][0-9,]*(?:\.[0-9]+)?) (km2|km|kg|m)$"
 _LINK_VALUE_RE = r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$"
 _URL_VALUE_RE = r"^https?://\S+$"
+
+
+def _unit_datatype(unit: Column) -> Column:
+    expr = F.lit(None).cast("string")
+    for suffix, dt in S.UNIT_DATATYPES.items():
+        expr = F.when(unit == suffix, F.lit(dt)).otherwise(expr)
+    return expr
 
 
 def infobox_properties(e) -> Column:
@@ -384,6 +393,20 @@ def infobox_properties(e) -> Column:
                 quad("infobox_properties", _c("subj"), pred,
                      F.regexp_replace(val, ",", ""), datatype=S.XSD_DOUBLE,
                      context=_c("context")),
+            )
+            .when(
+                val.rlike(_DATE_RE),
+                quad("infobox_properties", _c("subj"), pred, val,
+                     datatype=S.XSD_DATE, context=_c("context")),
+            )
+            .when(
+                val.rlike(_UNIT_RE),
+                quad(
+                    "infobox_properties", _c("subj"), pred,
+                    F.regexp_replace(F.regexp_extract(val, _UNIT_RE, 1), ",", ""),
+                    datatype=_unit_datatype(F.regexp_extract(val, _UNIT_RE, 2)),
+                    context=_c("context"),
+                ),
             )
             .when(
                 link_t != "",

@@ -144,12 +144,19 @@ def extract_page(page: dict) -> set[Quad]:
             pred = S.PROPERTY + k
             v = value.strip()
             mlink = re.match(r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$", v)
+            munit = re.match(r"^(-?[0-9][0-9,]*(?:\.[0-9]+)?) (km2|km|kg|m)$", v)
             if re.match(r"^-?[0-9][0-9,]*$", v):
                 emit("infobox_properties", subj, pred, v.replace(",", ""),
                      None, S.XSD_INTEGER)
             elif re.match(r"^-?[0-9][0-9,]*\.[0-9]+$", v):
                 emit("infobox_properties", subj, pred, v.replace(",", ""),
                      None, S.XSD_DOUBLE)
+            elif re.match(r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$", v):
+                emit("infobox_properties", subj, pred, v, None, S.XSD_DATE)
+            elif munit:
+                emit("infobox_properties", subj, pred,
+                     munit.group(1).replace(",", ""), None,
+                     S.UNIT_DATATYPES[munit.group(2)])
             elif mlink:
                 emit("infobox_properties", subj, pred,
                      _res(lang, _ucfirst(_base_norm(mlink.group(1)))))

@@ -136,6 +136,17 @@ DBO_WIKI_DISAMBIGUATES = ONTOLOGY + "wikiPageDisambiguates"
 DBO_ABSTRACT = ONTOLOGY + "abstract"
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
+
+# unit-carrying infobox values (the reference's ParserUtils/Datatype
+# guessing — KryoExtractionRegistrator.scala:46-47): suffix → datatype URI
+DATATYPE_NS = "http://kg.example.org/datatype/"
+UNIT_DATATYPES = {
+    "km": DATATYPE_NS + "kilometre",
+    "m": DATATYPE_NS + "metre",
+    "kg": DATATYPE_NS + "kilogram",
+    "km2": DATATYPE_NS + "squareKilometre",
+}
 XSD_INTEGER = XSD + "integer"
 XSD_DOUBLE = XSD + "double"
 XSD_FLOAT = XSD + "float"

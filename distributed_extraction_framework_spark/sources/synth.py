@@ -119,6 +119,9 @@ def _main_article_text(i: int, n: int, title: str, lang: str, r: random.Random) 
         box = [f"{{{{Infobox {kind}", f"| name = {title.replace('_', ' ')}"]
         box.append(f"| population = {r.randrange(1000, 9_999_999):,}")
         box.append(f"| area_km2 = {round(r.uniform(0.5, 5000), 2)}")
+        box.append(f"| founded = {r.randrange(1800, 2020)}-{r.randrange(1, 13):02d}-{r.randrange(1, 29):02d}")
+        box.append(f"| elevation = {r.randrange(1, 4000)} m")
+        box.append(f"| length = {round(r.uniform(0.1, 90), 1)} km")
         box.append(f"| website = http://www.{r.choice(_WORDS)}.example.org")
         box.append(f"| located_in = [[{_title(_main_idx(i, n, r)).replace('_', ' ')}]]")
         box.append(f"| motto = {_sentence(r, 4)}")

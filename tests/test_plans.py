@@ -1,0 +1,101 @@
+"""Physical-plan property tests: the plans we'd want at 100 TB, asserted.
+
+These lock in the scale-critical properties .explain() review found:
+pushdown, pruning, broadcast choices, shuffle counts, codegen usage.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators import dedup, similarity
+from distributed_extraction_framework_spark.operators.extractors import (
+    extract,
+    extractor_df,
+)
+from distributed_extraction_framework_spark.operators.linking import (
+    score_candidates,
+    surface_forms_from_labels,
+)
+from distributed_extraction_framework_spark.plans.driver_queries import (
+    q_part_type_stats,
+    q_pricing_summary,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_extractor_prunes_text(spark, tmp_path, pages_df):
+    """page_ids must never read the fat text/html columns."""
+    p = str(tmp_path / "pages")
+    pages_df.write.mode("overwrite").parquet(p)
+    df = extractor_df(spark.read.parquet(p), "page_ids")
+    m = re.search(r"ReadSchema: ([^\n]+)", _plan(df))
+    assert m and "text" not in m.group(1) and "html" not in m.group(1)
+
+
+def test_lang_filter_pushed_to_scan(spark, tmp_path, pages_df):
+    p = str(tmp_path / "pages2")
+    pages_df.write.mode("overwrite").parquet(p)
+    df = extract(
+        spark.read.parquet(p).filter(F.col("lang") == "en"),
+        extractors=["labels"],
+    )
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", _plan(df))
+    assert m and "lang" in m.group(1), _plan(df)
+
+
+def test_full_extract_single_stage(spark, pages_df):
+    plan = _plan(extract(pages_df))
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # exactly one pandas pass
+
+
+def test_dimension_join_broadcasts(spark):
+    sf = "/root/testdata/sf0.001"
+    plan = _plan(q_part_type_stats(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    """The groupBy must map-side combine (two HashAggregate levels)."""
+    plan = _plan(q_pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup.minhash_lsh_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_topk_equi_join_only(spark):
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(similarity.lsh_topk(embs.limit(5), embs, dim=64, n_tables=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_linking_join_is_equi(spark, pages_df):
+    quads = extract(pages_df, extractors=["labels"])
+    sfd = surface_forms_from_labels(quads)
+    from distributed_extraction_framework_spark.operators.linking import (
+        detect_mentions,
+    )
+
+    mentions = detect_mentions(pages_df, sfd)
+    plan = _plan(score_candidates(mentions, sfd, salt_buckets=8))
+    assert "CartesianProduct" not in plan
+    # the join key includes the salt column
+    assert "salt" in plan
+
+
+def test_ngram_inverted_index_no_cartesian(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup.ngram_jaccard_pairs(docs, threshold=0.9))
+    assert "CartesianProduct" not in plan
