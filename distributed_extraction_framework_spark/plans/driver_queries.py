@@ -919,3 +919,95 @@ ORACLES.update(
         "quality_profile": ORACLE_QUALITY_PROFILE,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# temporal operators: as-of join, range join, hypertable rollup
+# --------------------------------------------------------------------------
+
+def q_asof_click_purchase(spark, sf_dir):
+    from ..operators import temporal as TP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return TP.asof_join(clicks, purch, key="user_id").select(
+        "event_id", "purchase_id"
+    )
+
+
+ORACLE_ASOF = """
+WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+           WHERE event_type='purchase')
+SELECT c.event_id, p.purchase_id
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_range_join_price_bands(spark, sf_dir):
+    from ..operators import temporal as TP
+
+    # remap event values into the part price range so the join is non-trivial
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_id") % 100 == 0)
+        .select("event_id", (F.lit(900.0) + F.col("value") % 100).alias("point"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("start"),
+        (F.col("p_retailprice") + F.col("p_size")).alias("end"),
+    )
+    return TP.range_join(ev, part, point_col="point").select(
+        "event_id", "p_partkey"
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH pts AS (
+  SELECT event_id, 900.0 + (value % 100) AS point FROM events
+  WHERE event_id % 100 = 0
+)
+SELECT event_id, p_partkey FROM pts
+JOIN part ON point >= p_retailprice AND point < p_retailprice + p_size
+"""
+
+
+def q_hypertable_rollup_daily(spark, sf_dir):
+    from ..operators import temporal as TP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tiers = TP.hypertable_rollup(ev, tiers=("5 minutes", "1 hour", "1 day"))
+    return tiers["1 day"].select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type", "n",
+        F.round(F.col("sum_v").cast("decimal(18,6)").cast("double"), 4).alias("sum_v"),
+    )
+
+
+ORACLE_HYPERTABLE_DAILY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n,
+       round(cast(cast(round(sum(cast(value as decimal(18,6))), 6) as decimal(18,6)) as double), 4) AS sum_v
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES.update(
+    {
+        "asof_click_purchase": q_asof_click_purchase,
+        "range_join_price_bands": q_range_join_price_bands,
+        "hypertable_rollup_daily": q_hypertable_rollup_daily,
+    }
+)
+ORACLES.update(
+    {
+        "asof_click_purchase": ORACLE_ASOF,
+        "range_join_price_bands": ORACLE_RANGE_JOIN,
+        "hypertable_rollup_daily": ORACLE_HYPERTABLE_DAILY,
+    }
+)
