@@ -109,6 +109,23 @@ def main() -> None:
         lambda: _sink(SIM.cosine_topk_bruteforce(embs.filter("vec_id < 50"), embs, k=10)),
     )
 
+    # temporal operators + graph analytics
+    timed("asof_join", lambda: _sink(Q.q_asof_click_purchase(spark, SF_DIR)))
+    timed("range_join", lambda: _sink(Q.q_range_join_price_bands(spark, SF_DIR)))
+    timed("hypertable_rollup", lambda: _sink(Q.q_hypertable_rollup_daily(spark, SF_DIR)))
+
+    def _pagerank():
+        from distributed_extraction_framework_spark.operators.graph import pagerank
+        from distributed_extraction_framework_spark.plans.materialize import edges_table
+
+        links = extract(pages, extractors=["page_links"])
+        edges = edges_table(links).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        _sink(pagerank(edges, iterations=5))
+
+    timed("pagerank_5it", _pagerank)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_sec",
