@@ -156,3 +156,19 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_to_parquet(df: DataFrame, out_path: str, checkpoint: str):
+    """Exactly-once incremental sink: parquet + checkpointLocation.
+
+    Restarting with the same checkpoint resumes from the last committed
+    source offsets — already-processed input files are never re-emitted
+    (the streaming analog of the pipeline's snapshot resume; tested by a
+    stop/add-files/restart round in tests/test_streaming.py)."""
+    return (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
