@@ -176,7 +176,7 @@ def q_topk_orders_per_priority(spark, sf_dir):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rank", F.row_number().over(w))
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("o_orderpriority", "rank", "o_orderkey",
                 F.round(F.col("o_totalprice").cast("decimal(18,6)").cast("double"), 4).alias("price"))
@@ -265,9 +265,9 @@ def q_token_counts(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         "doc_id",
-        T.token_count_ws(F.col("text")).alias("n_ws"),
-        T.token_count_bpe(F.col("text")).alias("n_bpe"),
-        F.length("text").alias("n_chars"),
+        T.token_count_ws(F.col("text")).cast("long").alias("n_ws"),
+        T.token_count_bpe(F.col("text")).cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -398,7 +398,7 @@ def q_cosine_topk(spark, sf_dir):
         res.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= 5)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
-                F.col("r").alias("rank"))
+                F.col("r").cast("long").alias("rank"))
     )
 
 
