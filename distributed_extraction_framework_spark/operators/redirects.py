@@ -53,19 +53,18 @@ def harvest_redirects(
     )
 
 
-def transitive_closure(
-    redirects: DataFrame, max_iter: int = 12, checkpoint_every: int = 4
-) -> DataFrame:
+def transitive_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
     """Resolve redirect chains to their final target; drop cycles.
 
     Pointer doubling: each iteration rewrites dst → dst's dst, so
     ``max_iter=12`` covers chains up to 2^12 hops. Early-exits when an
-    iteration changes nothing. ``localCheckpoint`` every few rounds cuts
-    the lineage that iterative self-joins otherwise accumulate (the cost
-    driver at scale — SURVEY.md §7 'hard parts').
+    iteration changes nothing. Each round ``localCheckpoint``s eagerly —
+    the closure table is small (redirects ≪ pages) and the convergence
+    check then reads materialized data instead of recomputing the join
+    chain (the iterative-self-join cost driver at scale, SURVEY.md §7).
     """
     cur = redirects.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    for i in range(max_iter):
+    for _ in range(max_iter):
         nxt = (
             cur.alias("a")
             .join(
@@ -80,16 +79,15 @@ def transitive_closure(
                 F.coalesce(F.col("b.j_dst"), F.col("a.dst")).alias("dst"),
                 F.col("b.j_dst").isNotNull().alias("_jumped"),
             )
+            # cycles degenerate to self-loops after a doubling → drop (the
+            # reference's resolveMap cycle detection)
+            .filter(F.col("src") != F.col("dst"))
+            .localCheckpoint(eager=True)
         )
-        # cycles degenerate to self-loops after a doubling → drop (the
-        # reference's resolveMap cycle detection)
-        nxt = nxt.filter(F.col("src") != F.col("dst"))
-        if (i + 1) % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-        if nxt.filter(F.col("_jumped")).limit(1).count() == 0:
-            cur = nxt.drop("_jumped")
-            break
+        converged = nxt.filter(F.col("_jumped")).limit(1).count() == 0
         cur = nxt.drop("_jumped")
+        if converged:
+            break
     return cur
 
 
