@@ -112,6 +112,7 @@ def main() -> None:
         with open(ledger_path) as fh:
             trials = json.load(fh)
     n_trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    # SPARK_GRAFT_SCALING_TRIALS=0 → re-render the report from the ledger
     for _ in range(n_trials):
         hw = hardware_calibration()
         r8 = run_level(8, pages_path)
@@ -166,8 +167,8 @@ bench invocations:
 | local[8]  (N)  | {r8['wall_sec']} | {r8['docs_per_sec']} |
 | local[32] (4N) | {r32['wall_sec']} | {r32['docs_per_sec']} |
 
-**Scaling efficiency = throughput(4N) / (4 × throughput(N)) = {eff}**
-(target ≥ 0.8, BASELINE.json north_rule).
+**Scaling efficiency = throughput(4N) / (4 × throughput(N)) = {eff}
+{'— target ≥ 0.8 MET' if eff >= 0.8 else '(target ≥ 0.8)'}** (BASELINE.json north_rule).
 **Normalized to the host's own CPU-scaling ceiling ({hw['hw_efficiency']}):
 {norm}** — i.e. the extraction job scales as well as raw CPU work does on
 this machine; the gap to the nominal 0.8 is hypervisor contention, not a
