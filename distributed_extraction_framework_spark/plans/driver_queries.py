@@ -461,11 +461,13 @@ def q_stateful_running_counts(spark, sf_dir):
     import tempfile
     import os
 
+    import uuid
+
     d = tempfile.mkdtemp(prefix="defs_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-0.parquet"))
     stream = STR.read_event_stream(spark, d)
     rc = STR.running_counts_stateful(stream)
-    name = "defs_running_oracle"
+    name = f"defs_running_{uuid.uuid4().hex[:8]}"  # unique: rerun-safe
     STR.run_to_memory(rc, name, output_mode="update")
     return spark.sql(
         f"select event_type, max(n_total) as n_total from {name} group by event_type"
