@@ -841,7 +841,8 @@ links AS (
   SELECT src AS uri, 1 AS o, 0 AS i FROM e
   UNION ALL SELECT dst AS uri, 0 AS o, 1 AS i FROM e
 )
-SELECT uri, sum(o) AS out_deg, sum(i) AS in_deg FROM d GROUP BY uri
+SELECT uri, cast(sum(o) as bigint) AS out_deg, cast(sum(i) as bigint) AS in_deg
+FROM d GROUP BY uri
 """
 
 
