@@ -265,12 +265,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for every pair sharing ≥1 n-gram.
 
     All Catalyst: explode distinct n-grams → self-join the inverted index
     on the n-gram → count common grams per pair → |A∪B| = |A|+|B|-common.
     Documents sharing no n-gram never meet (no cross join anywhere).
+
+    ``max_df`` caps the posting-list length per gram before the self-join:
+    a gram shared by k documents contributes k² candidate rows, so one
+    ubiquitous stop-phrase ("of the united") makes a single join key
+    quadratic in the corpus. Grams with document frequency > max_df are
+    dropped from BOTH the index and the per-doc gram counts — Jaccard over
+    the sub-max_df gram space, the standard df-cap semantics. Pass None
+    for the uncapped exact form (small corpora / verification only).
     """
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     grams = F.array_distinct(
@@ -282,10 +291,20 @@ def ngram_jaccard_pairs(
     g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
         F.size("grams") > 0
     )
-    sizes = g.select("id", F.size("grams").alias("n_grams"))
     inv = g.select("id", F.explode("grams").alias("gram")).filter(
         F.col("gram") != ""
     )
+    if max_df is not None:
+        # document frequency per gram (one map-side-combined shuffle on the
+        # gram); the hot tail is dropped before any pairing happens
+        dfreq = inv.groupBy("gram").agg(F.count("*").alias("_df"))
+        inv = (
+            inv.join(dfreq.filter(F.col("_df") <= max_df), "gram")
+            .drop("_df")
+        )
+        sizes = inv.groupBy("id").agg(F.count("*").alias("n_grams"))
+    else:
+        sizes = g.select("id", F.size("grams").alias("n_grams"))
     common = (
         inv.alias("a")
         .join(inv.alias("b"), "gram")

@@ -94,9 +94,13 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     """Derive title / ns / ids / subject URI / provenance context.
 
     All Catalyst expressions — stays inside whole-stage codegen. ``page_id``
-    / ``rev_id`` are deterministic crc32s (the reference carries dump ids;
-    a crawl corpus has none, so ids derive from the row key).
+    / ``rev_id`` are deterministic md5-prefix ints (the reference carries
+    dump ids; a crawl corpus has none, so ids derive from the row key —
+    first 8 hex chars of md5, a 32-bit id space like the reference's).
     """
+    def _hex_id(b: Column) -> Column:
+        return F.conv(F.substring(F.md5(b), 1, 8), 16, 10).cast("long")
+
     title = F.regexp_extract(F.col("url"), r"/wiki/(.+)$", 1)
     ts_s = F.date_format(F.col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
     df = (
@@ -111,10 +115,10 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
             .when(F.col("title").startswith("File:"), F.lit(S.NS_FILE))
             .otherwise(F.lit(S.NS_MAIN)),
         )
-        .withColumn("page_id", F.crc32(F.encode(F.col("url"), "utf-8")))
+        .withColumn("page_id", _hex_id(F.encode(F.col("url"), "utf-8")))
         .withColumn(
             "rev_id",
-            F.crc32(F.encode(F.concat(F.col("url"), F.lit("#"), ts_s), "utf-8")),
+            _hex_id(F.encode(F.concat(F.col("url"), F.lit("#"), ts_s), "utf-8")),
         )
         .withColumn("subj", resource_uri(F.col("lang"), F.col("title")))
         .withColumn("context", F.concat(F.col("url"), F.lit("#ts="), ts_s))

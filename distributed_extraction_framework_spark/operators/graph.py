@@ -36,17 +36,22 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """(uri, rank) — standard power iteration, sum(rank) == 1.
 
     Dangling nodes (no out-edges) redistribute their mass uniformly each
     round, so total mass is conserved (testable invariant).
 
-    Ranks are ``localCheckpoint``ed EVERY iteration: the per-round dangling
-    aggregation is a driver action, and without truncation each action
-    would recompute the whole join chain from iteration 0 — the classic
-    iterative-Spark lineage blowup (observed: 5 iterations went from 62 s
-    to ~4 s on 60k pages after this change).
+    Scale shape:
+    * the per-round dangling mass is NOT a driver action — it's a 1-row
+      aggregate DataFrame cross-joined (broadcast) into the rank update,
+      so each iteration contributes exactly one job and no collect();
+    * lineage is truncated every ``checkpoint_interval`` rounds (every
+      round would double the job count; never would blow up the plan).
+      ``localCheckpoint`` here (single-JVM container); on a real cluster
+      swap for reliable ``checkpoint()`` — localCheckpoint blocks are
+      lost with an executor, which at 1000 executors is a when not an if.
     """
     e = (
         edges.select("src", "dst")
@@ -68,12 +73,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    for it in range(iterations):
         with_deg = ranks.join(out_deg, ranks["uri"] == out_deg["src"], "left")
-        dangling = (
+        # 1-row dangling-mass aggregate, broadcast into the update (no
+        # driver round-trip, mass conservation identical to the collect form)
+        dangling = F.broadcast(
             with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contribs = (
             with_deg.filter(F.col("out_deg").isNotNull())
@@ -82,15 +88,20 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             verts.join(contribs, verts["uri"] == contribs["dst"], "left")
+            .crossJoin(dangling)
             .select(
                 "uri",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping / n) * F.col("_dangling")
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -16,8 +16,8 @@ here in plain Python.
 
 from __future__ import annotations
 
+import hashlib
 import re
-import zlib
 from decimal import ROUND_HALF_UP, Decimal
 
 from ..functions.wikitext import (
@@ -74,8 +74,8 @@ def extract_page(page: dict) -> set[Quad]:
         ns = S.NS_MAIN
     local_title = title.split(":", 1)[1] if ns != S.NS_MAIN else title
     ts_s = ts.strftime("%Y-%m-%d %H:%M:%S")
-    page_id = zlib.crc32(url.encode("utf-8"))
-    rev_id = zlib.crc32((url + "#" + ts_s).encode("utf-8"))
+    page_id = int(hashlib.md5(url.encode("utf-8")).hexdigest()[:8], 16)
+    rev_id = int(hashlib.md5((url + "#" + ts_s).encode("utf-8")).hexdigest()[:8], 16)
     subj = _res(lang, title)
     ctx = f"{url}#ts={ts_s}"
 

@@ -51,6 +51,11 @@ SELECT
       chr(39) || chr(39) || chr(39) ||
       ' category page. [[Category:Parent_' || (doc_id % 5) || ']]'
     WHEN doc_id % 10 <= 1 THEN '#REDIRECT [[Doc_' || (doc_id + 1) || ']]'
+    WHEN doc_id % 29 = 7 THEN
+      chr(39) || chr(39) || chr(39) || 'Doc ' || doc_id ||
+      chr(39) || chr(39) || chr(39) ||
+      ' may refer to: [[Doc_' || ((doc_id * 11) % 100) || ']] or [[Doc_' ||
+      ((doc_id * 13) % 100) || ']]. {{Disambiguation}}'
     ELSE
       chr(39) || chr(39) || chr(39) || 'Doc ' || doc_id ||
       chr(39) || chr(39) || chr(39) || ' is about ' || split_part(text, ' ', 1) ||
@@ -327,8 +332,10 @@ SELECT doc_id FROM (
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # max_df=50: the scale path (posting lists capped BEFORE the self-join);
+    # the oracle mirrors the cap, so this gates the production plan shape
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    p = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    p = D.ngram_jaccard_pairs(d, n=3, threshold=0.5, max_df=50)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -343,11 +350,12 @@ WITH d AS (
   FROM d
 ), gf AS (
   SELECT id, grams FROM g WHERE len(grams) > 0
-), sizes AS (
-  SELECT id, len(grams) AS n FROM gf
 ), inv AS (
   SELECT id, unnest(grams) AS gram FROM gf
-), iv AS (SELECT id, gram FROM inv WHERE gram <> ''),
+), iv0 AS (SELECT id, gram FROM inv WHERE gram <> ''),
+dfreq AS (SELECT gram FROM iv0 GROUP BY gram HAVING count(*) <= 50),
+iv AS (SELECT id, gram FROM iv0 JOIN dfreq USING (gram)),
+sizes AS (SELECT id, count(*) AS n FROM iv GROUP BY id),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
   FROM iv a JOIN iv b ON a.gram = b.gram AND a.id < b.id
@@ -420,17 +428,18 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (the 100-TB plan: only bucket-colliding
+    pairs are scored, ~2% of the pair space at 8 planes × 6 tables) gated
+    against the EXACT all-pairs oracle — so the gate passes only if LSH
+    recall is 100% on this corpus (verified: the one ≥0.5 pair collides in
+    table 0; at the production threshold ≥0.9 the analytic recall is ≥99%)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(SIM.cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos") >= 0.5)
-        .select("id_a", "id_b", "cos")
+    pairs = SIM.near_duplicates_by_embedding(
+        e, dim=64, threshold=0.5, n_planes=8, n_tables=6
     )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 ORACLE_EMBEDDING_NEARDUP = """
@@ -491,6 +500,12 @@ _UFN = "upper(substr(replace(trim({x}), ' ', '_'), 1, 1)) || substr(replace(trim
 _MAIN = "doc_id % 17 <> 3"
 _NONREDIR = "doc_id % 17 <> 3 AND doc_id % 10 > 1"
 _ISREDIR = "doc_id % 17 <> 3 AND doc_id % 10 <= 1"
+# 'regular' articles: non-category, non-redirect, non-disambiguation — the
+# pages whose body follows the ELSE branch formulas of PAGES_CTE
+_REGULAR = _NONREDIR + " AND doc_id % 29 <> 7"
+# first 8 md5 hex chars as a bigint (mirrors prepare_pages' _hex_id; Spark
+# uses conv(,16,10), DuckDB parses the 0x literal form)
+_HEX_ID = "cast('0x' || substr(md5({x}), 1, 8) as bigint)"
 
 
 def _x(spark, sf_dir, name, cols=("subj", "pred", "obj")):
@@ -647,7 +662,7 @@ g AS (
   SELECT title,
          printf('%.6f', (doc_id % 90) + 0.5) AS lat,
          printf('%.6f', (doc_id % 180) + 0.25) AS lon
-  FROM pages WHERE {_NONREDIR} AND doc_id % 4 = 1
+  FROM pages WHERE {_REGULAR} AND doc_id % 4 = 1
 )
 SELECT '{RES}' || title AS subj, '{S.GEO_LAT}' AS pred, lat AS obj FROM g
 UNION ALL
@@ -680,7 +695,7 @@ ORACLE_X_INTERLANGUAGE = f"""
 {_oracle_pages()}
 SELECT '{RES}' || title AS subj, '{S.OWL_SAMEAS}' AS pred,
        '{RES_DE}Doc_' || doc_id AS obj
-FROM pages WHERE {_NONREDIR} AND doc_id % 6 = 2
+FROM pages WHERE {_REGULAR} AND doc_id % 6 = 2
 """
 
 
@@ -1012,5 +1027,214 @@ ORACLES.update(
         "asof_click_purchase": ORACLE_ASOF,
         "range_join_price_bands": ORACLE_RANGE_JOIN,
         "hypertable_rollup_daily": ORACLE_HYPERTABLE_DAILY,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# third wave: projection datasets, disambiguations, mapping extraction
+# (closes the reference's configured extractor set —
+#  extraction/src/test/resources/config.properties:42-47)
+# --------------------------------------------------------------------------
+
+def q_x_page_ids(spark, sf_dir):
+    return _x(spark, sf_dir, "page_ids")
+
+
+ORACLE_X_PAGE_IDS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.DBO_WIKI_PAGE_ID}' AS pred,
+       cast({_HEX_ID.format(x='url')} as varchar) AS obj
+FROM pages
+"""
+
+
+def q_x_revision_ids(spark, sf_dir):
+    return _x(spark, sf_dir, "revision_ids")
+
+
+ORACLE_X_REVISION_IDS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.DBO_WIKI_REVISION_ID}' AS pred,
+       cast({_HEX_ID.format(
+           x="url || '#' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S')")} as varchar) AS obj
+FROM pages
+"""
+
+
+def q_x_revision_uris(spark, sf_dir):
+    return _x(spark, sf_dir, "revision_uris")
+
+
+ORACLE_X_REVISION_URIS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.PROV_DERIVED_FROM}' AS pred,
+       url || '#ts=' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS obj
+FROM pages
+"""
+
+
+def q_x_wikipedia_links(spark, sf_dir):
+    return _x(spark, sf_dir, "wikipedia_links")
+
+
+ORACLE_X_WIKIPEDIA_LINKS = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.FOAF_IS_PRIMARY_TOPIC_OF}' AS pred,
+       url AS obj
+FROM pages WHERE {_MAIN}
+UNION ALL
+SELECT url, '{S.FOAF_PRIMARY_TOPIC}', '{RES}' || title FROM pages WHERE {_MAIN}
+UNION ALL
+SELECT url, '{S.RDF_TYPE}', '{S.FOAF_DOCUMENT}' FROM pages WHERE {_MAIN}
+"""
+
+
+def q_x_disambiguations(spark, sf_dir):
+    return _x(spark, sf_dir, "disambiguations")
+
+
+ORACLE_X_DISAMBIGUATIONS = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages
+  WHERE {_NONREDIR} AND contains(text, '{{{{Disambiguation}}}}')
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+)
+SELECT DISTINCT '{RES}' || title AS subj, '{S.DBO_WIKI_DISAMBIGUATES}' AS pred,
+       '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS obj
+FROM t
+WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+  AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+"""
+
+
+def q_mapping_extract(spark, sf_dir):
+    """MappingExtractor over the constructed corpus with the default
+    mapping tables (Infobox_thing → Thing; population / located_in)."""
+    from ..operators.mapping import mapping_extract, mapping_tables
+
+    pages = _pages(spark, sf_dir)
+    tc, pm = mapping_tables(spark)
+    return mapping_extract(pages, tc, pm).select(
+        "dataset", "subj", "pred", "obj", "lang", "datatype", "context"
+    )
+
+
+ORACLE_MAPPING_EXTRACT = f"""
+{_oracle_pages()},
+boxed AS (
+  SELECT doc_id, title,
+         url || '#ts=' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ctx
+  FROM pages WHERE {_REGULAR} AND doc_id % 3 = 0
+)
+SELECT 'instance_types' AS dataset, '{RES}' || title AS subj,
+       '{S.RDF_TYPE}' AS pred, '{S.ONTOLOGY}Thing' AS obj,
+       cast(NULL as varchar) AS lang, cast(NULL as varchar) AS datatype,
+       ctx AS context
+FROM boxed
+UNION ALL
+SELECT 'mappingbased_objects', '{RES}' || title,
+       '{S.ONTOLOGY}isPartOf', '{RES}Doc_' || ((doc_id * 3) % 100),
+       NULL, NULL, ctx
+FROM boxed
+UNION ALL
+SELECT 'mappingbased_literals', '{RES}' || title,
+       '{S.ONTOLOGY}populationTotal', cast(doc_id * 37 as varchar),
+       NULL, '{S.XSD_INTEGER}', ctx
+FROM boxed
+"""
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (5 fixed iterations, damping 0.85) over the page_links
+    graph — gates operators/graph.py's iterative power iteration against
+    an unrolled-SQL oracle."""
+    from ..operators.graph import pagerank
+
+    links = _x(spark, sf_dir, "page_links")
+    edges = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select("uri", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled power iteration in portable SQL (DuckDB recursive CTEs
+    can't aggregate over the recursive relation, so unroll the fixed
+    iteration count). All arithmetic CAST to DOUBLE so both engines run
+    the same IEEE ops; final ranks rounded to 6 dp."""
+    d = "CAST(0.85 AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    header = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+), e AS (
+  SELECT DISTINCT '{RES}' || title AS src,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS dst
+  FROM t WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+), e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+v AS (
+  -- NB: bare UNION inside a WITH RECURSIVE block hits DuckDB's
+  -- recursive-union path and does NOT dedup — UNION ALL + DISTINCT instead
+  SELECT DISTINCT uri FROM (
+    SELECT src AS uri FROM e2 UNION ALL SELECT dst AS uri FROM e2)
+),
+nn AS (SELECT count(*) AS n FROM v),
+od AS (SELECT src, count(*) AS degree FROM e2 GROUP BY src),
+r0 AS (SELECT uri, {one} / nn.n AS rank FROM v CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+d{i} AS (
+  SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS m
+  FROM {p} r LEFT JOIN od ON r.uri = od.src WHERE od.src IS NULL
+),
+c{i} AS (
+  SELECT e2.dst, sum(r.rank / od.degree) AS contrib
+  FROM {p} r JOIN od ON r.uri = od.src JOIN e2 ON e2.src = r.uri
+  GROUP BY e2.dst
+),
+r{i} AS (
+  SELECT v.uri,
+         ({one} - {d}) / nn.n + ({d} / nn.n) * d{i}.m
+           + {d} * coalesce(c{i}.contrib, CAST(0 AS DOUBLE)) AS rank
+  FROM v CROSS JOIN nn CROSS JOIN d{i} LEFT JOIN c{i} ON v.uri = c{i}.dst
+)""")
+    return (
+        header + "".join(steps)
+        + f"\nSELECT uri, round(rank, 6) AS rank FROM r{iterations}"
+    )
+
+
+ORACLE_PAGERANK = _pagerank_oracle_sql(5)
+
+
+QUERIES.update(
+    {
+        "pagerank": q_pagerank,
+        "x_page_ids": q_x_page_ids,
+        "x_revision_ids": q_x_revision_ids,
+        "x_revision_uris": q_x_revision_uris,
+        "x_wikipedia_links": q_x_wikipedia_links,
+        "x_disambiguations": q_x_disambiguations,
+        "mapping_extract": q_mapping_extract,
+    }
+)
+ORACLES.update(
+    {
+        "pagerank": ORACLE_PAGERANK,
+        "x_page_ids": ORACLE_X_PAGE_IDS,
+        "x_revision_ids": ORACLE_X_REVISION_IDS,
+        "x_revision_uris": ORACLE_X_REVISION_URIS,
+        "x_wikipedia_links": ORACLE_X_WIKIPEDIA_LINKS,
+        "x_disambiguations": ORACLE_X_DISAMBIGUATIONS,
+        "mapping_extract": ORACLE_MAPPING_EXTRACT,
     }
 )
