@@ -60,6 +60,111 @@ def mapping_tables(
     return tc, pm
 
 
+# --------------------------------------------------------------------------
+# mappings-wiki / ontology XML loaders (reference DistConfigLoader.scala:
+# 124-139 loads ontology.xml, 182-206 loads per-language Mapping_<lang>.xml
+# — both MediaWiki-export XML whose page text holds {{Class}} /
+# {{ObjectProperty}} / {{DatatypeProperty}} / {{TemplateMapping}} /
+# {{PropertyMapping}} templates; same published shapes parsed here)
+# --------------------------------------------------------------------------
+
+def _iter_export_pages(path: str):
+    """(title, text) per <page> of a MediaWiki export XML, namespace-agnostic,
+    streaming (iterparse — ontology.xml is tens of MB; never fully in RAM)."""
+    import xml.etree.ElementTree as ET
+
+    for _, elem in ET.iterparse(path):
+        if elem.tag.rsplit("}", 1)[-1] != "page":
+            continue
+        title, text = "", ""
+        for child in elem.iter():
+            tag = child.tag.rsplit("}", 1)[-1]
+            if tag == "title" and not title:
+                title = child.text or ""
+            elif tag == "text":
+                text = child.text or ""
+        yield title, text
+        elem.clear()
+
+
+def _template_kv(parts: list[str]) -> dict[str, str]:
+    kv: dict[str, str] = {}
+    for part in parts:
+        if "=" not in part:
+            continue
+        k, _, v = part.partition("=")
+        kv[k.strip()] = v.strip()
+    return kv
+
+
+def parse_ontology_xml(path: str) -> dict[str, str]:
+    """OntologyProperty pages → {property: range} where range is 'object'
+    (ObjectProperty) or a datatype URI (DatatypeProperty rdfs:range)."""
+    from ..functions.wikitext import find_top_level_templates, split_template
+
+    ranges: dict[str, str] = {}
+    for title, text in _iter_export_pages(path):
+        if not title.startswith("OntologyProperty:"):
+            continue
+        # MediaWiki ucfirsts titles; property names are lcfirst camelCase
+        # ('OntologyProperty:BirthPlace' → 'birthPlace'), as the reference's
+        # OntologyReader restores them
+        prop = title.split(":", 1)[1].strip()
+        prop = prop[:1].lower() + prop[1:]
+        for src in find_top_level_templates(text):
+            name, parts = split_template(src)
+            if name == "ObjectProperty":
+                ranges[prop] = "object"
+            elif name == "DatatypeProperty":
+                r = _template_kv(parts).get("rdfs:range", "xsd:string")
+                if r.startswith("xsd:"):
+                    ranges[prop] = S.XSD + r.split(":", 1)[1]
+                else:  # custom unit datatype name
+                    ranges[prop] = S.DATATYPE_NS + r
+    return ranges
+
+
+def load_mappings_xml(
+    spark: SparkSession,
+    mappings_path: str,
+    ontology_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a mappings-wiki export ('Mapping en:Infobox foo' pages holding
+    {{TemplateMapping|mapToClass=...|mappings={{PropertyMapping|...}}}})
+    into the broadcastable (template→class, (template,key)→predicate)
+    DataFrames mapping_extract consumes.
+
+    Property ranges resolve through the ontology export when given
+    (object vs typed literal); unknown properties default to plain
+    lang-tagged literals (xsd:string) — the benign fallback.
+    """
+    from ..functions.wikitext import find_top_level_templates, split_template
+
+    ranges = parse_ontology_xml(ontology_path) if ontology_path else {}
+    tclasses: list[tuple[str, str]] = []
+    pmaps: list[tuple[str, str, str, str]] = []
+    for title, text in _iter_export_pages(mappings_path):
+        # 'Mapping en:Infobox settlement' → 'Infobox_settlement'
+        tmpl = title.split(":", 1)[1] if ":" in title else title
+        tmpl = tmpl.strip().replace(" ", "_")
+        tmpl = tmpl[:1].upper() + tmpl[1:]
+        for src in find_top_level_templates(text):
+            name, parts = split_template(src)
+            kv = _template_kv(parts)
+            if name in ("TemplateMapping", "ConditionalMapping"):
+                cls = kv.get("mapToClass", "")
+                if cls:
+                    tclasses.append((tmpl, S.ONTOLOGY + cls))
+            elif name == "PropertyMapping":
+                tp, op = kv.get("templateProperty", ""), kv.get("ontologyProperty", "")
+                if tp and op:
+                    rng = ranges.get(op, S.XSD_STRING)
+                    pmaps.append(
+                        (tmpl, tp.replace(" ", "_"), S.ONTOLOGY + op, rng)
+                    )
+    return mapping_tables(spark, tclasses or [("__none__", "")], pmaps or [("__none__", "", "", "")])
+
+
 def mapping_extract(
     pages: DataFrame,
     template_classes: DataFrame,

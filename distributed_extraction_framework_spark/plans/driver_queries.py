@@ -456,6 +456,47 @@ def q_lsh_ann(spark, sf_dir):  # approximate — rows-only by design
     return SIM.lsh_topk(e.filter(F.col("vec_id") < 10), e, dim=64, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer search gated in EXACT mode: with
+    n_probe == n_cells every (query, corpus) pair is scored exactly once,
+    so the centroid-assign + cell-join machinery must reproduce the
+    brute-force oracle bit-for-bit. The approximate mode (n_probe < cells)
+    is recall-tested in tests/test_dedup_similarity.py."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
+    res = SIM.ivf_topk(q, e, k=8, n_cells=8, n_probe=8)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+                F.col("r").cast("long").alias("rank"))
+    )
+
+
+ORACLE_IVF_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 20 AND vec_id < 36),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qv, v), 6) AS cos
+  FROM q JOIN e ON e.vec_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_entity_links(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     quads = extractor_df(pages, "labels")
@@ -802,6 +843,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann": q_lsh_ann,
+    "ivf_topk": q_ivf_topk,
     # KG extraction (constructed pages)
     "x_labels": q_x_labels,
     "x_page_links": q_x_page_links,
@@ -834,6 +876,7 @@ ORACLES = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "ivf_topk": ORACLE_IVF_TOPK,
     "x_labels": ORACLE_X_LABELS,
     "x_page_links": ORACLE_X_PAGE_LINKS,
     "x_article_categories": ORACLE_X_CATEGORIES,
