@@ -102,7 +102,9 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
         return F.conv(F.substring(F.md5(b), 1, 8), 16, 10).cast("long")
 
     title = F.regexp_extract(F.col("url"), r"/wiki/(.+)$", 1)
-    ts_s = F.date_format(F.col("warc_ts"), "yyyy-MM-dd HH:mm:ss")
+    # ISO-8601 'T' form: the timestamp lands inside the provenance IRI,
+    # and IRIs must not contain spaces (N-Quads/TriG parseability)
+    ts_s = F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss")
     df = (
         # null text must not null-propagate into the quad arrays (a page with
         # no payload still emits its projection datasets — page_ids etc.)

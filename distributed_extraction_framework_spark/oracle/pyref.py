@@ -73,7 +73,7 @@ def extract_page(page: dict) -> set[Quad]:
     else:
         ns = S.NS_MAIN
     local_title = title.split(":", 1)[1] if ns != S.NS_MAIN else title
-    ts_s = ts.strftime("%Y-%m-%d %H:%M:%S")
+    ts_s = ts.strftime("%Y-%m-%dT%H:%M:%S")
     page_id = int(hashlib.md5(url.encode("utf-8")).hexdigest()[:8], 16)
     rev_id = int(hashlib.md5((url + "#" + ts_s).encode("utf-8")).hexdigest()[:8], 16)
     subj = _res(lang, title)

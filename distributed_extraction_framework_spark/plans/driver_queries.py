@@ -1139,7 +1139,7 @@ ORACLE_X_REVISION_IDS = f"""
 {_oracle_pages()}
 SELECT '{RES}' || title AS subj, '{S.DBO_WIKI_REVISION_ID}' AS pred,
        cast({_HEX_ID.format(
-           x="url || '#' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S')")} as varchar) AS obj
+           x="url || '#' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S')")} as varchar) AS obj
 FROM pages
 """
 
@@ -1151,7 +1151,7 @@ def q_x_revision_uris(spark, sf_dir):
 ORACLE_X_REVISION_URIS = f"""
 {_oracle_pages()}
 SELECT '{RES}' || title AS subj, '{S.PROV_DERIVED_FROM}' AS pred,
-       url || '#ts=' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS obj
+       url || '#ts=' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S') AS obj
 FROM pages
 """
 
@@ -1209,7 +1209,7 @@ ORACLE_MAPPING_EXTRACT = f"""
 {_oracle_pages()},
 boxed AS (
   SELECT doc_id, title,
-         url || '#ts=' || strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS ctx
+         url || '#ts=' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S') AS ctx
   FROM pages WHERE {_REGULAR} AND doc_id % 3 = 0
 )
 SELECT 'instance_types' AS dataset, '{RES}' || title AS subj,

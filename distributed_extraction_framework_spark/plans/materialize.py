@@ -65,13 +65,146 @@ def render_ntriples(quads: DataFrame, quad_form: bool = False) -> DataFrame:
     )
 
 
-def write_ntriples(quads: DataFrame, path: str, quad_form: bool = False) -> None:
+def write_ntriples(
+    quads: DataFrame, path: str, quad_form: bool = False,
+    compression: str | None = None,
+) -> None:
     """Dataset-multiplexed N-Triples sink: one directory per dataset
     (`.../dataset=labels/part-*.txt`), the reference's
-    ``{lang}wiki-{date}-{dataset}.nt`` fan-out as partitioned text."""
-    render_ntriples(quads, quad_form).write.mode("overwrite").partitionBy(
-        "dataset"
-    ).text(path)
+    ``{lang}wiki-{date}-{dataset}.nt`` fan-out as partitioned text.
+    ``compression='gzip'`` mirrors the reference's ``format.nt.gz``
+    codec-inferred outputs (MultipleTextOutputFormat.scala:57-96)."""
+    w = render_ntriples(quads, quad_form).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy("dataset").text(path)
+
+
+# --------------------------------------------------------------------------
+# Turtle (reference format keys turtle-triples / turtle-quads —
+# config.properties:65-70; prefix-compressed IRIs, UTF-8 literals)
+# --------------------------------------------------------------------------
+
+def _turtle_prefixes() -> list[tuple[str, str]]:
+    from .. import schema as S
+
+    return [
+        ("res", S.resource_prefix("en")),
+        ("dbo", S.ONTOLOGY),
+        ("dbp", S.PROPERTY),
+        ("rdf", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"),
+        ("rdfs", "http://www.w3.org/2000/01/rdf-schema#"),
+        ("owl", "http://www.w3.org/2002/07/owl#"),
+        ("skos", "http://www.w3.org/2004/02/skos/core#"),
+        ("dct", "http://purl.org/dc/terms/"),
+        ("foaf", "http://xmlns.com/foaf/0.1/"),
+        ("xsd", S.XSD),
+    ]
+
+
+# conservative PN_LOCAL subset: compress only suffixes that are safely a
+# Turtle local name without escaping (anything else stays a full <iri>)
+_PN_LOCAL_SAFE = "^[A-Za-z_][A-Za-z0-9_]*$"
+
+
+def _turtle_iri(c: Column) -> Column:
+    out = F.concat(F.lit("<"), c, F.lit(">"))
+    for pfx, ns in _turtle_prefixes():
+        local = F.substring(c, len(ns) + 1, 1_000_000)
+        out = F.when(
+            c.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(out)
+    return out
+
+
+def render_turtle(quads: DataFrame, quad_form: bool = False) -> DataFrame:
+    """(dataset, line) — one Turtle statement per line, IRIs compressed to
+    prefixed names where the local part is PN_LOCAL-safe. quad_form renders
+    TriG-style ``GRAPH <ctx> { ... }`` one-liners (turtle-quads)."""
+    obj = F.col("obj")
+    dt = F.col("datatype")
+    lang = F.col("lang")
+    obj_rendered = (
+        F.when(_is_resource(obj, dt), _turtle_iri(obj))
+        .when(lang.isNotNull(), F.concat(F.lit('"'), _esc(obj), F.lit('"@'), lang))
+        .when(
+            dt.isNotNull(),
+            F.concat(F.lit('"'), _esc(obj), F.lit('"^^'), _turtle_iri(dt)),
+        )
+        .otherwise(F.concat(F.lit('"'), _esc(obj), F.lit('"')))
+    )
+    stmt = [
+        _turtle_iri(F.col("subj")), F.lit(" "),
+        _turtle_iri(F.col("pred")), F.lit(" "),
+        obj_rendered, F.lit(" ."),
+    ]
+    if quad_form:
+        stmt = (
+            [F.lit("GRAPH "), _turtle_iri(F.col("context")), F.lit(" { ")]
+            + stmt + [F.lit(" }")]
+        )
+    return quads.select(F.col("dataset"), F.concat(*stmt).alias("line"))
+
+
+def write_turtle(
+    quads: DataFrame, path: str, quad_form: bool = False,
+    compression: str | None = None,
+) -> None:
+    """Dataset-multiplexed Turtle sink. Every part file is self-contained
+    valid Turtle: rows are repartitioned by dataset and a ``@prefix`` block
+    is injected before the first row of each dataset within each partition
+    (mapInPandas — pure streaming, no collect)."""
+    import pandas as pd
+
+    header = "\n".join(
+        f"@prefix {p}: <{ns}> ." for p, ns in _turtle_prefixes()
+    )
+    lines = render_turtle(quads, quad_form).repartition("dataset")
+
+    def prepend(batches):
+        seen: set[str] = set()
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            pieces = []
+            for ds in pdf["dataset"]:
+                if ds not in seen:
+                    seen.add(ds)
+                    pieces.append((ds, header))
+            if pieces:
+                # header rows sort before their dataset's first data row
+                # because we emit them first and order is preserved per file
+                hdr = pd.DataFrame(pieces, columns=["dataset", "line"])
+                yield pd.concat([hdr, pdf], ignore_index=True)
+            else:
+                yield pdf
+
+    w = (
+        lines.mapInPandas(prepend, schema="dataset string, line string")
+        .write.mode("overwrite")
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy("dataset").text(path)
+
+
+FORMAT_WRITERS = {
+    # reference format keys (config.properties:65-70) → writer
+    "n-triples": lambda q, p, c=None: write_ntriples(q, p, False, c),
+    "n-quads": lambda q, p, c=None: write_ntriples(q, p, True, c),
+    "turtle-triples": lambda q, p, c=None: write_turtle(q, p, False, c),
+    "turtle-quads": lambda q, p, c=None: write_turtle(q, p, True, c),
+}
+
+
+def write_formats(quads: DataFrame, base: str, formats: dict[str, str]) -> None:
+    """Reference-style multi-format fan-out: ``{'nt.gz': 'n-triples', ...}``
+    — suffix implies codec (``.gz`` → gzip), value picks the serializer."""
+    for suffix, fmt in formats.items():
+        comp = "gzip" if suffix.endswith(".gz") else None
+        FORMAT_WRITERS[fmt](quads, f"{base}/{suffix.replace('.', '_')}", comp)
 
 
 # --------------------------------------------------------------------------

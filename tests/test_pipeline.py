@@ -43,6 +43,67 @@ def test_ntriples_sink_multiplexes_by_dataset(spark, quads, tmp_path):
     assert txt and all(t["value"].startswith("<http") for t in txt)
 
 
+def test_gzip_sink(spark, quads, tmp_path):
+    """Reference parity: format.nt.gz — codec-compressed dataset fan-out."""
+    out = str(tmp_path / "ntgz")
+    M.write_ntriples(quads, out, compression="gzip")
+    parts = glob.glob(out + "/dataset=labels/part-*.txt.gz")
+    assert parts, "expected gzip part files"
+    txt = spark.read.text(out + "/dataset=labels").collect()
+    assert txt and all(t["value"].startswith("<http") for t in txt)
+
+
+_TTL_LINE = None  # simple structural check below
+
+
+def test_turtle_rendering_and_sink(spark, quads, tmp_path):
+    """Reference parity: turtle-triples/turtle-quads formats. Every part
+    file must be self-contained Turtle: @prefix block first, then
+    prefix-compressed statements."""
+    lines = {r["line"] for r in M.render_turtle(quads).collect()}
+    assert any(ln.startswith("res:") for ln in lines)          # compressed IRIs
+    assert any("rdfs:label" in ln for ln in lines)
+    assert any('"@en' in ln for ln in lines)                   # lang literals
+    assert any("^^xsd:integer" in ln for ln in lines)          # typed literals
+    assert all(ln.endswith(" .") for ln in lines)
+    # quad form: TriG one-liners
+    qlines = [r["line"] for r in M.render_turtle(quads, quad_form=True).collect()]
+    assert all(ln.startswith("GRAPH <") and ln.endswith(" }") for ln in qlines)
+
+    out = str(tmp_path / "ttl")
+    M.write_turtle(quads, out, compression="gzip")
+    for d in ("dataset=labels", "dataset=page_links"):
+        for part in glob.glob(out + f"/{d}/part-*.txt.gz"):
+            import gzip
+
+            with gzip.open(part, "rt") as fh:
+                content = fh.read().splitlines()
+            if not content:
+                continue
+            assert content[0].startswith("@prefix res: <"), content[:2]
+            body = [ln for ln in content if not ln.startswith("@prefix")]
+            assert body and all(ln.endswith(" .") for ln in body)
+            # each used prefix is declared in THIS file
+            declared = {ln.split()[1].rstrip(":") for ln in content
+                        if ln.startswith("@prefix")}
+            for ln in body:
+                for tok in ln.split():
+                    if ":" in tok and not tok.startswith("<") and not tok.startswith('"'):
+                        pfx = tok.split(":", 1)[0]
+                        if pfx and not pfx.startswith("http"):
+                            assert pfx in declared, (pfx, ln)
+
+
+def test_write_formats_fanout(spark, quads, tmp_path):
+    """The reference's multi-format job (config.properties:65-70) in one
+    call: suffix picks the codec, value the serializer."""
+    base = str(tmp_path / "multi")
+    M.write_formats(quads.filter(F.col("dataset") == "labels"), base,
+                    {"nt.gz": "n-triples", "ttl": "turtle-triples"})
+    assert glob.glob(base + "/nt_gz/dataset=labels/part-*.txt.gz")
+    assert glob.glob(base + "/ttl/dataset=labels/part-*.txt")
+
+
 def test_graph_tables(spark, quads):
     e, l, n, p = (
         M.edges_table(quads), M.literals_table(quads),
