@@ -463,8 +463,12 @@ def abstracts(e) -> Column:
 
 def disambiguations(e) -> Column:
     """DisambiguationExtractor — dbo:wikiPageDisambiguates ← each link on a
-    {{Disambiguation}} page."""
+    {{Disambiguation}} page. A broadcast side-set of dab page ids
+    (operators/disambiguations.py, reference DistDisambiguations) extends
+    the template trigger when extract() receives one."""
     is_dab = F.array_contains(_c("tmpl_names"), "Disambiguation")
+    if "_dab" in e.columns:
+        is_dab = is_dab | F.coalesce(_c("_dab"), F.lit(False))
     tgts = F.filter(
         _c("ilinks"),
         lambda t: (~_is_category(t)) & (~_is_interlanguage(t)) & (F.length(t) > 0),
@@ -503,6 +507,7 @@ def extract(
     pages: DataFrame,
     extractors: list[str] | None = None,
     namespaces: tuple[int, ...] = S.EXTRACTION_NAMESPACES,
+    disambiguations_df: DataFrame | None = None,
 ) -> DataFrame:
     """Run the (selected) extractor suite in one fused pass → quads.
 
@@ -510,11 +515,22 @@ def extract(
     regex extraction + the one pandas parse) → explode → that's it.
     Zero shuffles, matching the reference's single-stage main job
     (SURVEY.md §4 'operator fusion').
+
+    ``disambiguations_df`` (page_id rows) is the reference's
+    DistDisambiguations side set: broadcast marker-joined (map-side, the
+    fused plan stays shuffle-free) and consumed by the disambiguations
+    extractor.
     """
     names = list(EXTRACTORS) if extractors is None else list(extractors)
     needs_parse = any(EXTRACTORS[n][1] for n in names)
     e = enrich_pages(prepare_pages(pages), with_parse=needs_parse)
     e = e.filter(F.col("ns").isin(*namespaces))
+    if disambiguations_df is not None:
+        marker = F.broadcast(
+            disambiguations_df.select("page_id").distinct()
+            .withColumn("_dab", F.lit(True))
+        )
+        e = e.join(marker, "page_id", "left")
     arrays = [EXTRACTORS[n][0](e) for n in names]
     all_quads = F.array_distinct(F.concat(*arrays) if len(arrays) > 1 else arrays[0])
     return e.select(F.explode(all_quads).alias("q")).select("q.*")

@@ -74,3 +74,58 @@ def test_extraction_plan_is_shuffle_free(spark, pages_df):
     stage — no Exchange may appear in the physical plan."""
     plan = extract(pages_df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_disambiguation_side_set(spark, tmp_path):
+    """Reference DistDisambiguations parity: a broadcast page-id side set
+    marks disambiguation pages the template trigger misses, and the set
+    load-or-computes through a parquet cache."""
+    import datetime
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from distributed_extraction_framework_spark.operators.disambiguations import (
+        compute_disambiguation_pages,
+        load_disambiguations,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://en.pages.example.org/wiki/Tmpl_dab", ts, None,
+         "'''Tmpl dab''' may refer to [[A]] or [[B]]. {{Disambiguation}}", "en"),
+        ("https://en.pages.example.org/wiki/List_dab", ts, None,
+         "'''List dab''' may refer to [[C]] or [[D]].", "en"),  # no template
+        ("https://en.pages.example.org/wiki/Plain", ts, None,
+         "'''Plain''' links [[E]].", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    # harvest finds only the template page
+    harvested = {r["page_id"] for r in compute_disambiguation_pages(pages).collect()}
+    pid = lambda u: int(hashlib.md5(u.encode()).hexdigest()[:8], 16)  # noqa: E731
+    assert harvested == {pid(rows[0][0])}
+
+    # cache roundtrip (load-or-compute)
+    cache = str(tmp_path / "dab_ids")
+    d1 = load_disambiguations(spark, pages, cache)
+    assert {r["page_id"] for r in d1.collect()} == harvested
+    d2 = load_disambiguations(spark, pages, cache)  # second call: cache hit
+    assert {r["page_id"] for r in d2.collect()} == harvested
+
+    # external side set (dump-list analog) extends the template trigger
+    side = spark.createDataFrame(
+        [(pid(rows[0][0]),), (pid(rows[1][0]),)], "page_id long"
+    )
+    quads = extract(pages, extractors=["disambiguations"],
+                    disambiguations_df=side)
+    subs = {r["subj"] for r in quads.collect()}
+    assert subs == {
+        "http://kg.example.org/resource/Tmpl_dab",
+        "http://kg.example.org/resource/List_dab",
+    }
+    # without the side set only the template page emits
+    subs0 = {r["subj"] for r in extract(pages, extractors=["disambiguations"]).collect()}
+    assert subs0 == {"http://kg.example.org/resource/Tmpl_dab"}
