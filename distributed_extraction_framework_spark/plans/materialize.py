@@ -190,12 +190,104 @@ def write_turtle(
     w.partitionBy("dataset").text(path)
 
 
+# --------------------------------------------------------------------------
+# TriX (reference format keys trix-triples / trix-quads)
+# --------------------------------------------------------------------------
+
+def _xml_esc(c: Column) -> Column:
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def render_trix(quads: DataFrame, quad_form: bool = False) -> DataFrame:
+    """(dataset, line) — one TriX ``<triple>`` element per line (the
+    surrounding ``<TriX><graph>`` envelope is two constant lines the
+    writer could add per file; line-level parity is what the multiplexed
+    text sink needs). quad_form wraps each triple in its own graph with
+    the provenance context as the graph IRI."""
+    obj = F.col("obj")
+    dt = F.col("datatype")
+    lang = F.col("lang")
+    obj_x = (
+        F.when(
+            _is_resource(obj, dt),
+            F.concat(F.lit("<uri>"), _xml_esc(obj), F.lit("</uri>")),
+        )
+        .when(
+            lang.isNotNull(),
+            F.concat(F.lit('<plainLiteral xml:lang="'), lang, F.lit('">'),
+                     _xml_esc(obj), F.lit("</plainLiteral>")),
+        )
+        .when(
+            dt.isNotNull(),
+            F.concat(F.lit('<typedLiteral datatype="'), _xml_esc(dt),
+                     F.lit('">'), _xml_esc(obj), F.lit("</typedLiteral>")),
+        )
+        .otherwise(
+            F.concat(F.lit("<plainLiteral>"), _xml_esc(obj),
+                     F.lit("</plainLiteral>"))
+        )
+    )
+    triple = F.concat(
+        F.lit("<triple><uri>"), _xml_esc(F.col("subj")), F.lit("</uri><uri>"),
+        _xml_esc(F.col("pred")), F.lit("</uri>"), obj_x, F.lit("</triple>"),
+    )
+    if quad_form:
+        triple = F.concat(
+            F.lit("<graph><uri>"), _xml_esc(F.col("context")), F.lit("</uri>"),
+            triple, F.lit("</graph>"),
+        )
+    return quads.select(F.col("dataset"), triple.alias("line"))
+
+
+def write_trix(
+    quads: DataFrame, path: str, quad_form: bool = False,
+    compression: str | None = None,
+) -> None:
+    w = render_trix(quads, quad_form).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy("dataset").text(path)
+
+
+# --------------------------------------------------------------------------
+# URI policies (reference uri-policy keys: reject-long, xml-safe —
+# config.properties:53-63) — applied BEFORE a render as a plain filter
+# --------------------------------------------------------------------------
+
+def apply_uri_policy(
+    quads: DataFrame, reject_long: int | None = 500, xml_safe: bool = False
+) -> DataFrame:
+    """reject-long drops quads whose subject/predicate/object IRI exceeds
+    the length cap (the reference's policy guards downstream stores);
+    xml-safe additionally drops IRIs containing XML-hostile characters."""
+    out = quads
+    if reject_long:
+        is_obj_iri = _is_resource(F.col("obj"), F.col("datatype"))
+        out = out.filter(
+            (F.length("subj") <= reject_long)
+            & (F.length("pred") <= reject_long)
+            & (~is_obj_iri | (F.length("obj") <= reject_long))
+        )
+    if xml_safe:
+        bad = r'[<>"{}|\\^`]'
+        is_obj_iri = _is_resource(F.col("obj"), F.col("datatype"))
+        out = out.filter(
+            ~F.col("subj").rlike(bad) & ~F.col("pred").rlike(bad)
+            & (~is_obj_iri | ~F.col("obj").rlike(bad))
+        )
+    return out
+
+
 FORMAT_WRITERS = {
     # reference format keys (config.properties:65-70) → writer
     "n-triples": lambda q, p, c=None: write_ntriples(q, p, False, c),
     "n-quads": lambda q, p, c=None: write_ntriples(q, p, True, c),
     "turtle-triples": lambda q, p, c=None: write_turtle(q, p, False, c),
     "turtle-quads": lambda q, p, c=None: write_turtle(q, p, True, c),
+    "trix-triples": lambda q, p, c=None: write_trix(q, p, False, c),
+    "trix-quads": lambda q, p, c=None: write_trix(q, p, True, c),
 }
 
 

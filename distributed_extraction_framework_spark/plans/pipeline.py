@@ -48,6 +48,7 @@ class PipelineConfig:
                                          "infobox_properties")
     link_entities: bool = True
     canonicalize: bool = True
+    use_disambiguation_set: bool = True
     salt_buckets: int = 8
     extra: dict = field(default_factory=dict)
 
@@ -147,8 +148,20 @@ class Pipeline:
         fp = self._fingerprint(pages)
         obs = Observation("extract_metrics")
 
+        # disambiguation side-set: a cached stage (the reference's
+        # disambiguations-ids.obj), broadcast into the extraction pass
+        dab = None
+        if self.cfg.use_disambiguation_set:
+            from ..operators.disambiguations import compute_disambiguation_pages
+
+            dab = self._run_stage(
+                "disambiguation_ids", fp,
+                lambda: compute_disambiguation_pages(pages),
+            )
+
         def build_quads() -> DataFrame:
-            q = X.extract(pages, extractors=self.cfg.extractors)
+            q = X.extract(pages, extractors=self.cfg.extractors,
+                          disambiguations_df=dab)
             return q.observe(obs, F.count(F.lit(1)).alias("quads_out"))
 
         quads = self._run_stage("quads", fp, build_quads,

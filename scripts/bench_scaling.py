@@ -129,6 +129,15 @@ def main() -> None:
     r8, r32 = best["local8"], best["local32"]
     eff, norm = best["scaling_efficiency"], best["normalized_efficiency"]
     hw = {"hw_efficiency": best["hw_ceiling_efficiency"]}
+    import statistics
+
+    effs = [t["scaling_efficiency"] for t in trials]
+    norms = [t["normalized_efficiency"] for t in trials
+             if t["normalized_efficiency"] is not None]
+    med_eff = round(statistics.median(effs), 3)
+    med_norm = round(statistics.median(norms), 3) if norms else None
+    n_raw_met = sum(e >= 0.8 for e in effs)
+    n_norm_met = sum(x >= 0.8 for x in norms)
     result = {"n_pages": N_PAGES, "trials": trials, "local8": r8,
               "local32": r32, "scaling_efficiency": eff,
               "hw_ceiling_efficiency": hw["hw_efficiency"],
@@ -173,6 +182,16 @@ bench invocations:
 {norm}** — i.e. the extraction job scales as well as raw CPU work does on
 this machine; the gap to the nominal 0.8 is hypervisor contention, not a
 shuffle/skew/serialization property of the plan (there is no shuffle).
+
+**Typical case, not just best case** (so the headline can't be read as the
+median): across all {len(trials)} trials the MEDIAN raw efficiency is
+{med_eff} and the MEDIAN ceiling-normalized efficiency is {med_norm};
+{n_raw_met}/{len(trials)} trials meet 0.8 raw and {n_norm_met}/{len(norms)}
+meet 0.8 after normalizing by the simultaneously-measured host ceiling.
+Raw efficiency tracks the host's minute-to-minute ceiling (both swing
+together), which is why the normalized number is the stable one; best-trial
+reporting is justified because every noise source only LOWERS the
+measurement, but both views are given above.
 
 Reproduce: `python scripts/bench_scaling.py`
 (env `SPARK_GRAFT_SCALING_PAGES` overrides the corpus size).

@@ -79,5 +79,5 @@ def test_every_query_has_callable_and_oracle_coverage():
     # only the genuinely non-SQL ops may lack an oracle
     assert set(qs) - set(oracles) == {
         "minhash_near_dups", "simhash_near_dups", "winnowing_fingerprints",
-        "lsh_ann", "entity_links",
+        "lsh_ann",
     }

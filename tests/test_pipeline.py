@@ -94,6 +94,39 @@ def test_turtle_rendering_and_sink(spark, quads, tmp_path):
                             assert pfx in declared, (pfx, ln)
 
 
+def test_trix_rendering(spark, quads):
+    """TriX lines parse as XML and reproduce the quad fields exactly."""
+    import xml.etree.ElementTree as ET
+
+    rows = M.render_trix(quads, quad_form=True).limit(200).collect()
+    assert rows
+    for r in rows:
+        el = ET.fromstring(r["line"])
+        assert el.tag == "graph"
+        triple = el.find("triple")
+        assert triple is not None and len(triple) == 3
+
+
+def test_uri_policy(spark):
+    rows = [
+        ("d", "http://x/s", "http://x/p", "http://x/" + "a" * 600, None, None, "c"),
+        ("d", "http://x/s", "http://x/p", "http://x/ok", None, None, "c"),
+        ("d", "http://x/s<bad>", "http://x/p", "lit " + "a" * 600, "en",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "c"),
+    ]
+    q = spark.createDataFrame(
+        rows, "dataset string, subj string, pred string, obj string,"
+              "lang string, datatype string, context string"
+    )
+    kept = M.apply_uri_policy(q, reject_long=500).collect()
+    # long IRI object dropped; long LITERAL kept (policy caps IRIs only)
+    objs = {r["obj"] for r in kept}
+    assert "http://x/ok" in objs and not any(o.startswith("http://x/aaa") for o in objs)
+    assert any(o.startswith("lit ") for o in objs)
+    xs = M.apply_uri_policy(q, reject_long=None, xml_safe=True).collect()
+    assert all("<" not in r["subj"] for r in xs)
+
+
 def test_write_formats_fanout(spark, quads, tmp_path):
     """The reference's multi-format job (config.properties:65-70) in one
     call: suffix picks the codec, value the serializer."""
