@@ -1,18 +1,29 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake or NotImplementedError — clearly marked), but the
-Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
-``mapInPandas`` signatures, partition sizing. Swapping the stub for
-Pillow/librosa/pyav on a real cluster changes one kernel function, not
-the plan.
+Decode coverage is split honestly by what this container can do:
+
+* REAL decoders (no external codec needed, implemented here):
+  - images: binary netpbm (P6 PPM / P5 PGM) and uncompressed 24-bit BMP —
+    header parse + ``np.frombuffer``;
+  - audio: PCM WAV via the stdlib ``wave`` module → int16 numpy samples;
+  - image resize: numpy nearest-neighbor, re-encoded to PPM;
+  - features: per-channel stats + downsampled luminance grid (images),
+    RMS / zero-crossing rate / log-spectral bands via numpy FFT (audio).
+* STUBBED (compressed codecs absent in this container — clearly marked):
+  jpeg/png/gif images, mp3/ogg audio, and all video decode. Those rows
+  fall back to a deterministic digest feature with ``decoded = false`` so
+  downstream can tell. Swapping in Pillow/librosa/pyav on a real cluster
+  changes ``_decode_image``/``_decode_audio`` only — the Spark plan
+  (schemas, batch shapes, explodes) is identical.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -22,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -47,16 +59,160 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), True),
+        StructField("decoded", BooleanType(), False),
         StructField("feature", ArrayType(FloatType()), True),
     ]
 )
 
-USE_FAKE_DECODE = True  # flip to False on a cluster with real codecs
+
+# --------------------------------------------------------------------------
+# REAL image decode: netpbm (P6/P5) + uncompressed 24-bit BMP
+# --------------------------------------------------------------------------
+
+def _decode_ppm(payload: bytes) -> np.ndarray | None:
+    """P6 (RGB) / P5 (gray) binary netpbm → HxWx3 uint8.
+
+    Hand-tokenized header (NOT split()): pixel data follows exactly ONE
+    whitespace byte after maxval, and the first pixel byte may itself be
+    whitespace-valued — a naive split would swallow it."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        return None
+    try:
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # netpbm comment line
+                nl = payload.find(b"\n", pos)
+                if nl == -1:
+                    return None
+                pos = nl + 1
+                continue
+            start = pos
+            while pos < len(payload) and payload[pos : pos + 1].isdigit():
+                pos += 1
+            if start == pos:
+                return None
+            vals.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace byte terminating maxval
+        w, h, maxval = vals
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        ch = 3 if magic == b"P6" else 1
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+        img = data.reshape(h, w, ch)
+        return np.repeat(img, 3, axis=2) if ch == 1 else img
+    except (ValueError, IndexError):
+        return None
 
 
-def _fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector: expands
-    the payload digest into ``dim`` floats in [-1, 1]."""
+def _encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6 %d %d 255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → HxWx3 uint8 (RGB)."""
+    try:
+        if payload[:2] != b"BM" or len(payload) < 54:
+            return None
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return img[::-1] if flip else img
+    except (struct.error, ValueError):
+        return None
+
+
+def _decode_image(payload: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes. Returns None for formats needing a real
+    codec (jpeg/png/...) — the caller falls back to the digest feature.
+    Real impl for those on a cluster: PIL.Image.open(io.BytesIO(payload))."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return None  # compressed codec not available in this container
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode: PCM WAV (stdlib wave module)
+# --------------------------------------------------------------------------
+
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """PCM WAV → (float32 mono samples in [-1,1], sample_rate)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            sw, nch, rate = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+        if sw == 2:
+            x = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+        elif sw == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128) / 128.0
+        else:
+            return None
+        if nch > 1:
+            x = x.reshape(-1, nch).mean(axis=1)
+        return x, rate
+    except (wave.Error, EOFError, ValueError):
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float [-1,1] mono → 16-bit PCM WAV bytes (for synth/test data)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# features
+# --------------------------------------------------------------------------
+
+def _image_feature(img: np.ndarray, dim: int) -> list[float]:
+    """Per-channel mean/std + a downsampled luminance grid, padded/truncated
+    to ``dim`` (deterministic, resolution-independent)."""
+    chans = img.reshape(-1, 3).astype(np.float64) / 255.0
+    head = [float(v) for v in np.concatenate([chans.mean(0), chans.std(0)])]
+    lum = img.astype(np.float64).mean(axis=2) / 255.0
+    k = max(int(np.ceil(np.sqrt(max(dim - 6, 1)))), 1)
+    ys = np.linspace(0, lum.shape[0] - 1, k).astype(int)
+    xs = np.linspace(0, lum.shape[1] - 1, k).astype(int)
+    grid = lum[np.ix_(ys, xs)].ravel().tolist()
+    out = (head + grid)[:dim]
+    return [float(v) for v in out] + [0.0] * (dim - len(out))
+
+
+def _audio_feature(x: np.ndarray, rate: int, dim: int) -> list[float]:
+    """RMS + zero-crossing rate + log-power in ``dim - 2`` FFT bands."""
+    if x.size == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    nb = max(dim - 2, 1)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec, nb)
+    logp = [float(np.log1p(b.mean())) if b.size else 0.0 for b in bands]
+    return ([rms, zcr] + logp)[:dim] + [0.0] * max(dim - 2 - len(logp), 0)
+
+
+def _digest_feature(payload: bytes | None, dim: int = 16) -> list[float]:
+    """Fallback for undecodable payloads: the payload digest expanded into
+    ``dim`` floats in [-1, 1] (deterministic, clearly marked decoded=false)."""
     if payload is None:
         return [0.0] * dim
     d = hashlib.sha256(bytes(payload)).digest()
@@ -66,26 +222,31 @@ def _fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
     return [float(x) / 2**31 for x in ints]
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB — real impl: PIL.Image.open(io.BytesIO(payload)) → np array."""
-    if not USE_FAKE_DECODE:
-        raise NotImplementedError("image codec not available in this container")
-    h = hashlib.sha256(bytes(payload)).digest()
-    side = 4 + h[0] % 4
-    return np.frombuffer((h * 16)[: side * side * 3], dtype=np.uint8).reshape(
-        side, side, 3
-    )
-
-
 def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
     """Decode + featurize each media row via mapInPandas (Arrow batches).
 
-    Real part: the distributed plan — narrow per-partition batches, typed
-    output schema, no driver involvement. Stubbed part: the decode kernel.
-    """
+    Distributed plan: narrow per-partition batches, typed output schema,
+    no driver involvement. Rows whose format has a real decoder here
+    (PPM/PGM/BMP, PCM WAV) get real content features (decoded=true);
+    compressed formats fall back to the digest feature (decoded=false)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(kind: str, p) -> tuple[bool, list[float]]:
+            if p is None:
+                return False, [0.0] * dim
+            b = bytes(p)
+            if kind == "image":
+                img = _decode_image(b)
+                if img is not None:
+                    return True, _image_feature(img, dim)
+            elif kind == "audio":
+                au = _decode_audio(b)
+                if au is not None:
+                    return True, _audio_feature(au[0], au[1], dim)
+            return False, _digest_feature(b, dim)
+
         for pdf in batches:
+            res = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -93,7 +254,8 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda p: len(p) if p is not None else 0
                     ),
-                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                    "decoded": [r[0] for r in res],
+                    "feature": [r[1] for r in res],
                 }
             )
 
@@ -101,28 +263,39 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
-    """Image 'resize' pass: same plumbing, stubbed kernel (deterministic
-    payload transform so tests can assert shape/determinism)."""
+    """Real nearest-neighbor resize for decodable images (output payload is
+    a valid PPM of exactly target×target); undecodable formats pass through
+    with decoded=false and a null payload."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
             StructField("payload", BinaryType(), True),
             StructField("width", IntegerType(), True),
             StructField("height", IntegerType(), True),
+            StructField("decoded", BooleanType(), False),
         ]
     )
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p):
+            if p is None:
+                return None
+            img = _decode_image(bytes(p))
+            if img is None:
+                return None
+            ys = np.linspace(0, img.shape[0] - 1, target).astype(int)
+            xs = np.linspace(0, img.shape[1] - 1, target).astype(int)
+            return _encode_ppm(img[np.ix_(ys, xs)])
+
         for pdf in batches:
-            imgs = pdf["payload"].map(
-                lambda p: hashlib.sha256(bytes(p)).digest() if p is not None else b""
-            )
+            outs = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": imgs,
-                    "width": target,
-                    "height": target,
+                    "payload": outs,
+                    "width": [target if o is not None else None for o in outs],
+                    "height": [target if o is not None else None for o in outs],
+                    "decoded": [o is not None for o in outs],
                 }
             )
 
@@ -131,7 +304,9 @@ def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
-    timestamp (real explode), stubbed frame payload."""
+    timestamp (real explode + timestamp arithmetic); the frame DECODE is
+    the one genuinely-stubbed kernel left (no video codec in this
+    container) — the digest stands in for the frame payload."""
     v = media.filter(F.col("kind") == "video").withColumn(
         "frame_ts",
         F.explode(
@@ -150,21 +325,28 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n: int = 100) -> DataFrame:
-    """Deterministic fake media table for tests/bench."""
-    kinds = ["image", "audio", "video"]
+    """Deterministic media table with REAL decodable payloads: P6 PPM
+    images and PCM WAV audio (video payloads remain opaque bytes)."""
     rows = []
     for i in range(n):
-        kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 5)
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 64 if kind == "image" else None,
-                64 + i % 32 if kind == "image" else None,
-                1000 * (1 + i % 10) if kind != "image" else None,
-            )
-        )
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            side = 8 + (i % 8)
+            rng = np.random.RandomState(i)
+            img = rng.randint(0, 256, (side, side, 3), dtype=np.uint8)
+            payload, mime = _encode_ppm(img), "image/x-portable-pixmap"
+            w = h = side
+            dur = None
+        elif kind == "audio":
+            t = np.arange(800 * (1 + i % 3)) / 8000.0
+            samples = 0.5 * np.sin(2 * np.pi * (200 + 50 * (i % 7)) * t)
+            payload, mime = encode_wav(samples, 8000), "audio/wav"
+            w = h = None
+            dur = int(1000 * t[-1])
+        else:
+            payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 5)
+            mime = "video/mp4"
+            w = h = None
+            dur = 1000 * (1 + i % 10)
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

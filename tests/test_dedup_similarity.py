@@ -186,7 +186,37 @@ def test_multimodal_plumbing(spark):
     for r in rows:
         assert again[r["media_id"]] == r["feature"]
 
+    # real decoders: every synth image (PPM) and audio (WAV) row decodes
+    by_kind = {(r["kind"], r["decoded"]) for r in rows}
+    assert ("image", True) in by_kind and ("audio", True) in by_kind
+    assert ("video", False) in by_kind  # video decode genuinely stubbed
+    assert all(r["decoded"] for r in rows if r["kind"] in ("image", "audio"))
+
     imgs = M.resize_images(media).collect()
-    assert all(r["width"] == 64 for r in imgs)
+    assert imgs and all(r["width"] == 64 and r["decoded"] for r in imgs)
+    # resized payload is a REAL 64x64 image (decode it back)
+    import numpy as np
+    out = M._decode_ppm(bytes(imgs[0]["payload"]))
+    assert out is not None and out.shape == (64, 64, 3)
     frames = M.sample_video_frames(media, every_ms=1000)
     assert frames.count() > media.filter("kind='video'").count()
+
+
+def test_multimodal_real_audio_features(spark):
+    """A louder signal must yield a larger RMS (feature[0]) — proves the
+    WAV path decodes real content, not digests."""
+    import numpy as np
+
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    t = np.arange(8000) / 8000.0
+    quiet = M.encode_wav(0.05 * np.sin(2 * np.pi * 440 * t))
+    loud = M.encode_wav(0.9 * np.sin(2 * np.pi * 440 * t))
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(quiet), "audio/wav", None, None, 1000),
+         (1, "audio", bytearray(loud), "audio/wav", None, None, 1000)],
+        M.MEDIA_SCHEMA,
+    )
+    f = {r["media_id"]: r for r in M.extract_media_features(media, 8).collect()}
+    assert f[0]["decoded"] and f[1]["decoded"]
+    assert f[1]["feature"][0] > 10 * f[0]["feature"][0]
