@@ -1298,9 +1298,69 @@ r{i} AS (
 ORACLE_PAGERANK = _pagerank_oracle_sql(5)
 
 
+def q_stream_x_labels(spark, sf_dir):
+    """The fused extraction run as a STREAM (parquet source,
+    maxFilesPerTrigger=1 → genuinely incremental micro-batches, memory
+    sink driven to completion) — gated against the SAME batch oracle, so
+    streaming parity is hash-exact, not rows-only."""
+    import tempfile
+    import uuid
+
+    pages = _pages(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="defs_stream_pages_")
+    pages.repartition(4).write.mode("overwrite").parquet(d)
+    q = STR.stream_extract(spark, d, extractors=["labels"])
+    name = f"defs_stream_x_{uuid.uuid4().hex[:8]}"  # unique: rerun-safe
+    STR.run_to_memory(q, name)
+    return spark.table(name).select("subj", "pred", "obj", "lang")
+
+
+def q_connected_components(spark, sf_dir):
+    """Canonicalization's min-label-propagation CC over the union of
+    redirect and sameAs edges (multi-hop mixed components) vs a
+    recursive-CTE undirected closure oracle."""
+    from ..operators.canonicalize import connected_components
+
+    pages = _pages(spark, sf_dir)
+    quads = extract_many(pages, ["redirects", "interlanguage_links"])
+    edges = quads.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return connected_components(edges).select("vertex", "component")
+
+
+def extract_many(pages, names):
+    from ..operators.extractors import extract
+
+    return extract(pages, extractors=names)
+
+
+ORACLE_CONNECTED_COMPONENTS = f"""
+{_oracle_pages()},
+re AS (
+  SELECT '{RES}' || title AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+), sa AS (
+  SELECT '{RES}' || title AS src, '{RES_DE}Doc_' || doc_id AS dst
+  FROM pages WHERE {_REGULAR} AND doc_id % 6 = 2
+), sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM re UNION ALL SELECT dst, src FROM re
+    UNION ALL SELECT src, dst FROM sa UNION ALL SELECT dst, src FROM sa
+  ) WHERE u <> v
+), reach AS (
+  SELECT u AS vertex, v AS r FROM sym
+  UNION
+  SELECT reach.vertex, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT vertex, least(vertex, min(r)) AS component
+FROM reach GROUP BY vertex
+"""
+
+
 QUERIES.update(
     {
         "pagerank": q_pagerank,
+        "stream_x_labels": q_stream_x_labels,
+        "connected_components": q_connected_components,
         "x_page_ids": q_x_page_ids,
         "x_revision_ids": q_x_revision_ids,
         "x_revision_uris": q_x_revision_uris,
@@ -1312,6 +1372,8 @@ QUERIES.update(
 ORACLES.update(
     {
         "pagerank": ORACLE_PAGERANK,
+        "stream_x_labels": ORACLE_X_LABELS,
+        "connected_components": ORACLE_CONNECTED_COMPONENTS,
         "x_page_ids": ORACLE_X_PAGE_IDS,
         "x_revision_ids": ORACLE_X_REVISION_IDS,
         "x_revision_uris": ORACLE_X_REVISION_URIS,
