@@ -115,8 +115,16 @@ def main() -> None:
     # SPARK_GRAFT_SCALING_TRIALS=0 → re-render the report from the ledger
     for _ in range(n_trials):
         hw = hardware_calibration()
-        r8 = run_level(8, pages_path)
-        r32 = run_level(32, pages_path)
+        # mirrored level order (8,32,32,8): the host drifts minute-to-minute,
+        # so measuring one level only before the other biases the ratio; the
+        # mirror cancels the drift direction and min-per-level keeps the
+        # noise-only-lowers property
+        r8a = run_level(8, pages_path)
+        r32a = run_level(32, pages_path)
+        r32b = run_level(32, pages_path)
+        r8b = run_level(8, pages_path)
+        r8 = min((r8a, r8b), key=lambda r: r["wall_sec"])
+        r32 = min((r32a, r32b), key=lambda r: r["wall_sec"])
         eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
         norm = round(eff / hw["hw_efficiency"], 3) if hw["hw_efficiency"] else None
         trials.append({"local8": r8, "local32": r32, "scaling_efficiency": eff,
