@@ -78,27 +78,42 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(F.encode(norm, "utf-8"))
 
 
+# Winnowing rolling-hash parameters: polynomial hash over code points mod
+# 2^31-1 — every product < 2^52 (codepoint < 2^21 × weight < 2^31), so the
+# numpy path never overflows int64 and a SQL oracle can recompute the exact
+# hashes with plain integer arithmetic (unicode(substr(...)) per position).
+WINNOW_BASE = 1_000_003
+WINNOW_MOD = (1 << 31) - 1
+# Python/SQL-shared ASCII whitespace class (RE2 \s and Python \s diverge on
+# unicode, so both sides normalize with this explicit class)
+WS_CLASS = "[ \t\n\r\f\v]+"
+
+
 def make_winnowing_udf(k: int = 5, window: int = 4):
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03): k-gram rolling
     hashes, per-window minima — the standard rolling-hash document
     fingerprint. Numpy-vectorized pandas UDF (the window-min needs
-    sequential state regex/SQL can't express)."""
+    sequential state regex/SQL can't express); the hash itself is portable
+    (polynomial mod 2^31-1) so the driver's DuckDB oracle recomputes it."""
+    weights = np.array(
+        [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)], dtype=np.int64
+    )
 
     @F.pandas_udf(ArrayType(LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
-        import zlib
+        import re
 
+        ws = re.compile(WS_CLASS)
         out = []
         for t in texts:
-            s = (t or "").lower()
-            s = " ".join(s.split())
+            s = ws.sub(" ", (t or "").lower()).strip()
             if len(s) < k:
                 out.append([])
                 continue
-            hs = np.fromiter(
-                (zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)),
-                dtype=np.int64,
-            )
+            codes = np.fromiter((ord(c) for c in s), dtype=np.int64, count=len(s))
+            hs = (
+                np.lib.stride_tricks.sliding_window_view(codes, k) @ weights
+            ) % WINNOW_MOD
             if hs.size <= window:
                 out.append([int(hs.min())])
                 continue

@@ -38,19 +38,49 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 # NB: python's hash() is salted per-process for str — NOT usable across
-# executors. Stable crc32/adler32 digest pair instead:
-def _stable_gram_hash(grams: list[str]) -> np.ndarray:
-    import zlib
+# executors. md5-derived values instead: stable across processes AND
+# reproducible in plain SQL (DuckDB: cast('0x'||substr(md5(g),1,8) as
+# bigint)), which is what lets the driver gate hash-verify the sketches.
+MERSENNE31 = (1 << 31) - 1  # Carter-Wegman permutation modulus
+
+
+def _md5_u31(grams: list[str]) -> np.ndarray:
+    """First 32 md5 bits of each string, reduced mod 2^31-1."""
+    import hashlib
 
     if not grams:
         return np.zeros(0, dtype=np.uint64)
-    lo = np.fromiter(
-        (zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+    return np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16) % MERSENNE31
+            for g in grams
+        ),
+        dtype=np.uint64,
+        count=len(grams),
     )
-    hi = np.fromiter(
-        (zlib.adler32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+
+
+def _md5_u64(tokens: list[str]) -> np.ndarray:
+    """First 64 md5 bits of each string (SQL: two 32-bit hex halves)."""
+    import hashlib
+
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16) for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens),
     )
-    return _splitmix64((hi << np.uint64(32)) | lo)
+
+
+def minhash_seeds(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a_i, b_i) Carter-Wegman coefficients, a_i ∈ [1, p-1],
+    b_i ∈ [0, p-1]. Derived by splitmix64 so they're plain constants both
+    engines can share (the SQL oracle inlines them as a VALUES list)."""
+    idx = np.arange(1, num_hashes + 1, dtype=np.uint64)
+    a = (_splitmix64(idx) % np.uint64(MERSENNE31 - 1)) + np.uint64(1)
+    b = _splitmix64(idx + np.uint64(10_000)) % np.uint64(MERSENNE31)
+    return a, b
 
 
 def _word_shingles(text: str, k: int) -> list[str]:
@@ -107,21 +137,26 @@ def add_minhash(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Append ``minhash: array<long>`` (k permutation-min signatures)."""
-    seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
+    """Append ``minhash: array<long>`` (k permutation-min signatures).
+
+    h_i(x) = (a_i·x + b_i) mod 2^31-1 over md5-derived 31-bit shingle
+    values — classic Carter-Wegman permutations chosen so a DuckDB oracle
+    can recompute the exact signatures in portable SQL (the driver gate
+    hash-verifies this, not just row counts). All products stay < 2^62,
+    so the numpy path is a single vectorized (num_hashes × n_grams) grid.
+    """
+    a, b = minhash_seeds(num_hashes)
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
+        p = np.uint64(MERSENNE31)
         for t in texts:
-            hs = _stable_gram_hash(_word_shingles(t if isinstance(t, str) else "", shingle_k))
+            hs = _md5_u31(_word_shingles(t if isinstance(t, str) else "", shingle_k))
             if hs.size == 0:
                 out.append([0] * num_hashes)
                 continue
-            # h_i(x) = splitmix64(x ^ seed_i); min over shingles, vectorized
-            m = _splitmix64(hs[None, :] ^ seeds[:, None]).min(axis=1)
+            m = ((a[:, None] * hs[None, :] + b[:, None]) % p).min(axis=1)
             out.append(m.astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -194,14 +229,18 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append ``simhash: long`` — 64-bit sign-aggregated token fingerprint."""
+    """Append ``simhash: long`` — 64-bit sign-aggregated token fingerprint.
+
+    Token hashes are the first 64 md5 bits (portable: the SQL oracle reads
+    them as two 32-bit hex halves), so the driver gate hash-verifies the
+    exact fingerprints cross-engine."""
 
     @F.pandas_udf(LongType())
     def simhash(texts: pd.Series) -> pd.Series:
         out = []
         bits = np.arange(64, dtype=np.uint64)
         for t in texts:
-            hs = _stable_gram_hash((t if isinstance(t, str) else "").split())
+            hs = _md5_u64((t if isinstance(t, str) else "").split())
             if hs.size == 0:
                 out.append(0)
                 continue
@@ -241,7 +280,7 @@ def simhash_near_duplicates(
         "id", "simhash", F.explode(band_structs).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.key")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
     return (
         a.join(b, ["band", "key"], "inner")
         .filter(F.col("a.id") < F.col("b.id"))

@@ -78,6 +78,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _hyperplanes_portable(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """md5-derived uniform[-1,1] hyperplanes: w(p,d) = (md5_32("s:p:d") mod
+    2001 - 1000)/1000. Symmetric entries give unbiased sign sketches, and a
+    SQL oracle can recompute the identical weights — which is what lets the
+    driver gate hash-verify the LSH bucket assignment end to end."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def add_lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -85,9 +106,10 @@ def add_lsh_bucket(
     vec_col: str = "embedding",
     seed: int = 42,
     out_col: str = "bucket",
+    portable: bool = False,
 ) -> DataFrame:
     """Sign-bit random-projection bucket id (deterministic hyperplanes)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = (_hyperplanes_portable if portable else _hyperplanes)(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -106,6 +128,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact scoring restricted to pairs colliding in ANY
     of ``n_tables`` independent sign-sketch tables.
@@ -113,6 +136,8 @@ def lsh_topk(
     Per table the candidate count drops ~2^n_planes-fold; multi-table
     union restores recall (1-(1-p^r)^L curve). The join key is
     (table, bucket) — a plain shuffle equi-join AQE can rebalance.
+    ``portable=True`` uses md5-derived hyperplanes a SQL oracle can
+    recompute (same recall curve; uniform instead of gaussian entries).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -120,7 +145,9 @@ def lsh_topk(
     def with_keys(df: DataFrame, vec: str) -> DataFrame:
         out = df
         for t in range(n_tables):
-            out = add_lsh_bucket(out, dim, n_planes, vec, seed + 1000 * t, f"_b{t}")
+            out = add_lsh_bucket(
+                out, dim, n_planes, vec, seed + 1000 * t, f"_b{t}", portable
+            )
         keys = F.array(
             *[
                 F.struct(F.lit(t).alias("table"), F.col(f"_b{t}").alias("bucket"))

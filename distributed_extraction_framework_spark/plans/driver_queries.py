@@ -368,22 +368,33 @@ WHERE common / (sa.n + sb.n - common) >= 0.5
 """
 
 
-def q_minhash_near_dups(spark, sf_dir):  # non-SQL (hash permutations)
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dups, hash-exact vs a DuckDB oracle that recomputes
+    the Carter-Wegman signatures from the same md5-derived shingle values
+    (the permutation coefficients are inlined as SQL constants)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.minhash_lsh_pairs(d, threshold=0.7).select(
         "id_a", "id_b", F.round("jaccard_est", 6).alias("jaccard_est")
     )
 
 
-def q_simhash_near_dups(spark, sf_dir):  # non-SQL (bit sketches)
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dups, hash-exact: the oracle rebuilds the 64-bit
+    fingerprints from md5 token hashes (two 32-bit hex halves) and mirrors
+    the 4×16-bit pigeonhole banding + Hamming verify."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_near_duplicates(d, max_hamming=8)
 
 
-def q_winnowing(spark, sf_dir):  # non-SQL (stateful window minima)
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprint counts, hash-exact: polynomial rolling hash
+    mod 2^31-1 is recomputed positionally by the oracle (unicode(substr))
+    with SQL window minima."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = T.make_winnowing_udf()
-    return d.select("doc_id", F.size(w(F.col("text"))).alias("n_fingerprints"))
+    return d.select(
+        "doc_id", F.size(w(F.col("text"))).cast("long").alias("n_fingerprints")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -451,9 +462,28 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
 """
 
 
-def q_lsh_ann(spark, sf_dir):  # approximate — rows-only by design
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return SIM.lsh_topk(e.filter(F.col("vec_id") < 10), e, dim=64, k=5)
+def q_lsh_ann(spark, sf_dir):
+    """Sign-sketch LSH top-k with PORTABLE (md5-derived) hyperplanes: the
+    oracle recomputes the identical plane weights, bucket bits, candidate
+    set, and ranking — so the approximate index itself is hash-verified,
+    not just its row count."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    res = SIM.lsh_topk(
+        e.filter(F.col("vec_id") < 10), e, dim=64, k=5, portable=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cos", 6)), F.asc("neighbor_id")
+    )
+    return (
+        res.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"),
+                F.col("r").cast("long").alias("rank"))
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -891,8 +921,9 @@ ORACLES = {
     "redirect_closure": ORACLE_REDIRECT_CLOSURE,
     "stateful_running_counts": ORACLE_STATEFUL_RUNNING,
     "entity_links": ORACLE_ENTITY_LINKS,
-    # no oracle (genuinely non-SQL): minhash_near_dups, simhash_near_dups,
-    # winnowing_fingerprints, lsh_ann (approximate by design)
+    # minhash_near_dups / simhash_near_dups / winnowing_fingerprints /
+    # lsh_ann gained hash-exact oracles in the fourth wave below (portable
+    # md5-derived hashing recomputed in SQL)
 }
 
 
@@ -1380,5 +1411,171 @@ ORACLES.update(
         "x_wikipedia_links": ORACLE_X_WIKIPEDIA_LINKS,
         "x_disambiguations": ORACLE_X_DISAMBIGUATIONS,
         "mapping_extract": ORACLE_MAPPING_EXTRACT,
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# fourth wave: sketch-family hash-exact oracles
+#
+# The sketches (MinHash, SimHash, winnowing, sign-sketch LSH) were
+# rows-only in round 1. Their kernels now use PORTABLE hashing —
+# md5-derived values + integer arithmetic mod 2^31-1 — chosen so plain
+# DuckDB SQL can recompute the exact signatures, which upgrades all four
+# gates from rows-only to hash-exact. The permutation coefficients are
+# deterministic constants inlined into the SQL below.
+# --------------------------------------------------------------------------
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> str:
+    a, b = D.minhash_seeds(num_hashes)
+    vals = ", ".join(
+        f"({i + 1}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
+    )
+    r = num_hashes // bands
+    p = D.MERSENNE31
+    return f"""
+WITH docs0 AS (SELECT doc_id AS id, trim(coalesce(text, '')) AS t FROM documents),
+seeds(i, a, b) AS (VALUES {vals}),
+ws AS (SELECT id, regexp_split_to_array(t, '\\s+') AS w FROM docs0 WHERE t <> ''),
+sh AS (SELECT id, list_transform(
+         range(1, greatest(len(w) - {shingle_k}, 0) + 2),
+         j -> array_to_string(list_slice(w, j, j + {shingle_k - 1}), ' ')) AS grams
+       FROM ws),
+gx AS (SELECT DISTINCT id,
+         cast('0x' || substr(md5(gram), 1, 8) as bigint) % {p} AS x
+       FROM (SELECT id, unnest(grams) AS gram FROM sh)),
+hs AS (SELECT id, i, min((a * x + b) % {p}) AS h
+       FROM gx CROSS JOIN seeds GROUP BY id, i
+       UNION ALL
+       SELECT d.id, s.i, 0 AS h FROM docs0 d CROSS JOIN seeds s WHERE d.t = ''),
+bands AS (SELECT id, (i - 1) // {r} AS band,
+                 array_to_string(list(h ORDER BY i), ',') AS sig
+          FROM hs GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
+agree AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS n
+          FROM hs x JOIN hs y ON x.i = y.i AND x.h = y.h AND x.id < y.id
+          GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, round(cast(n as double) / {num_hashes}, 6) AS jaccard_est
+FROM cand c JOIN agree g ON c.id_a = g.id_a AND c.id_b = g.id_b
+WHERE cast(n as double) / {num_hashes} >= {threshold}
+"""
+
+
+ORACLE_MINHASH = _minhash_oracle_sql()
+
+
+ORACLE_SIMHASH = """
+WITH docs0 AS (SELECT doc_id AS id, trim(coalesce(text, '')) AS t FROM documents),
+bits AS (SELECT unnest(range(0, 64)) AS bi),
+th AS (SELECT id, cast('0x' || substr(md5(tk), 1, 8) as bigint) AS hi,
+              cast('0x' || substr(md5(tk), 9, 8) as bigint) AS lo
+       FROM (SELECT id, unnest(regexp_split_to_array(t, '\\s+')) AS tk
+             FROM docs0 WHERE t <> '')),
+vb AS (SELECT id, bi,
+              CASE WHEN 2 * sum(CASE WHEN bi < 32 THEN (lo >> bi) & 1
+                                     ELSE (hi >> (bi - 32)) & 1 END) > count(*)
+                   THEN 1 ELSE 0 END AS v
+       FROM th CROSS JOIN bits GROUP BY id, bi
+       UNION ALL
+       SELECT d.id, b.bi, 0 AS v FROM docs0 d CROSS JOIN bits b WHERE d.t = ''),
+bandk AS (SELECT id, bi // 16 AS band, sum(v * (1::BIGINT << (bi % 16))) AS key
+          FROM vb GROUP BY 1, 2),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM bandk x JOIN bandk y
+           ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+ham AS (SELECT c.id_a, c.id_b,
+               sum(CASE WHEN x.v <> y.v THEN 1 ELSE 0 END) AS hamming
+        FROM cand c
+        JOIN vb x ON x.id = c.id_a
+        JOIN vb y ON y.id = c.id_b AND y.bi = x.bi
+        GROUP BY 1, 2)
+SELECT id_a, id_b, cast(hamming as bigint) AS hamming
+FROM ham WHERE hamming <= 8
+"""
+
+
+def _winnowing_oracle_sql(k: int = 5, window: int = 4) -> str:
+    weights = [pow(T.WINNOW_BASE, k - 1 - j, T.WINNOW_MOD) for j in range(k)]
+    hexpr = " + ".join(
+        f"cast(unicode(substr(s, cast(i as int) + {j}, 1)) as bigint) * {weights[j]}"
+        for j in range(k)
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '{T.WS_CLASS}', ' ', 'g')) AS s
+           FROM documents),
+pos AS (SELECT doc_id, s, unnest(range(1, length(s) - {k} + 2)) AS i
+        FROM d WHERE length(s) >= {k}),
+h AS (SELECT doc_id, i, ({hexpr}) % {T.WINNOW_MOD} AS h FROM pos),
+stat AS (SELECT doc_id, i, h,
+           count(*) OVER (PARTITION BY doc_id) AS nh,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         FROM h),
+fp AS (
+  SELECT doc_id, count(DISTINCT wmin) AS nf
+  FROM stat WHERE nh > {window} AND rn <= nh - {window - 1} GROUP BY doc_id
+  UNION ALL
+  SELECT DISTINCT doc_id, 1 AS nf FROM stat WHERE nh <= {window}
+)
+SELECT d.doc_id, cast(coalesce(fp.nf, 0) as bigint) AS n_fingerprints
+FROM d LEFT JOIN fp USING (doc_id)
+"""
+
+
+ORACLE_WINNOWING = _winnowing_oracle_sql()
+
+
+def _lsh_ann_oracle_sql(
+    dim: int = 64, k: int = 5, n_planes: int = 8, n_tables: int = 8,
+    seed: int = 42, max_query: int = 10,
+) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+grid AS (SELECT t, p, dd,
+           ((cast('0x' || substr(md5(({seed} + 1000 * t) || ':' || p || ':' || dd), 1, 8)
+                  as bigint) % 2001) - 1000) / 1000.0 AS w
+         FROM (SELECT unnest(range(0, {n_tables})) AS t)
+         CROSS JOIN (SELECT unnest(range(0, {n_planes})) AS p)
+         CROSS JOIN (SELECT unnest(range(0, {dim})) AS dd)),
+planes AS (SELECT t, p, list(w ORDER BY dd) AS pw FROM grid GROUP BY t, p),
+bits AS (SELECT vec_id, t, p,
+                CASE WHEN list_dot_product(v, pw) >= 0 THEN 1 ELSE 0 END AS bit
+         FROM e CROSS JOIN planes),
+buckets AS (SELECT vec_id, t, sum(bit * (1::BIGINT << p)) AS bucket
+            FROM bits GROUP BY 1, 2),
+cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         FROM buckets qb JOIN buckets cb
+           ON qb.t = cb.t AND qb.bucket = cb.bucket
+         WHERE qb.vec_id < {max_query} AND qb.vec_id <> cb.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id,
+                  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+           FROM cand c
+           JOIN e a ON a.vec_id = c.query_id
+           JOIN e b ON b.vec_id = c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLE_LSH_ANN = _lsh_ann_oracle_sql()
+
+
+ORACLES.update(
+    {
+        "minhash_near_dups": ORACLE_MINHASH,
+        "simhash_near_dups": ORACLE_SIMHASH,
+        "winnowing_fingerprints": ORACLE_WINNOWING,
+        "lsh_ann": ORACLE_LSH_ANN,
     }
 )

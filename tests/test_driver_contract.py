@@ -76,8 +76,7 @@ def test_every_query_has_callable_and_oracle_coverage():
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert len(qs) >= 30
     assert set(oracles) <= set(qs)
-    # only the genuinely non-SQL ops may lack an oracle
-    assert set(qs) - set(oracles) == {
-        "minhash_near_dups", "simhash_near_dups", "winnowing_fingerprints",
-        "lsh_ann",
-    }
+    # every query is oracle-gated — the sketch family (minhash/simhash/
+    # winnowing/lsh_ann) uses portable md5-derived hashing so even the
+    # approximate indexes are hash-verified in SQL
+    assert set(qs) == set(oracles)
