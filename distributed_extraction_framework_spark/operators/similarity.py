@@ -73,6 +73,110 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_twophase(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k with a BOUNDED shuffle — the 100-TB form of
+    ``cosine_topk_bruteforce``.
+
+    Same codegen scoring (broadcast queries × corpus scan, identical
+    fold-order doubles), but instead of ranking all |Q|·|C| scored rows
+    through one window shuffle, an Arrow-batched pruning pass keeps the
+    per-query top-k WITHIN each batch (exact: every global top-k row is
+    top-k in its own batch), so the final merge window shuffles at most
+    |Q|·k rows per batch instead of the whole cross product.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+            )
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    pruned = scored.mapInPandas(prune, schema=scored.schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput kernel for exact top-k: the query block is collected to a
+    row-normalized float64 matrix and broadcast; one ``mapInPandas`` scan of
+    the corpus computes all cosines per Arrow batch with a single GEMM
+    (np.matmul — orders of magnitude over per-row fold) and emits only the
+    per-batch top-k; a window merges the ≤|Q|·k-per-batch survivors.
+
+    Returns the same top-k SET as the codegen forms (tested); the cos
+    doubles can differ in the last ulp from fold-order scoring because GEMM
+    sums blockwise, so hash-gates should round or use the fold-order forms.
+    """
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, qmat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = qmat @ cm.T  # (|Q|, B)
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims[ids[:, None] == nids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q = np.repeat(ids, kk)
+            out_n = nids[top.ravel()]
+            out_c = np.take_along_axis(sims, top, axis=1).ravel()
+            keep = out_c > -np.inf
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "neighbor_id": out_n[keep],
+                 "cos": out_c[keep]}
+            )
+
+    pruned = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
