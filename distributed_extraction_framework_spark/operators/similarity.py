@@ -277,6 +277,77 @@ def lsh_topk(
     )
 
 
+def _assign_cells(df: DataFrame, vec: str, cents: list, n: int) -> DataFrame:
+    """Append ``cell`` = the ``n`` nearest centroids per row, with ZERO
+    shuffle: the centroids are broadcast as plan literals, the per-row
+    (score, cell) array is sorted and sliced inside codegen — a narrow
+    map-only projection (the previous window-based argmin shuffled the
+    whole corpus by row key)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(F.col(vec), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                F.lit(int(cell)).alias("cell"),
+            )
+            for cell, cvec in cents
+        ]
+    )
+    best = F.slice(
+        F.array_sort(
+            scored,
+            lambda x, y: F.when(x["s"] > y["s"], F.lit(-1))
+            .when(x["s"] < y["s"], F.lit(1))
+            .otherwise(
+                F.when(x["cell"] < y["cell"], F.lit(-1)).otherwise(F.lit(1))
+            ),
+        ),
+        1,
+        n,
+    )
+    return df.withColumn("cell", F.explode(F.transform(best, lambda s: s["cell"])))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Spherical k-means (Lloyd) coarse-quantizer training, Spark-native:
+    init = first ``n_cells`` vectors (TakeOrdered — heap, not a full sort);
+    each round assigns with the zero-shuffle literal projection and
+    re-centers via posexplode + per-(cell, dim) partial-aggregated avg —
+    the only shuffle per round carries n_cells × dim partial sums per map
+    partition, never the vectors. Returns [(cell, centroid)] (bounded:
+    n_cells × dim doubles — the same collect contract as a broadcast dim
+    table)."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = [
+        (i, list(r["v"]))
+        for i, r in enumerate(base.orderBy("id").limit(n_cells).collect())
+    ]
+    for _ in range(iterations):
+        assigned = _assign_cells(base, "v", cents, 1)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        new = {r["cell"]: list(r["centroid"]) for r in means.collect()}
+        cents = [(c, new.get(c, v)) for c, v in cents]  # empty cells persist
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -285,40 +356,35 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iterations: int = 0,
 ) -> DataFrame:
-    """IVF coarse search: centroids = deterministic corpus sample; assign
-    via broadcast argmin; queries probe their ``n_probe`` nearest cells.
+    """IVF coarse search: deterministic-sample centroids, optionally
+    refined by ``train_iterations`` spherical k-means rounds; corpus and
+    queries assign to cells via the zero-shuffle literal projection;
+    queries probe their ``n_probe`` nearest cells.
 
-    At 100 TB the assign pass is one broadcast map-side join over the
-    corpus; the per-cell search shuffles only cell-local candidates.
+    At 100 TB the assign pass is map-only over the corpus scan; the
+    per-cell search shuffles only cell-local candidates.
     """
-    cents = [
-        (i, r[vec_col])
-        for i, r in enumerate(
-            corpus.orderBy(F.col(id_col)).limit(n_cells).collect()
+    if train_iterations > 0:
+        cents = kmeans_centroids(
+            corpus, n_cells, train_iterations, id_col, vec_col
         )
-    ]
-    spark = corpus.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(cents, ["cell", "centroid"])
-    )
+    else:
+        cents = [
+            (i, list(r[vec_col]))
+            for i, r in enumerate(
+                corpus.orderBy(F.col(id_col)).limit(n_cells).collect()
+            )
+        ]
 
-    def assign(df: DataFrame, vec: str, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(cdf).withColumn("_d", cosine(F.col(vec), F.col("centroid")))
-        w = Window.partitionBy(*df.columns).orderBy(F.desc("_d"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= n)
-            .select(*df.columns, F.col("cell").alias(out))
-        )
-
-    c = assign(
+    c = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "cv", 1, "cell",
+        "cv", cents, 1,
     )
-    q = assign(
+    q = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", n_probe, "cell",
+        "qv", cents, n_probe,
     )
     scored = (
         q.join(c, "cell")

@@ -494,14 +494,16 @@ def q_ivf_topk(spark, sf_dir):
     n_probe == n_cells every (query, corpus) pair is scored exactly once,
     so the centroid-assign + cell-join machinery must reproduce the
     brute-force oracle bit-for-bit. The approximate mode (n_probe < cells)
-    is recall-tested in tests/test_dedup_similarity.py."""
+    is recall-tested in tests/test_dedup_similarity.py. train_iterations=2
+    also drives the spherical-k-means refinement + zero-shuffle cell
+    assignment through the hard gate."""
     from pyspark.sql import Window
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
-    res = SIM.ivf_topk(q, e, k=8, n_cells=8, n_probe=8)
+    res = SIM.ivf_topk(q, e, k=8, n_cells=8, n_probe=8, train_iterations=2)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("neighbor_id")
     )
@@ -1390,10 +1392,33 @@ FROM reach GROUP BY vertex
 """
 
 
+def q_stream_exact_dedup(spark, sf_dir):
+    """Exact dedup run as a STREAM (4-file parquet source, one file per
+    micro-batch, stateful min-id-per-digest in update mode, memory sink
+    driven to completion) — gated against the SAME batch oracle as
+    exact_dedup_docs, so streaming/batch dedup parity is hash-exact."""
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="defs_stream_docs_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    stream = STR.read_document_stream(spark, d)
+    dd = STR.stream_exact_dedup(stream)
+    name = f"defs_sdedup_{uuid.uuid4().hex[:8]}"  # unique: rerun-safe
+    STR.run_to_memory(dd, name, output_mode="update")
+    # update-mode sink appends one row per key per refining micro-batch;
+    # the converged canonical per digest is the min across them
+    return spark.sql(
+        f"select min(doc_id) as doc_id from {name} group by digest"
+    )
+
+
 QUERIES.update(
     {
         "pagerank": q_pagerank,
         "stream_x_labels": q_stream_x_labels,
+        "stream_exact_dedup": q_stream_exact_dedup,
         "connected_components": q_connected_components,
         "x_page_ids": q_x_page_ids,
         "x_revision_ids": q_x_revision_ids,
@@ -1407,6 +1432,7 @@ ORACLES.update(
     {
         "pagerank": ORACLE_PAGERANK,
         "stream_x_labels": ORACLE_X_LABELS,
+        "stream_exact_dedup": ORACLE_EXACT_DEDUP,
         "connected_components": ORACLE_CONNECTED_COMPONENTS,
         "x_page_ids": ORACLE_X_PAGE_IDS,
         "x_revision_ids": ORACLE_X_REVISION_IDS,

@@ -144,6 +144,48 @@ def stream_extract(spark: SparkSession, pages_path: str, extractors=None) -> Dat
     return extract(stream, extractors=extractors)
 
 
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .load(path)
+    )
+
+
+def stream_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: per content-digest canonical (min doc_id) as
+    a stateful aggregation in update mode.
+
+    The state store keys on the 32-char md5, never the body, and the
+    running ``min(doc_id)`` makes the result ORDER-INDEPENDENT across
+    micro-batches — the stream converges to exactly the batch
+    ``exact_dedup`` answer no matter how arrivals interleave (which is why
+    the driver gates it against the SAME batch oracle). At 100 TB pair
+    this with a watermark on an event-time column to bound state
+    (``dropDuplicatesWithinWatermark`` semantics); unbounded keys here
+    mirror the batch contract."""
+    digest = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+    return (
+        docs.withColumn("digest", digest)
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against current files
     (test/smoke harness: memory sink + processAllAvailable)."""

@@ -171,6 +171,33 @@ def test_ivf_topk_runs(spark, embs):
     assert res.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
 
 
+def test_ivf_trained_recall_beats_probe_fraction(spark, embs):
+    """k-means-trained IVF at n_probe=4/8 recalls well above the 50%
+    cell-fraction floor a random partition would give."""
+    e = embs.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = e.limit(10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk_bruteforce(q, e, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            q, e, k=5, n_cells=8, n_probe=4, train_iterations=2
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"trained IVF recall {recall:.2f} too low"
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, embs):
+    c1 = similarity.kmeans_centroids(embs, n_cells=4, iterations=2)
+    c2 = similarity.kmeans_centroids(embs, n_cells=4, iterations=2)
+    assert [c for c, _ in c1] == [0, 1, 2, 3]
+    assert all(len(v) == 64 for _, v in c1)
+    assert [c for c, _ in c1] == [c for c, _ in c2]
+
+
 def test_text_profile(spark, docs):
     prof = T.profile_documents(docs)
     rows = prof.limit(50).collect()
