@@ -124,7 +124,7 @@ def main() -> None:
     )
     timed(
         "cosine_topk",
-        lambda: _sink(SIM.cosine_topk_twophase(embs.filter("vec_id < 50"), embs, k=10)),
+        lambda: _sink(SIM.cosine_topk_bruteforce(embs.filter("vec_id < 50"), embs, k=10)),
     )
     timed(
         "cosine_topk_gemm",

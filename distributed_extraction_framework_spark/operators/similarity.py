@@ -52,7 +52,13 @@ def cosine_topk_bruteforce(
     """Exact top-k neighbors per query: broadcast queries × corpus scan.
 
     Scale shape: corpus is the big side (scanned once, partition-parallel),
-    queries broadcast. O(|Q|·|C|) multiply-adds all inside codegen.
+    queries broadcast. O(|Q|·|C|) multiply-adds all inside codegen, and the
+    ``rank <= k`` filter compiles to a PARTIAL ``WindowGroupLimit`` below
+    the exchange (Catalyst's window-group-limit pushdown), so each map
+    partition ships only its per-query top-k — the merge shuffle is
+    O(|Q|·P·k), never the full cross product (asserted in
+    tests/test_plans.py). For raw scoring throughput see
+    ``cosine_topk_gemm``.
     """
     q = F.broadcast(
         queries.select(
@@ -68,52 +74,6 @@ def cosine_topk_bruteforce(
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
-
-
-def cosine_topk_twophase(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Exact top-k with a BOUNDED shuffle — the 100-TB form of
-    ``cosine_topk_bruteforce``.
-
-    Same codegen scoring (broadcast queries × corpus scan, identical
-    fold-order doubles), but instead of ranking all |Q|·|C| scored rows
-    through one window shuffle, an Arrow-batched pruning pass keeps the
-    per-query top-k WITHIN each batch (exact: every global top-k row is
-    top-k in its own batch), so the final merge window shuffles at most
-    |Q|·k rows per batch instead of the whole cross product.
-    """
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-        .select("query_id", "neighbor_id", "cos")
-    )
-
-    def prune(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(
-                ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
-            )
-            yield pdf.groupby("query_id", sort=False).head(k)
-
-    pruned = scored.mapInPandas(prune, schema=scored.schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -402,16 +402,17 @@ def q_winnowing(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_cosine_topk(spark, sf_dir):
-    """Exact cosine top-k on the SCALE plan (two-phase: per-batch pruning,
-    bounded merge shuffle) — scores are fold-order identical to the
-    brute-force form, so the same exact oracle hash-gates it."""
+    """Exact cosine top-k. The declarative window form IS the scale plan
+    on this Spark: Catalyst's window-group-limit pushdown inserts a
+    PARTIAL WindowGroupLimit below the exchange, so the merge shuffle
+    carries per-partition top-k only (asserted in tests/test_plans.py)."""
     from pyspark.sql import Window
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = e.filter(F.col("vec_id") < 20)
-    res = SIM.cosine_topk_twophase(q, e, k=5)
+    res = SIM.cosine_topk_bruteforce(q, e, k=5)
     # re-rank on the ROUNDED score so ties break identically cross-engine
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("neighbor_id")

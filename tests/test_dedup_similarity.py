@@ -123,16 +123,6 @@ def test_bruteforce_cosine_topk(spark, embs):
         assert all(r["neighbor_id"] != qid for r in rs)
 
 
-def test_twophase_topk_equals_bruteforce(spark, embs):
-    """The bounded-shuffle two-phase plan is EXACT: identical rows (ids,
-    ranks, and bit-identical cos doubles) to the all-rows window form."""
-    e = embs.withColumn("embedding", F.col("embedding").cast("array<double>"))
-    q = e.limit(7)
-    a = sorted(map(tuple, similarity.cosine_topk_bruteforce(q, e, k=4).collect()))
-    b = sorted(map(tuple, similarity.cosine_topk_twophase(q, e, k=4).collect()))
-    assert a == b
-
-
 def test_gemm_topk_same_set_as_bruteforce(spark, embs):
     """The GEMM kernel returns the same top-k SET (scores may differ in the
     last ulp from blockwise summation, so compare pairs, not doubles)."""

@@ -99,3 +99,45 @@ def test_ngram_inverted_index_no_cartesian(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(dedup.ngram_jaccard_pairs(docs, threshold=0.9))
     assert "CartesianProduct" not in plan
+
+
+def test_topk_window_prunes_below_exchange(spark):
+    """The exact top-k's rank<=k filter must compile to a PARTIAL
+    WindowGroupLimit BELOW the merge exchange — i.e. each map partition
+    ships only its per-query top-k, never the full |Q|x|C| cross product."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    plan = _plan(similarity.cosine_topk_bruteforce(e.limit(5), e, k=3))
+    partial = plan.find("row_number(), 3, Partial")
+    exchange = plan.find("Exchange hashpartitioning(query_id")
+    assert partial != -1 and exchange != -1, plan
+    # physical plans print top-down: the Partial limit is DEEPER (later in
+    # the string) than the exchange it feeds
+    assert partial > exchange, plan
+
+
+def test_ivf_assign_is_map_only(spark):
+    """Cell assignment must not shuffle the corpus: centroids are plan
+    literals, so the only Exchanges in ivf_topk belong to the final
+    rank/dedup stage, and assignment itself adds none."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = [(i, [0.1 * (i + 1)] * 64) for i in range(4)]
+    assigned = similarity._assign_cells(
+        e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")),
+        "v", cents, 1,
+    )
+    assert "Exchange" not in _plan(assigned)
+
+
+def test_stream_exact_dedup_state_keys_on_digest(spark):
+    """The streaming dedup aggregation shuffles 32-char digests, not
+    document bodies: its single Exchange partitions on the digest column."""
+    from distributed_extraction_framework_spark.streaming import events as STR
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(STR.stream_exact_dedup(docs))  # batch plan, same shape
+    m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
+    assert m and m.group(1).startswith("digest"), plan
