@@ -119,3 +119,95 @@ def test_infobox_kv_never_empty_key(k, v):
     text = "{{Infobox test | " + k + " = " + v + " }}"
     for (_t, key, val) in parse_infoboxes(text):
         assert key.strip() and val.strip()
+
+
+# --------------------------------------------------------------------------
+# differential: the C-speed kernels (str.find scan / regex tokenizer / fused
+# page parse) vs the original character-walk reference implementations
+# --------------------------------------------------------------------------
+
+def _ref_find_templates(text):
+    out, opens, i, n = [], [], 0, len(text)
+    while i < n - 1:
+        if text[i] == "{" and text[i + 1] == "{":
+            opens.append(i); i += 2
+        elif text[i] == "}" and text[i + 1] == "}" and opens:
+            out.append(text[opens.pop(): i + 2]); i += 2
+        else:
+            i += 1
+    return out
+
+
+def _ref_split_template(src):
+    body, parts, db, dk, cur, i, n = src[2:-2], [], 0, 0, [], 0, len(src) - 4
+    while i < n:
+        c, nxt = body[i], body[i + 1] if i + 1 < n else ""
+        if c == "{" and nxt == "{":
+            db += 1; cur.append("{{"); i += 2
+        elif c == "}" and nxt == "}":
+            db -= 1; cur.append("}}"); i += 2
+        elif c == "[" and nxt == "[":
+            dk += 1; cur.append("[["); i += 2
+        elif c == "]" and nxt == "]":
+            dk -= 1; cur.append("]]"); i += 2
+        elif c == "|" and db == 0 and dk == 0:
+            parts.append("".join(cur)); cur = []; i += 1
+        else:
+            cur.append(c); i += 1
+    parts.append("".join(cur))
+    return parts[0].strip(), parts[1:]
+
+
+@settings(max_examples=400, deadline=None)
+@given(markupish)
+def test_fast_template_scan_matches_charwalk(t):
+    assert find_top_level_templates(t) == _ref_find_templates(t)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.text(alphabet=list("abcXYZ |=[]{}"), max_size=120))
+def test_fast_split_matches_charwalk(body):
+    src = "{{" + body + "}}"
+    assert split_template(src) == _ref_split_template(src)
+
+
+# include the real template-name letters so the name pre-filters are
+# stressed with actual Infobox/Coord (and near-miss) spellings
+nameish = st.text(
+    alphabet=list("InfoboxCrd NSEW{}[]|=0123456789. \n\t"), max_size=200
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(nameish)
+def test_prefiltered_kernels_match_unfiltered_split(t):
+    """parse_infoboxes/parse_coords pre-filter on the raw name prefix; the
+    result must equal filtering AFTER the split (the original semantics)."""
+    boxes, coords = [], []
+    for src in find_top_level_templates(t):
+        name, parts = split_template(src)
+        if name.lower().startswith("infobox"):
+            for part in parts:
+                if "=" in part:
+                    key, _, value = part.partition("=")
+                    if key.strip() and value.strip():
+                        boxes.append((name, key.strip(), value.strip()))
+        if name.strip().lower() == "coord":
+            from distributed_extraction_framework_spark.functions.wikitext import (
+                _coord_from_parts,
+            )
+
+            c = _coord_from_parts(parts)
+            if c is not None:
+                coords.append(c)
+    assert parse_infoboxes(t) == boxes
+    assert parse_coords(t) == coords
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(markupish, nameish))
+def test_fused_page_parse_matches_separate_kernels(t):
+    p = parse_page_kernel(t)
+    assert [(b["template"], b["key"], b["value"]) for b in p["infobox"]] == \
+        parse_infoboxes(t)
+    assert [(c["lat"], c["lon"]) for c in p["coords"]] == parse_coords(t)
