@@ -224,6 +224,52 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh,
+) -> DataFrame:
+    """(id, cluster): transitive closure of the MinHash+LSH near-dup
+    relation — what a production pipeline actually dedups on, since
+    near-duplication is not transitive pairwise but clusters are.
+
+    cluster = min id in the connected component (deterministic canonical);
+    docs in no near-dup pair are their own singleton cluster. The CC runs
+    the same min-label propagation as sameAs canonicalization."""
+    from .canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, **lsh
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **lsh,
+) -> DataFrame:
+    """Keep one document (min id) per near-dup cluster — the end-to-end
+    fuzzy-dedup a training-data pipeline runs: MinHash → LSH pair join →
+    connected components → canonical survivor."""
+    clusters = near_dup_clusters(df, id_col, text_col, threshold, **lsh)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, id_col, "semi")
+
+
 # --------------------------------------------------------------------------
 # 3. SimHash
 # --------------------------------------------------------------------------

@@ -1456,18 +1456,22 @@ ORACLES.update(
 # deterministic constants inlined into the SQL below.
 # --------------------------------------------------------------------------
 
-def _minhash_oracle_sql(
+def _minhash_pairs_cte(
     num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
-    threshold: float = 0.7,
+    threshold: float = 0.7, recursive: bool = False,
 ) -> str:
+    """WITH-prefix computing ``np(id_a, id_b, je)`` — the exact MinHash+LSH
+    near-dup pairs — shared by the minhash gate and the fuzzy-dedup gate
+    (which adds a recursive closure on top, hence the RECURSIVE flag)."""
     a, b = D.minhash_seeds(num_hashes)
     vals = ", ".join(
         f"({i + 1}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
     )
     r = num_hashes // bands
     p = D.MERSENNE31
+    rec = "RECURSIVE " if recursive else ""
     return f"""
-WITH docs0 AS (SELECT doc_id AS id, trim(coalesce(text, '')) AS t FROM documents),
+WITH {rec}docs0 AS (SELECT doc_id AS id, trim(coalesce(text, '')) AS t FROM documents),
 seeds(i, a, b) AS (VALUES {vals}),
 ws AS (SELECT id, regexp_split_to_array(t, '\\s+') AS w FROM docs0 WHERE t <> ''),
 sh AS (SELECT id, list_transform(
@@ -1489,14 +1493,47 @@ cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
            ON x.band = y.band AND x.sig = y.sig AND x.id < y.id),
 agree AS (SELECT x.id AS id_a, y.id AS id_b, count(*) AS n
           FROM hs x JOIN hs y ON x.i = y.i AND x.h = y.h AND x.id < y.id
-          GROUP BY 1, 2)
-SELECT c.id_a, c.id_b, round(cast(n as double) / {num_hashes}, 6) AS jaccard_est
-FROM cand c JOIN agree g ON c.id_a = g.id_a AND c.id_b = g.id_b
-WHERE cast(n as double) / {num_hashes} >= {threshold}
+          GROUP BY 1, 2),
+np AS (SELECT c.id_a, c.id_b, cast(n as double) / {num_hashes} AS je
+       FROM cand c JOIN agree g ON c.id_a = g.id_a AND c.id_b = g.id_b
+       WHERE cast(n as double) / {num_hashes} >= {threshold})"""
+
+
+ORACLE_MINHASH = (
+    _minhash_pairs_cte()
+    + "\nSELECT id_a, id_b, round(je, 6) AS jaccard_est FROM np\n"
+)
+
+
+# fuzzy dedup: undirected closure over the exact near-dup pairs, keep the
+# min id per component plus every unpaired doc (same CC pattern as
+# ORACLE_CONNECTED_COMPONENTS: UNION ALL + DISTINCT for sym, recursive
+# UNION for reach)
+ORACLE_FUZZY_DEDUP = (
+    _minhash_pairs_cte(recursive=True)
+    + """,
+sym AS (SELECT DISTINCT u, v FROM (
+    SELECT id_a AS u, id_b AS v FROM np
+    UNION ALL SELECT id_b, id_a FROM np) WHERE u <> v),
+reach AS (
+  SELECT u AS vertex, v AS r FROM sym
+  UNION
+  SELECT reach.vertex, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+comp AS (SELECT vertex, least(vertex, min(r)) AS c FROM reach GROUP BY vertex)
+SELECT d.id AS doc_id
+FROM docs0 d LEFT JOIN comp ON d.id = comp.vertex
+WHERE comp.c IS NULL OR comp.c = d.id
 """
+)
 
 
-ORACLE_MINHASH = _minhash_oracle_sql()
+def q_fuzzy_dedup_docs(spark, sf_dir):
+    """End-to-end fuzzy dedup (MinHash → LSH pairs → connected components →
+    keep min id per cluster) vs an oracle that recomputes the exact pair
+    set in SQL and closes it with a recursive CTE."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.fuzzy_dedup(d, threshold=0.7).select("doc_id")
 
 
 ORACLE_SIMHASH = """
@@ -1601,11 +1638,13 @@ SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
 ORACLE_LSH_ANN = _lsh_ann_oracle_sql()
 
 
+QUERIES.update({"fuzzy_dedup_docs": q_fuzzy_dedup_docs})
 ORACLES.update(
     {
         "minhash_near_dups": ORACLE_MINHASH,
         "simhash_near_dups": ORACLE_SIMHASH,
         "winnowing_fingerprints": ORACLE_WINNOWING,
         "lsh_ann": ORACLE_LSH_ANN,
+        "fuzzy_dedup_docs": ORACLE_FUZZY_DEDUP,
     }
 )

@@ -17,7 +17,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "300000"))
+# 1M pages keeps local[8] ≥ ~30s with the C-speed parse kernel so fixed
+# overheads (JVM dispatch, worker reuse) stay < 5% of a timed pass at 4N
+N_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "1000000"))
+# workload fingerprint: trials are only comparable within one kernel
+# generation + corpus size; bumping this archives the previous ledger
+WORKLOAD = "v2-cspeed-kernel"
 
 WORKER = r"""
 import json, os, sys, time
@@ -111,6 +116,20 @@ def main() -> None:
     if os.path.exists(ledger_path):
         with open(ledger_path) as fh:
             trials = json.load(fh)
+    # trials from a different kernel generation / corpus size are not
+    # comparable (a 2.5× kernel speedup changes what the ratio measures):
+    # archive them and start the ledger fresh for this workload
+    stale = [t for t in trials
+             if t.get("workload") != WORKLOAD or t.get("n_pages") != N_PAGES]
+    if stale:
+        archive_path = os.path.join(REPO, "BENCH", "scaling_trials_v1.json")
+        old = []
+        if os.path.exists(archive_path):
+            with open(archive_path) as fh:
+                old = json.load(fh)
+        with open(archive_path, "w") as fh:
+            json.dump(old + stale, fh, indent=1)
+        trials = [t for t in trials if t not in stale]
     n_trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
     # SPARK_GRAFT_SCALING_TRIALS=0 → re-render the report from the ledger
     for _ in range(n_trials):
@@ -127,12 +146,16 @@ def main() -> None:
         r32 = min((r32a, r32b), key=lambda r: r["wall_sec"])
         eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
         norm = round(eff / hw["hw_efficiency"], 3) if hw["hw_efficiency"] else None
-        trials.append({"local8": r8, "local32": r32, "scaling_efficiency": eff,
+        trials.append({"workload": WORKLOAD, "n_pages": N_PAGES,
+                       "local8": r8, "local32": r32, "scaling_efficiency": eff,
                        "hw_ceiling_efficiency": hw["hw_efficiency"],
                        "normalized_efficiency": norm})
     os.makedirs(os.path.dirname(ledger_path), exist_ok=True)
     with open(ledger_path, "w") as fh:
         json.dump(trials, fh, indent=1)
+    if not trials:
+        print(json.dumps({"workload": WORKLOAD, "trials": 0}))
+        return
     best = max(trials, key=lambda t: t["scaling_efficiency"])
     r8, r32 = best["local8"], best["local32"]
     eff, norm = best["scaling_efficiency"], best["normalized_efficiency"]
@@ -154,12 +177,15 @@ def main() -> None:
 
     md = f"""# BENCH — scaling efficiency (north_rule evidence)
 
-Workload: the full fused 17-extractor suite (`operators/extractors.extract`)
-over {N_PAGES:,} synthetic Common-Crawl-style pages (sources/synth.py,
-seed=42), identical input at both parallelism levels, fresh JVM per level
-pinned with ``taskset`` to exactly N CPUs, one full untimed warmup pass
-(C2 JIT + all Python workers), steady-state wall = min of three timed
-passes, noop sink (no write IO).
+Workload `{WORKLOAD}`: the full fused 17-extractor suite
+(`operators/extractors.extract`) over {N_PAGES:,} synthetic
+Common-Crawl-style pages (sources/synth.py, seed=42), identical input at
+both parallelism levels, fresh JVM per level pinned with ``taskset`` to
+exactly N CPUs, one full untimed warmup pass (C2 JIT + all Python
+workers), steady-state wall = min of three timed passes, noop sink (no
+write IO). Trials from earlier kernel generations / corpus sizes are
+archived in BENCH/scaling_trials_v1.json (not comparable: the round-2
+C-speed parse kernel is ~2.5× faster, which changes both throughputs).
 
 `local[8]` vs `local[32]` is the sandbox stand-in for N vs 4N executors
 (driver instruction; no real cluster available here). The job is a single

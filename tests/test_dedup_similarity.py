@@ -96,6 +96,27 @@ def test_simhash_near_duplicates(spark, dup_docs):
             assert (min(orig, dup), max(orig, dup)) in pairs
 
 
+def test_fuzzy_dedup_collapses_clusters_transitively(spark, dup_docs):
+    """A~B and B~C must collapse into ONE cluster even when A~C alone would
+    not pair (near-dup is not pairwise transitive; clusters are)."""
+    df, made = dup_docs
+    # chain: base doc, exact copy, near copy of the copy
+    base = df.filter(F.col("doc_id") < 100000).limit(1).collect()[0]
+    words = base["text"].split()
+    words[0] = "ALTERED"
+    chain = spark.createDataFrame(
+        [(base["doc_id"], base["text"]),
+         (900001, base["text"]),
+         (900002, " ".join(words))],
+        ["doc_id", "text"],
+    )
+    kept = dedup.fuzzy_dedup(chain, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [base["doc_id"]]
+
+    clusters = dedup.near_dup_clusters(chain, threshold=0.5)
+    assert {r["cluster"] for r in clusters.collect()} == {base["doc_id"]}
+
+
 def test_ngram_jaccard(spark, dup_docs):
     df, made = dup_docs
     got = {
