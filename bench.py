@@ -27,8 +27,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "60000"))
 # the flagship docs/sec measure runs on a larger corpus so per-job fixed
 # overhead (~1s) stops dominating and the number matches the pinned
-# scaling bench's steady state (judge r1: 10.4k in-suite vs 38.4k pinned)
-N_PAGES_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_PAGES", "300000"))
+# scaling bench's steady state; 1M pages matches bench_scaling.py's corpus
+# exactly (shared cache at /tmp) now that the C-speed kernel is ~2.5× faster
+N_PAGES_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_PAGES", "1000000"))
 # this host swings 3-4x between noisy-neighbor phases; min-of-k per query
 # reports the machine's capability rather than one phase's luck
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
