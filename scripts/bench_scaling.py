@@ -75,15 +75,23 @@ def bandwidth_calibration() -> dict:
             n += 1
         q.put(n)
 
-    out = {}
-    for k in (8, 32):
+    def level(k):
         os.sched_setaffinity(0, range(k))
         q = mp.Queue()
         ps = [mp.Process(target=stream, args=(q,)) for _ in range(k)]
         [p.start() for p in ps]
         total = sum(q.get() for _ in ps)
         [p.join() for p in ps]
-        out[k] = total
+        return total
+
+    # mirrored 8,32,32,8 with MAX per level: the ratio of two 6-second
+    # samples taken minutes apart is itself noisy (observed 0.55–1.29 when
+    # sampled once); host noise only LOWERS a sample, so max-of-mirrored
+    # estimates the true ceiling far more stably
+    out = {8: max(level(8), 0), 32: 0}
+    out[32] = level(32)
+    out[32] = max(out[32], level(32))
+    out[8] = max(out[8], level(8))
     os.sched_setaffinity(0, range(os.cpu_count()))
     out["bw_efficiency"] = round(out[32] / (4 * out[8]), 3)
     return out
@@ -103,15 +111,19 @@ def hardware_calibration() -> dict:
             n += 1
         q.put(n)
 
-    out = {}
-    for k in (8, 32):
+    def level(k):
         os.sched_setaffinity(0, range(k))
         q = mp.Queue()
         ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
         [p.start() for p in ps]
         total = sum(q.get() for _ in ps)
         [p.join() for p in ps]
-        out[k] = total
+        return total
+
+    # mirrored 8,32,32,8 with MAX per level (see bandwidth_calibration)
+    out = {8: level(8)}
+    out[32] = max(level(32), level(32))
+    out[8] = max(out[8], level(8))
     os.sched_setaffinity(0, range(os.cpu_count()))
     out["hw_efficiency"] = round(out[32] / (4 * out[8]), 3)
     return out
@@ -159,7 +171,7 @@ def main() -> None:
     # archive them and start the ledger fresh for this workload
     stale = [t for t in trials
              if t.get("workload") != WORKLOAD or t.get("n_pages") != N_PAGES
-             or "bw_ceiling_efficiency" not in t]
+             or t.get("cal") != "mirrored"]
     if stale:
         archive_path = os.path.join(REPO, "BENCH", "scaling_trials_v1.json")
         old = []
@@ -189,6 +201,7 @@ def main() -> None:
         bw_norm = (round(eff / bw["bw_efficiency"], 3)
                    if bw["bw_efficiency"] else None)
         trials.append({"workload": WORKLOAD, "n_pages": N_PAGES,
+                       "cal": "mirrored",
                        "local8": r8, "local32": r32, "scaling_efficiency": eff,
                        "hw_ceiling_efficiency": hw["hw_efficiency"],
                        "normalized_efficiency": norm,
