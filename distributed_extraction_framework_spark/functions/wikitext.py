@@ -76,10 +76,17 @@ def find_top_level_templates(text: str) -> list[str]:
     opens: list[int] = []
     find = text.find
     i = 0
+    # Cache the next-close position: after pushing an open at o < c, the
+    # first '}}' from i=o+2 is provably still c ('}}' cannot start inside
+    # the '{{' at o, and [i, c) ⊆ the already-searched gap), so re-running
+    # find('}}') per open would be O(n²) on runs of unmatched '{{'
+    # (adversarial '{{'*100k pages). Only re-find after consuming a close.
+    c = -1
     while True:
-        c = find("}}", i)
-        if c == -1:
-            break
+        if c < i:
+            c = find("}}", i)
+            if c == -1:
+                break
         o = find("{{", i)
         if o != -1 and o < c:
             opens.append(o)

@@ -30,10 +30,18 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 15,
     checkpoint_every: int = 3,
+    strict: bool = True,
 ) -> DataFrame:
     """(vertex, component) for the undirected graph given by edges(src, dst).
 
     Component id = lexicographically smallest URI in the component.
+
+    ``max_iter`` is a SAFETY CAP, not a silent truncation: min-label
+    propagation needs ~diameter rounds, and a long chain of near-duplicates
+    (versioned/boilerplate docs at scale) can exceed any fixed budget. If
+    the labels have not converged when the cap is hit, ``strict=True``
+    (default) raises instead of returning wrong components — callers that
+    want best-effort labels pass ``strict=False``.
     """
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -46,6 +54,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    converged = False
     for i in range(max_iter):
         # candidate labels arriving over edges: neighbor's current component
         incoming = (
@@ -69,7 +78,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(graph diameter exceeds the iteration budget); raise "
+            f"max_iter or pass strict=False for best-effort labels"
+        )
     return labels
 
 

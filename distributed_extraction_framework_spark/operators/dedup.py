@@ -20,11 +20,26 @@ verification stays in Catalyst.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.text import WS_CLASS
+
+# Tokenizer shared (by construction) with the SQL oracles: maximal runs of
+# non-WS_CLASS characters. Python's str.split() splits on ALL unicode
+# whitespace (\v, \xa0, …) while RE2/DuckDB '\s' does not — the explicit
+# class keeps Spark kernels and DuckDB oracles hash-identical on any input,
+# not just ASCII-space corpora.
+_TOKEN_RE = re.compile("[^" + WS_CLASS[1:])
+
+
+def _tokens(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
 
 # deterministic 64-bit mix constants (splitmix64, public domain)
 _MASK = (1 << 64) - 1
@@ -84,7 +99,7 @@ def minhash_seeds(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _word_shingles(text: str, k: int) -> list[str]:
-    words = text.split()
+    words = _tokens(text)
     if not words:
         return []
     if len(words) < k:
@@ -286,7 +301,7 @@ def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = []
         bits = np.arange(64, dtype=np.uint64)
         for t in texts:
-            hs = _md5_u64((t if isinstance(t, str) else "").split())
+            hs = _md5_u64(_tokens(t if isinstance(t, str) else ""))
             if hs.size == 0:
                 out.append(0)
                 continue

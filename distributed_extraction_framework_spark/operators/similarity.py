@@ -137,6 +137,15 @@ def cosine_topk_gemm(
     )
 
 
+def _topk_window(rounded: bool):
+    """Top-k ranking window. ``rounded=True`` ranks on (round(cos, 6) desc,
+    neighbor_id asc) — the exact key the SQL oracles rank on — so a near-tie
+    within 1e-6 at the rank-k boundary (or a fold-order ulp difference) cuts
+    identically in both engines instead of making the hash gate flaky."""
+    key = F.round("cos", 6) if rounded else F.col("cos")
+    return Window.partitionBy("query_id").orderBy(F.desc(key), F.asc("neighbor_id"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
@@ -193,6 +202,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     portable: bool = False,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact scoring restricted to pairs colliding in ANY
     of ``n_tables`` independent sign-sketch tables.
@@ -229,7 +239,7 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w = _topk_window(rank_rounded)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -317,6 +327,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iterations: int = 0,
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """IVF coarse search: deterministic-sample centroids, optionally
     refined by ``train_iterations`` spherical k-means rounds; corpus and
@@ -351,7 +362,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w = _topk_window(rank_rounded)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

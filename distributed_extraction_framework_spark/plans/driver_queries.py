@@ -477,7 +477,8 @@ def q_lsh_ann(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     res = SIM.lsh_topk(
-        e.filter(F.col("vec_id") < 10), e, dim=64, k=5, portable=True
+        e.filter(F.col("vec_id") < 10), e, dim=64, k=5, portable=True,
+        rank_rounded=True,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("neighbor_id")
@@ -504,7 +505,8 @@ def q_ivf_topk(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 36))
-    res = SIM.ivf_topk(q, e, k=8, n_cells=8, n_probe=8, train_iterations=2)
+    res = SIM.ivf_topk(q, e, k=8, n_cells=8, n_probe=8, train_iterations=2,
+                       rank_rounded=True)
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("cos", 6)), F.asc("neighbor_id")
     )
@@ -1470,10 +1472,16 @@ def _minhash_pairs_cte(
     r = num_hashes // bands
     p = D.MERSENNE31
     rec = "RECURSIVE " if recursive else ""
+    # tokenize with the kernel's exact WS_CLASS (not RE2 '\s' + space-only
+    # trim): both engines see maximal runs of non-[ \t\n\r\f\v] chars, so
+    # docs with leading tabs / \v / unicode whitespace shingle identically
     return f"""
-WITH {rec}docs0 AS (SELECT doc_id AS id, trim(coalesce(text, '')) AS t FROM documents),
+WITH {rec}docs0 AS (SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{T.WS_CLASS}'),
+                     x -> x <> '') AS w
+       FROM documents),
 seeds(i, a, b) AS (VALUES {vals}),
-ws AS (SELECT id, regexp_split_to_array(t, '\\s+') AS w FROM docs0 WHERE t <> ''),
+ws AS (SELECT id, w FROM docs0 WHERE len(w) > 0),
 sh AS (SELECT id, list_transform(
          range(1, greatest(len(w) - {shingle_k}, 0) + 2),
          j -> array_to_string(list_slice(w, j, j + {shingle_k - 1}), ' ')) AS grams
@@ -1484,7 +1492,7 @@ gx AS (SELECT DISTINCT id,
 hs AS (SELECT id, i, min((a * x + b) % {p}) AS h
        FROM gx CROSS JOIN seeds GROUP BY id, i
        UNION ALL
-       SELECT d.id, s.i, 0 AS h FROM docs0 d CROSS JOIN seeds s WHERE d.t = ''),
+       SELECT d.id, s.i, 0 AS h FROM docs0 d CROSS JOIN seeds s WHERE len(d.w) = 0),
 bands AS (SELECT id, (i - 1) // {r} AS band,
                  array_to_string(list(h ORDER BY i), ',') AS sig
           FROM hs GROUP BY 1, 2),
@@ -1536,20 +1544,22 @@ def q_fuzzy_dedup_docs(spark, sf_dir):
     return D.fuzzy_dedup(d, threshold=0.7).select("doc_id")
 
 
-ORACLE_SIMHASH = """
-WITH docs0 AS (SELECT doc_id AS id, trim(coalesce(text, '')) AS t FROM documents),
+ORACLE_SIMHASH = f"""
+WITH docs0 AS (SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{T.WS_CLASS}'),
+                     x -> x <> '') AS w
+       FROM documents),
 bits AS (SELECT unnest(range(0, 64)) AS bi),
 th AS (SELECT id, cast('0x' || substr(md5(tk), 1, 8) as bigint) AS hi,
               cast('0x' || substr(md5(tk), 9, 8) as bigint) AS lo
-       FROM (SELECT id, unnest(regexp_split_to_array(t, '\\s+')) AS tk
-             FROM docs0 WHERE t <> '')),
+       FROM (SELECT id, unnest(w) AS tk FROM docs0 WHERE len(w) > 0)),
 vb AS (SELECT id, bi,
               CASE WHEN 2 * sum(CASE WHEN bi < 32 THEN (lo >> bi) & 1
                                      ELSE (hi >> (bi - 32)) & 1 END) > count(*)
                    THEN 1 ELSE 0 END AS v
        FROM th CROSS JOIN bits GROUP BY id, bi
        UNION ALL
-       SELECT d.id, b.bi, 0 AS v FROM docs0 d CROSS JOIN bits b WHERE d.t = ''),
+       SELECT d.id, b.bi, 0 AS v FROM docs0 d CROSS JOIN bits b WHERE len(d.w) = 0),
 bandk AS (SELECT id, bi // 16 AS band, sum(v * (1::BIGINT << (bi % 16))) AS key
           FROM vb GROUP BY 1, 2),
 cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
