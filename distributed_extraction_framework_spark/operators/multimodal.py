@@ -324,6 +324,153 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def _encode_pgm(gray: np.ndarray) -> bytes:
+    h, w = gray.shape[:2]
+    return b"P5 %d %d 255\n" % (w, h) + gray.astype(np.uint8).tobytes()
+
+
+def _encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 RGB uint8 → uncompressed 24-bit bottom-up BMP (with the
+    standard 4-byte row padding), the exact format _decode_bmp inverts."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = rows.tobytes()
+    off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+MEDIA_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("decoded", BooleanType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("samp_sum", LongType(), True),
+    ]
+)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Integer-exact content stats through the REAL decode path — the
+    driver-gateable face of the decoders (a DuckDB oracle recomputes the
+    same stats in closed form from the synthetic payload grammar):
+
+    * images: (width, height, Σ pixel values) after full PPM/PGM/BMP decode
+      — integer-exact, so the gate proves header parse, stride/padding,
+      BGR↔RGB flip, bottom-up flip, and gray→RGB expansion are all right;
+    * audio: (n_samples, Σ int16 samples) after WAV decode;
+    * undecodable payloads: decoded=false with byte length only.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(kind: str, p):
+            none = (False, None, None, None, None, None)
+            if p is None:
+                return none
+            b = bytes(p)
+            if kind == "image":
+                img = _decode_image(b)
+                if img is not None:
+                    return (True, img.shape[1], img.shape[0],
+                            int(img.astype(np.int64).sum()), None, None)
+            elif kind == "audio":
+                au = _decode_audio(b)
+                if au is not None:
+                    x, _ = au
+                    # mono int16 → x = i/32768 exactly; Σx·32768 is the
+                    # integer Σi (exact in float64 at these magnitudes)
+                    return (True, None, None, None, int(x.size),
+                            int(round(float(x.sum()) * 32768.0)))
+            return none
+
+        for pdf in batches:
+            res = [one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "decoded": [r[0] for r in res],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                    "width": [r[1] for r in res],
+                    "height": [r[2] for r in res],
+                    "px_sum": [r[3] for r in res],
+                    "n_samples": [r[4] for r in res],
+                    "samp_sum": [r[5] for r in res],
+                }
+            )
+
+    return media.mapInPandas(stats, schema=MEDIA_STATS_SCHEMA)
+
+
+def synth_media_exact(spark, n: int = 60) -> DataFrame:
+    """Deterministic media table whose content stats have CLOSED FORMS a
+    SQL oracle can recompute (no randomness):
+
+    * i % 3 == 0 → image, cycling PPM / BMP / PGM by (i//3) % 3;
+      w = 8 + i%5, h = 6 + i%7; RGB pixel(y,x,c) = (x*3 + y*5 + c*11 + i)
+      % 256, PGM gray(y,x) = (x*3 + y*5 + i) % 256 (decoder expands ×3);
+    * i % 3 == 1 → audio: 16-bit mono WAV @8000 Hz, n = 400 + (i%5)*100
+      samples, int16[j] = ((j*37 + i*11) % 201 - 100) * 300;
+    * i % 3 == 2 → video: opaque 32-byte block repeated 1 + i%4 times
+      (no codec in this container → decoded=false, length-only stats).
+
+    Built distributedly (range → mapInPandas) like every other synth
+    source — the same shape scales out."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in (int(v) for v in pdf["id"]):
+                kind = ["image", "audio", "video"][i % 3]
+                w = h = dur = None
+                if kind == "image":
+                    w, h = 8 + i % 5, 6 + i % 7
+                    fmt = (i // 3) % 3
+                    if fmt == 2:  # PGM gray
+                        y, x = np.mgrid[0:h, 0:w]
+                        payload = _encode_pgm((x * 3 + y * 5 + i) % 256)
+                        mime = "image/x-portable-graymap"
+                    else:
+                        y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                        img = ((x * 3 + y * 5 + c * 11 + i) % 256).astype(np.uint8)
+                        payload = (_encode_ppm if fmt == 0 else _encode_bmp)(img)
+                        mime = ("image/x-portable-pixmap" if fmt == 0
+                                else "image/bmp")
+                elif kind == "audio":
+                    ns = 400 + (i % 5) * 100
+                    j = np.arange(ns)
+                    i16 = (((j * 37 + i * 11) % 201) - 100) * 300
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(i16.astype("<i2").tobytes())
+                    payload, mime = buf.getvalue(), "audio/wav"
+                    dur = ns * 1000 // 8000
+                else:
+                    payload = bytes(range(32)) * (1 + i % 4)
+                    mime = "video/mp4"
+                    dur = 1000 * (1 + i % 10)
+                rows.append((i, kind, bytearray(payload), mime, w, h, dur))
+            yield pd.DataFrame(rows, columns=list(MEDIA_SCHEMA.names))
+
+    return spark.range(0, n, numPartitions=4).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic media table with REAL decodable payloads: P6 PPM
     images and PCM WAV audio (video payloads remain opaque bytes)."""

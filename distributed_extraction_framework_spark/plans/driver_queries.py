@@ -1658,3 +1658,75 @@ ORACLES.update(
         "fuzzy_dedup_docs": ORACLE_FUZZY_DEDUP,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# fifth wave: multimodal decoder gate
+#
+# media_stats runs the REAL decoders (PPM/PGM/BMP images, PCM WAV audio —
+# operators/multimodal.py) over the deterministic synth_media_exact table
+# and emits INTEGER-EXACT content stats (pixel sums, int16 sample sums,
+# decoded dims); the oracle recomputes them in closed form from the payload
+# grammar, so the decode path itself is driver-verified, not pytest-only.
+# --------------------------------------------------------------------------
+
+def q_media_features(spark, sf_dir):
+    """Decode-path gate: gradient PPM/BMP/PGM images and ramp WAV audio are
+    ENCODED to real bytes, pushed through mapInPandas decode, and reduced
+    to integer-exact stats the SQL oracle derives without touching bytes —
+    proving header parse, BMP stride/BGR/bottom-up handling, gray→RGB
+    expansion, and WAV framing are all correct."""
+    from ..operators.multimodal import media_stats, synth_media_exact
+
+    return media_stats(synth_media_exact(spark, 60))
+
+
+ORACLE_MEDIA_FEATURES = """
+WITH ids AS (SELECT unnest(range(60)) AS i),
+img AS (SELECT i, 8 + i % 5 AS w, 6 + i % 7 AS h, (i // 3) % 3 AS fmt
+        FROM ids WHERE i % 3 = 0),
+imgpx AS (
+  SELECT img.i,
+         sum(CASE WHEN fmt = 2 THEN 3 * ((x.x*3 + y.y*5 + img.i) % 256)
+                  ELSE (x.x*3 + y.y*5 + c.c*11 + img.i) % 256 END) AS px
+  FROM img, range(12) y(y), range(12) x(x), range(3) c(c)
+  WHERE y.y < img.h AND x.x < img.w AND (fmt <> 2 OR c.c = 0)
+  GROUP BY img.i),
+imgrow AS (
+  SELECT img.i AS media_id, 'image' AS kind, true AS decoded,
+         CASE fmt
+           WHEN 1 THEN 54 + ((img.w*3 + 3) // 4) * 4 * img.h
+           WHEN 2 THEN 9 + length(cast(img.w AS varchar))
+                       + length(cast(img.h AS varchar)) + img.w * img.h
+           ELSE 9 + length(cast(img.w AS varchar))
+                  + length(cast(img.h AS varchar)) + img.w * img.h * 3
+         END AS n_bytes,
+         img.w AS width, img.h AS height, imgpx.px AS px_sum,
+         NULL AS n_samples, NULL AS samp_sum
+  FROM img JOIN imgpx ON img.i = imgpx.i),
+aud AS (SELECT i, 400 + (i % 5) * 100 AS ns FROM ids WHERE i % 3 = 1),
+audsum AS (SELECT aud.i, sum(((j.j*37 + aud.i*11) % 201 - 100) * 300) AS ss
+           FROM aud, range(800) j(j) WHERE j.j < aud.ns GROUP BY aud.i),
+audrow AS (
+  SELECT aud.i AS media_id, 'audio' AS kind, true AS decoded,
+         44 + 2 * aud.ns AS n_bytes, NULL AS width, NULL AS height,
+         NULL AS px_sum, aud.ns AS n_samples, audsum.ss AS samp_sum
+  FROM aud JOIN audsum ON aud.i = audsum.i),
+vidrow AS (
+  SELECT i AS media_id, 'video' AS kind, false AS decoded,
+         32 * (1 + i % 4) AS n_bytes, NULL AS width, NULL AS height,
+         NULL AS px_sum, NULL AS n_samples, NULL AS samp_sum
+  FROM ids WHERE i % 3 = 2)
+SELECT cast(media_id AS bigint) AS media_id, kind, decoded,
+       cast(n_bytes AS bigint) AS n_bytes,
+       cast(width AS int) AS width, cast(height AS int) AS height,
+       cast(px_sum AS bigint) AS px_sum,
+       cast(n_samples AS bigint) AS n_samples,
+       cast(samp_sum AS bigint) AS samp_sum
+FROM (SELECT * FROM imgrow UNION ALL SELECT * FROM audrow
+      UNION ALL SELECT * FROM vidrow)
+"""
+
+
+QUERIES.update({"media_features": q_media_features})
+ORACLES.update({"media_features": ORACLE_MEDIA_FEATURES})

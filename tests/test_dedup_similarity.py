@@ -284,3 +284,47 @@ def test_multimodal_real_audio_features(spark):
     f = {r["media_id"]: r for r in M.extract_media_features(media, 8).collect()}
     assert f[0]["decoded"] and f[1]["decoded"]
     assert f[1]["feature"][0] > 10 * f[0]["feature"][0]
+
+
+def test_media_stats_exact(spark):
+    """media_stats through the real decoders equals the closed-form ground
+    truth of synth_media_exact (the same math the DuckDB gate recomputes) —
+    including the BMP stride/BGR/bottom-up path and PGM gray expansion."""
+    import numpy as np
+
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    rows = {r["media_id"]: r for r in M.media_stats(M.synth_media_exact(spark, 36)).collect()}
+    assert len(rows) == 36
+    for i, r in rows.items():
+        if i % 3 == 0:
+            w, h, fmt = 8 + i % 5, 6 + i % 7, (i // 3) % 3
+            assert r["decoded"] and r["width"] == w and r["height"] == h
+            if fmt == 2:
+                y, x = np.mgrid[0:h, 0:w]
+                exp = 3 * int(((x * 3 + y * 5 + i) % 256).sum())
+            else:
+                y, x, c = np.mgrid[0:h, 0:w, 0:3]
+                exp = int(((x * 3 + y * 5 + c * 11 + i) % 256).sum())
+            assert r["px_sum"] == exp, (i, fmt)
+        elif i % 3 == 1:
+            ns = 400 + (i % 5) * 100
+            j = np.arange(ns)
+            assert r["decoded"] and r["n_samples"] == ns
+            assert r["samp_sum"] == int(((((j * 37 + i * 11) % 201) - 100) * 300).sum())
+            assert r["n_bytes"] == 44 + 2 * ns
+        else:
+            assert not r["decoded"] and r["n_bytes"] == 32 * (1 + i % 4)
+
+
+def test_bmp_roundtrip():
+    """_encode_bmp/_decode_bmp invert each other for odd widths (stride
+    padding) — the case a naive decoder gets wrong."""
+    import numpy as np
+
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    for w, h in [(5, 3), (7, 4), (8, 2)]:
+        img = (np.arange(w * h * 3).reshape(h, w, 3) % 256).astype(np.uint8)
+        out = M._decode_bmp(M._encode_bmp(img))
+        assert out is not None and (out == img).all(), (w, h)
