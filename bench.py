@@ -33,6 +33,10 @@ N_PAGES_FLAGSHIP = int(os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_PAGES", "10000
 # this host swings 3-4x between noisy-neighbor phases; min-of-k per query
 # reports the machine's capability rather than one phase's luck
 PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+# queries that showed phase-noise swings between rounds get an extra pass,
+# and every query's per-pass raw walls are emitted ("passes") so a future
+# regression is distinguishable from one noisy sample
+NOISY = {"redirect_resolve", "cosine_topk", "simhash"}
 
 
 def _sink(df) -> None:
@@ -79,13 +83,16 @@ def main() -> None:
     _sink(extract(pages))
 
     timings: dict[str, float] = {}
+    raw_passes: dict[str, list[float]] = {}
 
     def timed(name, fn):
+        k = max(PASSES, 1) + (1 if name in NOISY else 0)
         walls = []
-        for _ in range(max(PASSES, 1)):
+        for _ in range(k):
             t0 = time.time()
             fn()
             walls.append(time.time() - t0)
+        raw_passes[name] = [round(w, 3) for w in walls]
         timings[name] = round(min(walls), 3)
 
     # flagship: full fused extraction over the large synthetic corpus
@@ -155,6 +162,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": raw_passes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "n_pages": N_PAGES_FLAGSHIP,
         "cpus": CPUS,

@@ -53,7 +53,11 @@ def harvest_redirects(
     )
 
 
-def transitive_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
+def transitive_closure(
+    redirects: DataFrame,
+    max_iter: int = 12,
+    broadcast_rows: int = 5_000_000,
+) -> DataFrame:
     """Resolve redirect chains to their final target; drop cycles.
 
     Pointer doubling: each iteration rewrites dst → dst's dst, so
@@ -62,18 +66,37 @@ def transitive_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
     the closure table is small (redirects ≪ pages) and the convergence
     check then reads materialized data instead of recomputing the join
     chain (the iterative-self-join cost driver at scale, SURVEY.md §7).
+
+    Two per-iteration costs are fused away:
+
+    * convergence is an ``observe()`` metric collected BY the checkpoint
+      job itself — no second scan/count job per round;
+    * when the redirect table is small (≤ ``broadcast_rows``; the same
+      smallness that let the reference ``collectAsMap`` the whole map to
+      the driver, DistRedirects.scala:103-153), the self-join broadcasts
+      its build side — zero shuffles in the loop. Above the threshold it
+      degrades to the shuffled self-join, which is the 10^12-page-safe
+      shape.
     """
-    cur = redirects.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    from pyspark.sql import Observation
+
+    cur = (
+        redirects.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    # one cheap count on materialized data decides the join strategy
+    use_broadcast = cur.count() <= broadcast_rows
     for _ in range(max_iter):
+        right = cur.select(
+            F.col("src").alias("j_src"), F.col("dst").alias("j_dst")
+        ).alias("b")
+        if use_broadcast:
+            right = F.broadcast(right)
+        obs = Observation()
         nxt = (
             cur.alias("a")
-            .join(
-                cur.select(
-                    F.col("src").alias("j_src"), F.col("dst").alias("j_dst")
-                ).alias("b"),
-                F.col("a.dst") == F.col("b.j_src"),
-                "left",
-            )
+            .join(right, F.col("a.dst") == F.col("b.j_src"), "left")
             .select(
                 F.col("a.src").alias("src"),
                 F.coalesce(F.col("b.j_dst"), F.col("a.dst")).alias("dst"),
@@ -82,9 +105,10 @@ def transitive_closure(redirects: DataFrame, max_iter: int = 12) -> DataFrame:
             # cycles degenerate to self-loops after a doubling → drop (the
             # reference's resolveMap cycle detection)
             .filter(F.col("src") != F.col("dst"))
+            .observe(obs, F.sum(F.col("_jumped").cast("int")).alias("jumps"))
             .localCheckpoint(eager=True)
         )
-        converged = nxt.filter(F.col("_jumped")).limit(1).count() == 0
+        converged = not (obs.get["jumps"] or 0)
         cur = nxt.drop("_jumped")
         if converged:
             break

@@ -342,22 +342,48 @@ def predicates_table(quads: DataFrame) -> DataFrame:
     )
 
 
-def write_graph_tables(quads: DataFrame, warehouse: str) -> dict[str, int]:
+def write_graph_tables(
+    quads: DataFrame,
+    warehouse: str,
+    table_format: str = "parquet",
+    catalog: str = "defs",
+) -> dict[str, int]:
     """Materialize nodes/edges/predicates/literals under ``warehouse``.
 
     Edges and literals partition by ``dataset`` (the reference's output
     multiplexing key); row counts return for lineage.
+
+    ``table_format='iceberg'`` writes snapshot-committed Iceberg tables
+    ``{catalog}.graph.{name}`` instead of parquet paths (session built
+    with ``iceberg_warehouse=``/``iceberg_conf`` — the Iceberg snapshot
+    commit then IS the completion marker, strictly stronger than the
+    ``_SUCCESS`` file the parquet path relies on). Requires the runtime
+    jar (session.iceberg_available); this container has none, so the
+    parquet branch is the tested default and the Iceberg branch carries a
+    skipped-unless-jar test (tests/test_materialize.py).
     """
-    counts: dict[str, int] = {}
-    e = edges_table(quads)
-    e.write.mode("overwrite").partitionBy("dataset").parquet(f"{warehouse}/edges")
-    lit = literals_table(quads)
-    lit.write.mode("overwrite").partitionBy("dataset").parquet(f"{warehouse}/literals")
-    n = nodes_table(quads)
-    n.write.mode("overwrite").parquet(f"{warehouse}/nodes")
-    p = predicates_table(quads)
-    p.write.mode("overwrite").parquet(f"{warehouse}/predicates")
     spark = quads.sparkSession
-    for name in ("edges", "literals", "nodes", "predicates"):
-        counts[name] = spark.read.parquet(f"{warehouse}/{name}").count()
+    tables = {
+        "edges": (edges_table(quads), ["dataset"]),
+        "literals": (literals_table(quads), ["dataset"]),
+        "nodes": (nodes_table(quads), None),
+        "predicates": (predicates_table(quads), None),
+    }
+    counts: dict[str, int] = {}
+    for name, (df, part_cols) in tables.items():
+        if table_format == "iceberg":
+            writer = df.writeTo(f"{catalog}.graph.{name}").using("iceberg")
+            if part_cols:
+                writer = writer.partitionedBy(F.col(part_cols[0]))
+            writer.createOrReplace()
+        else:
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(f"{warehouse}/{name}")
+    for name in tables:
+        if table_format == "iceberg":
+            counts[name] = spark.table(f"{catalog}.graph.{name}").count()
+        else:
+            counts[name] = spark.read.parquet(f"{warehouse}/{name}").count()
     return counts

@@ -38,16 +38,49 @@ DEFAULT_CONF = {
 }
 
 
+def iceberg_conf(warehouse: str, catalog: str = "defs") -> dict[str, str]:
+    """Session conf for an Iceberg hadoop catalog (north_rule sink).
+
+    Requires the Iceberg Spark runtime jar on the classpath — on a real
+    cluster add ``--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>``
+    to spark-submit (this container ships no jar; ``iceberg_available``
+    probes for it and callers degrade to parquet). The returned keys are
+    the COMPLETE switch: merge them into ``get_spark(extra_conf=...)`` or
+    pass ``iceberg_warehouse=`` and every ``write_graph_tables(...,
+    table_format='iceberg')`` call lands in snapshot-committed tables.
+    """
+    return {
+        "spark.sql.extensions":
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is loadable in this JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "distributed-extraction-framework-spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
     shuffle_partitions: int | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
     cluster leave it unset and let spark-submit provide it.
+    ``iceberg_warehouse`` wires up the Iceberg catalog (see iceberg_conf).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
@@ -56,6 +89,8 @@ def get_spark(
     conf = dict(DEFAULT_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if iceberg_warehouse is not None:
+        conf.update(iceberg_conf(iceberg_warehouse))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
