@@ -209,6 +209,225 @@ class VectorScanner:
         return out
 
 
+# --------------------------------------------------------------------------
+# vendored C scan kernel (compiled on first use, pure-Python fallback kept)
+# --------------------------------------------------------------------------
+
+_AC_C_SRC = r"""
+#include <stdint.h>
+
+/* Flattened Aho-Corasick byte scanner (public-knowledge algorithm;
+   Aho & Corasick 1975). The automaton is BUILT in Python and passed in
+   as flat arrays; this is only the O(n) scan loop. Returns the total
+   number of (row, pattern) hits; writes the first `cap` of them. */
+long ac_scan(const uint8_t* buf, long n,
+             const int64_t* starts, long n_rows,
+             const int32_t* edge_start,
+             const uint8_t* edge_byte,
+             const int32_t* edge_next,
+             const int32_t* fail,
+             const int32_t* root_next,
+             const int32_t* out_start,
+             const int32_t* out_list,
+             int32_t* hit_rows, int32_t* hit_pats, long cap)
+{
+    long cnt = 0;
+    int32_t node = 0;
+    long row = 0;
+    for (long i = 0; i < n; i++) {
+        uint8_t c = buf[i];
+        while (row + 1 < n_rows && i >= starts[row + 1]) row++;
+        for (;;) {
+            int32_t nxt = -1;
+            if (node == 0) {           /* dense root row: the common path */
+                nxt = root_next[c];
+                node = nxt >= 0 ? nxt : 0;
+                break;
+            }
+            int lo = edge_start[node], hi = edge_start[node + 1];
+            while (lo < hi) {
+                int mid = (lo + hi) >> 1;
+                uint8_t b = edge_byte[mid];
+                if (b < c) lo = mid + 1;
+                else if (b > c) hi = mid;
+                else { nxt = edge_next[mid]; break; }
+            }
+            if (nxt >= 0) { node = nxt; break; }
+            node = fail[node];
+        }
+        if (out_start[node] != out_start[node + 1]) {
+            for (int32_t k = out_start[node]; k < out_start[node + 1]; k++) {
+                if (cnt < cap) {
+                    hit_rows[cnt] = (int32_t)row;
+                    hit_pats[cnt] = out_list[k];
+                }
+                cnt++;
+            }
+        }
+    }
+    return cnt;
+}
+"""
+
+
+def _ac_c_lib():
+    """Compile (once per host, atomic-rename cached) + dlopen the scanner.
+
+    Returns None when no C toolchain is available — callers fall back to
+    the pure-Python automaton. The .so is keyed by source hash under /tmp,
+    so all executor workers on a host share one compile.
+    """
+    import ctypes
+    import os
+    import subprocess
+    import tempfile
+    from shutil import which
+
+    h = hashlib.md5(_AC_C_SRC.encode("utf-8")).hexdigest()[:12]
+    so = f"{tempfile.gettempdir()}/defs_ac_{h}.so"
+    if not os.path.exists(so):
+        cc = next((c for c in ("cc", "gcc", "clang") if which(c)), None)
+        if cc is None:
+            return None
+        src = f"{so}.{os.getpid()}.c"
+        tmp = f"{so}.{os.getpid()}.tmp"
+        with open(src, "w") as fh:
+            fh.write(_AC_C_SRC)
+        try:
+            subprocess.run([cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                           check=True, capture_output=True)
+            os.replace(tmp, so)  # atomic: concurrent workers race safely
+        except Exception:
+            return None
+        finally:
+            for p in (src, tmp):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+    lib = ctypes.CDLL(so)
+    lib.ac_scan.restype = ctypes.c_long
+    return lib
+
+
+class CScanner:
+    """Aho-Corasick with the scan loop in vendored C (~30-100× the pure-
+    Python automaton in-container; same contract, differential-tested).
+
+    Build stays in Python: byte-trie + BFS fail links + accumulated output
+    sets, flattened to numpy arrays the C loop walks. Matching is on UTF-8
+    bytes (self-synchronizing, so byte occurrences == char occurrences);
+    rows of a batch are joined with a NUL gap no pattern can contain, so
+    the automaton provably returns to root between rows.
+    """
+
+    def __init__(self, patterns: list[str], lib=None):
+        self.lib = lib if lib is not None else _ac_c_lib()
+        if self.lib is None:
+            raise RuntimeError("no C toolchain")
+        self.patterns = list(patterns)
+        children: list[dict[int, int]] = [{}]
+        out_pat: list[list[int]] = [[]]
+        for pid, p in enumerate(self.patterns):
+            b = p.encode("utf-8")
+            if not b:
+                continue
+            node = 0
+            for byte in b:
+                nxt = children[node].get(byte)
+                if nxt is None:
+                    children.append({})
+                    out_pat.append([])
+                    nxt = len(children) - 1
+                    children[node][byte] = nxt
+                node = nxt
+            out_pat[node].append(pid)
+        n = len(children)
+        fail = [0] * n
+        q: deque[int] = deque(children[0].values())
+        while q:
+            node = q.popleft()
+            for byte, child in children[node].items():
+                q.append(child)
+                f = fail[node]
+                while f and byte not in children[f]:
+                    f = fail[f]
+                cand = children[f].get(byte, 0)
+                fail[child] = cand if cand != child else 0
+                out_pat[child] = out_pat[child] + out_pat[fail[child]]
+        edge_start = np.zeros(n + 1, dtype=np.int32)
+        eb: list[int] = []
+        en: list[int] = []
+        for node in range(n):
+            edge_start[node] = len(eb)
+            for byte in sorted(children[node]):
+                eb.append(byte)
+                en.append(children[node][byte])
+        edge_start[n] = len(eb)
+        root_next = np.full(256, -1, dtype=np.int32)
+        for byte, child in children[0].items():
+            root_next[byte] = child
+        out_start = np.zeros(n + 1, dtype=np.int32)
+        ol: list[int] = []
+        for node in range(n):
+            out_start[node] = len(ol)
+            ol.extend(out_pat[node])
+        out_start[n] = len(ol)
+        self._edge_start = edge_start
+        self._edge_byte = np.asarray(eb, dtype=np.uint8)
+        self._edge_next = np.asarray(en, dtype=np.int32)
+        self._fail = np.asarray(fail, dtype=np.int32)
+        self._root_next = root_next
+        self._out_start = out_start
+        self._out_list = np.asarray(ol, dtype=np.int32)
+
+    def find_all(self, text: str) -> list[str]:
+        return self.find_all_batch([text])[0]
+
+    def find_all_batch(self, texts: list[str]) -> list[list[str]]:
+        import ctypes
+
+        out: list[list[str]] = [[] for _ in texts]
+        if not texts or not self.patterns:
+            return out
+        bufs = [t.encode("utf-8") for t in texts]
+        raw = b"\x00".join(bufs)
+        if not raw:
+            return out
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        starts = np.zeros(len(bufs), dtype=np.int64)
+        for i in range(1, len(bufs)):
+            starts[i] = starts[i - 1] + len(bufs[i - 1]) + 1
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        cap = max(1 << 16, 4 * len(texts))
+        while True:
+            rows = np.empty(cap, dtype=np.int32)
+            pats = np.empty(cap, dtype=np.int32)
+            cnt = self.lib.ac_scan(
+                ptr(buf, ctypes.c_uint8), ctypes.c_long(buf.size),
+                ptr(starts, ctypes.c_int64), ctypes.c_long(len(bufs)),
+                ptr(self._edge_start, ctypes.c_int32),
+                ptr(self._edge_byte, ctypes.c_uint8),
+                ptr(self._edge_next, ctypes.c_int32),
+                ptr(self._fail, ctypes.c_int32),
+                ptr(self._root_next, ctypes.c_int32),
+                ptr(self._out_start, ctypes.c_int32),
+                ptr(self._out_list, ctypes.c_int32),
+                ptr(rows, ctypes.c_int32), ptr(pats, ctypes.c_int32),
+                ctypes.c_long(cap),
+            )
+            if cnt <= cap:
+                break
+            cap = cnt
+        pats_s = self.patterns
+        for r, p in zip(rows[:cnt].tolist(), pats[:cnt].tolist()):
+            out[r].append(pats_s[p])
+        return out
+
+
 class _CAutomaton:
     """pyahocorasick wrapper with the same find_all contract."""
 
@@ -229,15 +448,23 @@ class _CAutomaton:
 def make_matcher(patterns: list[str], kernel: str = "auto"):
     """Fastest available exact multi-pattern matcher.
 
-    kernel='auto': pyahocorasick (C) when importable, else the pure-Python
-    automaton (measured fastest fallback on this corpus shape — see
-    VectorScanner docstring for the numbers). 'vector' forces the numpy
-    batch scanner, 'python' the automaton.
+    kernel='auto': pyahocorasick (C lib) when importable, else the vendored
+    compiled scanner (CScanner — C source shipped in this module, built on
+    first use when a toolchain exists), else the pure-Python automaton.
+    'vector' forces the numpy batch scanner, 'python' the automaton,
+    'c' the vendored scanner (raises without a toolchain).
     """
     if kernel == "vector":
         return VectorScanner(patterns)
-    if kernel == "auto" and _pyahocorasick is not None:  # pragma: no cover
-        return _CAutomaton(patterns)
+    if kernel == "c":
+        return CScanner(patterns)
+    if kernel == "auto":
+        if _pyahocorasick is not None:  # pragma: no cover
+            return _CAutomaton(patterns)
+        try:
+            return CScanner(patterns)
+        except Exception:
+            pass
     return AhoCorasick(patterns)
 
 
@@ -318,28 +545,42 @@ def score_candidates(
     surface_forms: DataFrame,
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """Join mentions to candidate entities on (surface, salt) and keep the
-    best-scored candidate per (page, surface).
+    """Join mentions to candidate entities and keep the best-scored
+    candidate per (page, surface). Score = prior-weighted mention
+    frequency.
 
-    Salting: mentions carry ``pmod(xxhash64(page), R)``; the candidate side
-    replicates each row R times. A head surface's shuffle load spreads over
-    R reducers instead of 1. Score = prior-weighted mention frequency.
+    ``salt_buckets > 1`` (the big-dictionary path): a shuffle join on
+    (surface, salt) — mentions carry ``pmod(xxhash64(page), R)``, the
+    candidate side replicates each row R times, so a head surface's
+    shuffle load spreads over R reducers instead of 1 (the explicit
+    salting the north_rule asks for, on top of AQE skew handling).
+
+    ``salt_buckets <= 1`` (the broadcast path, used by link_entities when
+    the dictionary fits a broadcast): a broadcast hash join — no shuffle
+    at all, hence nothing to salt; the downstream window reuses the
+    (page, surface) hash partitioning the mention groupBy already
+    produced, so the whole score stage adds ZERO exchanges.
     """
-    R = salt_buckets
-    m = mentions.withColumn(
-        "salt", F.pmod(F.xxhash64("page"), F.lit(R)).cast("int")
-    )
-    c = surface_forms.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
-    )
-    scored = (
-        m.join(c, ["surface", "salt"], "inner")
-        .withColumn(
-            "score",
-            F.col("prior") * F.log1p(F.col("n_mentions")),
+    if salt_buckets <= 1:
+        scored = mentions.join(
+            F.broadcast(surface_forms), ["surface"], "inner"
+        ).withColumn("score", F.col("prior") * F.log1p(F.col("n_mentions")))
+    else:
+        R = salt_buckets
+        m = mentions.withColumn(
+            "salt", F.pmod(F.xxhash64("page"), F.lit(R)).cast("int")
         )
-        .drop("salt")
-    )
+        c = surface_forms.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(R - 1)))
+        )
+        scored = (
+            m.join(c, ["surface", "salt"], "inner")
+            .withColumn(
+                "score",
+                F.col("prior") * F.log1p(F.col("n_mentions")),
+            )
+            .drop("salt")
+        )
     w = Window.partitionBy("page", "surface").orderBy(
         F.desc("score"), F.asc("entity")
     )
@@ -354,24 +595,40 @@ def link_entities(
     pages: DataFrame,
     surface_forms: DataFrame,
     salt_buckets: int = 8,
+    broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
-    """Full linking pass: detect → salted score → linked mention quads.
+    """Full linking pass: detect → score → linked mention quads.
 
-    The two expensive intermediates are materialized exactly once:
-    the surface dictionary (often a derived plan — extract → distinct →
-    window — that would otherwise recompute for the driver collect AND the
-    scoring join) and the mention table (a full corpus scan that the
-    scoring join would otherwise recompute). ``localCheckpoint`` here; on
-    a real cluster these are the pipeline's cached stage parquets
-    (plans/pipeline.py) — measured 2× end-to-end on the bench corpus."""
-    sfd = surface_forms.localCheckpoint(eager=True)
-    surfaces = sorted(
-        {r["surface"] for r in sfd.select("surface").distinct().collect()}
-    )
-    mentions = detect_mentions(pages, sfd, surfaces=surfaces).localCheckpoint(
-        eager=True
-    )
-    best = score_candidates(mentions, sfd, salt_buckets)
+    Dictionary-size-adaptive plan:
+
+    * **small dictionary** (≤ ``broadcast_rows`` — the reference's own
+      ``collectAsMap`` smallness contract, DistConfigLoader.scala:217-225):
+      ONE driver collect feeds both the broadcast automaton surfaces and a
+      broadcast scoring join; the mention groupBy's (page, surface)
+      partitioning is reused by the scoring window, so the whole pass is
+      two scans + one shuffle + one action — no checkpoints needed because
+      every intermediate is consumed exactly once;
+    * **large dictionary**: the dictionary and mention table are
+      ``localCheckpoint``-materialized once (cached stage parquets on a
+      real cluster — plans/pipeline.py) and scoring runs the salted
+      shuffle join.
+    """
+    probe = surface_forms.limit(broadcast_rows + 1).collect()
+    if len(probe) <= broadcast_rows:
+        spark = pages.sparkSession
+        surfaces = sorted({r["surface"] for r in probe})
+        sfd = spark.createDataFrame(probe, schema=surface_forms.schema)
+        mentions = detect_mentions(pages, sfd, surfaces=surfaces)
+        best = score_candidates(mentions, sfd, salt_buckets=0)
+    else:
+        sfd = surface_forms.localCheckpoint(eager=True)
+        surfaces = sorted(
+            {r["surface"] for r in sfd.select("surface").distinct().collect()}
+        )
+        mentions = detect_mentions(pages, sfd, surfaces=surfaces).localCheckpoint(
+            eager=True
+        )
+        best = score_candidates(mentions, sfd, salt_buckets)
     return best.select(
         F.lit("entity_links").alias("dataset"),
         F.col("page").alias("subj"),

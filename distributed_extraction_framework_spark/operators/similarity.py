@@ -48,6 +48,7 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_rounded: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast queries × corpus scan.
 
@@ -71,7 +72,7 @@ def cosine_topk_bruteforce(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w = _topk_window(rank_rounded)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -247,16 +248,24 @@ def lsh_topk(
     )
 
 
-def _assign_cells(df: DataFrame, vec: str, cents: list, n: int) -> DataFrame:
+def _assign_cells(
+    df: DataFrame, vec: str, cents: list, n: int, rounded: bool = False
+) -> DataFrame:
     """Append ``cell`` = the ``n`` nearest centroids per row, with ZERO
     shuffle: the centroids are broadcast as plan literals, the per-row
     (score, cell) array is sorted and sliced inside codegen — a narrow
     map-only projection (the previous window-based argmin shuffled the
-    whole corpus by row key)."""
+    whole corpus by row key). ``rounded=True`` ranks cells on
+    round(cos, 6) — the key a SQL oracle ranks on (see _topk_window)."""
+    def _score(c: Column) -> Column:
+        return F.round(c, 6) if rounded else c
+
     scored = F.array(
         *[
             F.struct(
-                cosine(F.col(vec), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                _score(
+                    cosine(F.col(vec), F.array(*[F.lit(float(x)) for x in cvec]))
+                ).alias("s"),
                 F.lit(int(cell)).alias("cell"),
             )
             for cell, cvec in cents
@@ -328,6 +337,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     train_iterations: int = 0,
     rank_rounded: bool = False,
+    assign_rounded: bool = False,
 ) -> DataFrame:
     """IVF coarse search: deterministic-sample centroids, optionally
     refined by ``train_iterations`` spherical k-means rounds; corpus and
@@ -351,11 +361,11 @@ def ivf_topk(
 
     c = _assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "cv", cents, 1,
+        "cv", cents, 1, rounded=assign_rounded,
     )
     q = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        "qv", cents, n_probe,
+        "qv", cents, n_probe, rounded=assign_rounded,
     )
     scored = (
         q.join(c, "cell")

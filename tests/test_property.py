@@ -103,6 +103,30 @@ def test_vector_scanner_matches_aho_corasick(patterns, haystack):
     )
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdeü", min_size=1, max_size=6), min_size=0, max_size=12),
+    st.lists(st.text(alphabet="abcdeü ", max_size=80), min_size=0, max_size=5),
+)
+def test_c_scanner_matches_aho_corasick(patterns, haystacks):
+    """The vendored compiled scanner must report the exact same multiset of
+    hits per row as the pure-Python automaton — including overlaps,
+    multi-byte UTF-8 patterns, and empty rows in a batch."""
+    from distributed_extraction_framework_spark.operators.linking import CScanner
+
+    pats = sorted(set(patterns))
+    try:
+        cs = CScanner(pats)
+    except RuntimeError:
+        import pytest
+
+        pytest.skip("no C toolchain on this host")
+    ac = AhoCorasick(pats)
+    got = cs.find_all_batch(haystacks)
+    want = [ac.find_all(h) for h in haystacks]
+    assert [sorted(g) for g in got] == [sorted(w) for w in want]
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.floats(-90, 90, allow_nan=False), st.floats(-180, 180, allow_nan=False))
 def test_coord_decimal_parse(lat, lon):
@@ -211,3 +235,15 @@ def test_fused_page_parse_matches_separate_kernels(t):
     assert [(b["template"], b["key"], b["value"]) for b in p["infobox"]] == \
         parse_infoboxes(t)
     assert [(c["lat"], c["lon"]) for c in p["coords"]] == parse_coords(t)
+
+
+@settings(max_examples=400, deadline=None)
+@given(nameish)
+def test_compute_kernel_matches_fast_kernel(t):
+    """The compute-bound (character-walk) parse kernel — the scaling-bench
+    gate configuration — must return exactly what the fast kernel returns."""
+    from distributed_extraction_framework_spark.functions.wikitext import (
+        parse_page_kernel_charwalk,
+    )
+
+    assert parse_page_kernel_charwalk(t) == parse_page_kernel(t)
