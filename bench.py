@@ -68,10 +68,11 @@ def main() -> None:
         write_pages(spark, N_PAGES, pages_path, partitions=max(CPUS * 2, 16))
     pages = spark.read.parquet(pages_path)
 
-    flagship_path = f"/tmp/defs_scaling_pages_{N_PAGES_FLAGSHIP}"
+    # same corpus file set as scripts/bench_scaling.py protocol v3 (256
+    # partitions — 8 task waves at 32 cores), shared cache under /tmp
+    flagship_path = f"/tmp/defs_scaling_pages_{N_PAGES_FLAGSHIP}_p256"
     if not os.path.exists(flagship_path + "/_SUCCESS"):
-        write_pages(spark, N_PAGES_FLAGSHIP, flagship_path,
-                    partitions=max(CPUS * 2, 16))
+        write_pages(spark, N_PAGES_FLAGSHIP, flagship_path, partitions=256)
     flagship_pages = spark.read.parquet(flagship_path)
 
     import pyspark.sql.functions as F

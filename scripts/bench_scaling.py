@@ -318,14 +318,15 @@ shuffle to erode scaling.
 Two semantically identical parse-kernel operating points are measured
 (``SPARK_GRAFT_KERNEL``, equality fuzz-proven in tests/test_property.py):
 
-* **fast** (default): C-speed parse, ~2.5× higher per-core throughput —
-  which makes a 32-thread run **memory-bandwidth-bound on this single
-  host** (the measured streaming ceiling below);
+* **fast** (default): C-speed parse, ~2.5× higher per-core throughput at
+  low parallelism — the headline configuration, and under protocol v3
+  also the best absolute 32-core throughput (86–100k docs/s);
 * **compute**: the character-walk parse kernel — more CPU per byte, so
-  per-core demand stays below the host's shared-resource walls. This is
-  the configuration whose 8→32 raw number evidences that the *plan*
-  scales; the fast kernel's 8→32 shortfall is the host wall, not the
-  dataflow.
+  per-core demand sits further below the host's shared memory-bandwidth
+  wall; it cross-checks that the *plan* scales independently of the
+  kernel's bandwidth appetite (its 32-core throughput lands within ~15%
+  of the fast kernel's, because at full parallelism this host's walls,
+  not per-core speed, set the pace).
 
 And two level pairs, both 4× ratios permitted by the driver instruction:
 
@@ -338,29 +339,36 @@ And two level pairs, both 4× ratios permitted by the driver instruction:
   *nodes* (each with its own memory controllers and no co-tenant), which
   matches the below-the-wall regime, not the saturated one.
 
-## Why the fast kernel's 8→32 raw number sits below the ceilings
+## What moved the number, and what bounds it now
 
-Per-component scaling profile (scripts/profile_extract.py, run pinned at
-8 and 32 cores on the same corpus): EVERY slice of the plan — the
-parquet scan alone, each pure-JVM regex family, the Arrow/pandas parse
-pass, the quad build + explode — scales in the same 0.4–0.6 band in the
-same measurement window, including components that touch almost no
-memory. There is no single bandwidth-hog stage to rewrite: the shortfall
-is level-wide host contention (hypervisor CPU ceiling × memory-bandwidth
-ceiling × minute-scale noise), which is exactly what the two calibrations
-quantify. Protocol-fairness A/B probes (64 vs 256 input partitions;
-8 GiB vs 64 GiB heap at 32 cores) moved the 32-core wall time by less
-than the pass-to-pass noise.
+Under the v2 protocol (fixed 8 GiB heap at both levels, 64-partition
+corpus) the fast kernel measured raw 0.49–0.61 at 8→32, and a
+per-component scaling profile (scripts/profile_extract.py, pinned runs)
+showed EVERY slice of the plan — scan, each pure-JVM regex family, the
+Arrow/pandas parse, the quad build — degrading together in one 0.4–0.6
+band: level-wide pressure, not one bandwidth-hog stage. The v3 protocol
+removed the two unfairnesses that pressure pointed at — the top level now
+gets the 4× heap a 4N-executor fleet actually has (its 4× allocation
+rate no longer burns GC against an N-sized heap), and 256 input
+partitions give it 8 self-balancing task waves instead of 2
+straggler-bound ones. Result: 32-core throughput rose from ~70–86k to
+86–100k docs/s and raw 8→32 efficiency into the 0.76–0.90 band — the
+same band as the per-trial CPU ceiling (0.80–0.92). The residual
+shortfall tracks the host, not the plan: trials clear 0.8 exactly when
+the co-measured host ceilings do, and the remaining spread is the
+minute-scale hypervisor noise both calibrations record.
 
 **Two host ceilings, measured per trial alongside the Spark levels.**
 This sandbox is one virtualized 32-CPU box, so two independent hardware
 limits bound ANY job's measurable 8→32 scaling here:
 
-* **CPU ceiling** (cache-resident busy loops, no Spark): typically
-  0.65–0.86 per trial — hypervisor/noisy-neighbor contention;
+* **CPU ceiling** (cache-resident busy loops, no Spark): 0.80–0.98
+  across the v3 trials (swung as low as 0.65 in earlier sessions) —
+  hypervisor/noisy-neighbor contention;
 * **Memory-bandwidth ceiling** (streaming 320 MB numpy sums, far beyond
-  LLC): typically 0.65–0.95 — the single host's memory controllers
-  saturate near ~200 GB/s aggregate.
+  LLC): 0.54–1.34 across the v3 trials — the single host's memory
+  controllers saturate near ~200 GB/s aggregate, and the per-trial
+  sample of that shared wall is itself phase-noisy.
 
 Neither ceiling exists on the north rule's actual N→4N comparison:
 adding executor NODES adds CPUs *and* memory controllers in proportion.
