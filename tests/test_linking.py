@@ -87,3 +87,17 @@ def test_head_entity_skew_spreads(spark):
     )
     assert len(dist) == 8, "head surface must spread over all 8 salt buckets"
     assert max(r["count"] for r in dist) <= 160 / 8 * 3
+
+
+def test_broadcast_scoring_plan_has_no_shuffle_join(spark, pages_df):
+    """The small-dictionary path must plan a BroadcastHashJoin (no shuffle
+    to salt); the salted path must shuffle on (surface, salt)."""
+    quads = extract(pages_df, extractors=["labels"])
+    sf = surface_forms_from_labels(quads)
+    mentions = detect_mentions(pages_df, sf)
+    small = score_candidates(mentions, sf, salt_buckets=0)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    salted = score_candidates(mentions, sf, salt_buckets=8)
+    plan_salted = salted._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan_salted
