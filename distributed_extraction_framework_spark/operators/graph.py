@@ -37,6 +37,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_interval: int = 3,
+    small_graph_rows: int = 10_000_000,
 ) -> DataFrame:
     """(uri, rank) — standard power iteration, sum(rank) == 1.
 
@@ -47,6 +48,13 @@ def pagerank(
     * the per-round dangling mass is NOT a driver action — it's a 1-row
       aggregate DataFrame cross-joined (broadcast) into the rank update,
       so each iteration contributes exactly one job and no collect();
+    * the vertex count ``n`` (already computed for the initial rank)
+      picks the join strategy: at ≤ ``small_graph_rows`` the per-vertex
+      tables (ranks, out_deg, contribs) broadcast, so the only exchange
+      per round is the contribution groupBy — the shuffle PageRank cannot
+      avoid; above the threshold every join degrades to the shuffled
+      form, which is the 10^12-edge-safe shape (edges bucketed by src in
+      the warehouse make it co-located — module docstring);
     * lineage is truncated every ``checkpoint_interval`` rounds (every
       round would double the job count; never would blow up the plan).
       ``localCheckpoint`` here (single-JVM container); on a real cluster
@@ -68,28 +76,34 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n <= small_graph_rows else df
+
     out_deg = (
         e.groupBy("src").agg(F.count("*").alias("out_deg"))
         .localCheckpoint(eager=True)
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for it in range(iterations):
-        with_deg = ranks.join(out_deg, ranks["uri"] == out_deg["src"], "left")
+        with_deg = ranks.join(bc(out_deg), ranks["uri"] == out_deg["src"], "left")
         # 1-row dangling-mass aggregate, broadcast into the update (no
         # driver round-trip, mass conservation identical to the collect form)
         dangling = F.broadcast(
             with_deg.filter(F.col("out_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
-        contribs = (
+        c_df = (
             with_deg.filter(F.col("out_deg").isNotNull())
             .select("uri", (F.col("rank") / F.col("out_deg")).alias("c"))
-            .join(e, F.col("uri") == e["src"])
+        )
+        contribs = (
+            e.join(bc(c_df), c_df["uri"] == e["src"])
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = (
-            verts.join(contribs, verts["uri"] == contribs["dst"], "left")
+            verts.join(bc(contribs), verts["uri"] == contribs["dst"], "left")
             .crossJoin(dangling)
             .select(
                 "uri",

@@ -265,7 +265,7 @@ def main() -> None:
         return sum(e >= 0.8 for e in effs), (max(effs) if effs else None)
 
     met_rows = []
-    verdict = "NOT MET"
+    met_configs = []
     for (kernel, levels), g in sorted(groups.items()):
         n_met, best = met(kernel, levels)
         status = "MET (reproduced)" if n_met >= 2 else (
@@ -275,8 +275,11 @@ def main() -> None:
             f"{round(statistics.median([t['scaling_efficiency'] for t in g]), 3)} | "
             f"{n_met}/{len(g)} | {status} |")
         if n_met >= 2:
-            verdict = (f"MET — kernel `{kernel}` at {levels[0]}→{levels[1]} "
-                       f"cores: {n_met} trials ≥ 0.8 raw")
+            met_configs.append(
+                f"kernel `{kernel}` at {levels[0]}→{levels[1]} cores "
+                f"({n_met} trials ≥ 0.8 raw)")
+    verdict = ("MET — reproduced in: " + "; ".join(met_configs)
+               if met_configs else "NOT MET")
     group_md = "\n\n".join(
         f"### kernel `{k}`, {lv[0]}→{lv[1]} cores\n\n{_fmt_group(g)}"
         for (k, lv), g in sorted(groups.items()))
