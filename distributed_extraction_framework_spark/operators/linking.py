@@ -325,6 +325,11 @@ class CScanner:
         self.lib = lib if lib is not None else _ac_c_lib()
         if self.lib is None:
             raise RuntimeError("no C toolchain")
+        if any("\x00" in p for p in patterns):
+            # NUL is the batch row separator — a NUL-bearing pattern would
+            # break the returns-to-root invariant; make_matcher falls back
+            # to the pure-Python automaton for such dictionaries
+            raise RuntimeError("NUL byte in pattern")
         self.patterns = list(patterns)
         children: list[dict[int, int]] = [{}]
         out_pat: list[list[int]] = [[]]
