@@ -101,3 +101,60 @@ def test_broadcast_scoring_plan_has_no_shuffle_join(spark, pages_df):
     salted = score_candidates(mentions, sf, salt_buckets=8)
     plan_salted = salted._jdf.queryExecution().executedPlan().toString()
     assert "salt" in plan_salted
+
+
+def test_large_dict_path_is_sharded_and_bounded(spark, pages_df, monkeypatch):
+    """VERDICT r3 #1: the large-dictionary path must never materialize the
+    full surface set on the driver — the smallness probe is a count (no row
+    transfer) and each automaton shard collect is bounded by ~broadcast_rows,
+    while results stay identical to the small (single-broadcast) path."""
+    quads = extract(pages_df, extractors=["labels"]).cache()
+    sf = surface_forms_from_labels(quads).cache()
+    # patch the CONCRETE class (Spark 4: pyspark.sql.classic.DataFrame
+    # subclasses the public pyspark.sql.DataFrame and overrides collect)
+    DataFrame = type(sf)
+    n_surfaces = sf.select("surface").distinct().count()
+    assert n_surfaces > 8  # the fixture is big enough to force >1 shard
+
+    expected = {
+        (r["subj"], r["surface"], r["obj"])
+        for r in link_entities(pages_df, sf, broadcast_rows=10**6).collect()
+    }
+
+    collected_sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    cap = 4  # forces ceil(n_surfaces / 4) >= 3 shards
+    linked = link_entities(pages_df, sf, broadcast_rows=cap)
+    monkeypatch.undo()  # internal collects all happen at build time
+    got = {(r["subj"], r["surface"], r["obj"]) for r in linked.collect()}
+    assert got == expected
+    # every driver collect inside the large path is a shard, strictly
+    # smaller than the full dictionary (hash shards are ~cap-sized; allow
+    # skew up to 3x the target shard size but never the whole set)
+    assert collected_sizes, "large path must have collected shard lists"
+    assert max(collected_sizes) < n_surfaces
+    assert max(collected_sizes) <= 3 * cap
+
+
+def test_make_matcher_drops_empty_patterns_uniformly():
+    """All kernels share one contract: '' never matches (ADVICE r3)."""
+    from distributed_extraction_framework_spark.operators.linking import (
+        VectorScanner,
+        make_matcher,
+    )
+
+    for kernel in ("python", "vector"):
+        m = make_matcher(["", "ab"], kernel=kernel)
+        assert m.find_all("xaby") == ["ab"]
+    # the raw pure-Python class used directly would have reported '' —
+    # make_matcher is the contract point
+    auto = make_matcher([""], kernel="python")
+    assert auto.find_all("anything") == []
+    assert VectorScanner(["ab"]).find_all_batch(["ab", ""]) == [["ab"], []]
