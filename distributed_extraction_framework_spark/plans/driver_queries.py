@@ -381,7 +381,8 @@ def q_minhash_near_dups(spark, sf_dir):
 def q_simhash_near_dups(spark, sf_dir):
     """SimHash near-dups, hash-exact: the oracle rebuilds the 64-bit
     fingerprints from md5 token hashes (two 32-bit hex halves) and mirrors
-    the 4×16-bit pigeonhole banding + Hamming verify."""
+    the radius-derived pigeonhole banding (9 bands for Hamming ≤ 8 —
+    guaranteed recall 1.0 at the requested radius) + Hamming verify."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.simhash_near_duplicates(d, max_hamming=8)
 
@@ -1544,7 +1545,22 @@ def q_fuzzy_dedup_docs(spark, sf_dir):
     return D.fuzzy_dedup(d, threshold=0.7).select("doc_id")
 
 
-ORACLE_SIMHASH = f"""
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """Mirrors operators/dedup.py simhash_bands: h+1 bands over the 64 bits
+    (first ``rem`` bands one bit wider), so the oracle's candidate set is
+    the engine's candidate set at ANY radius."""
+    nb = max_hamming + 1
+    base, rem = divmod(64, nb)
+    thr = rem * (base + 1)  # first bit index of the width-``base`` bands
+    band_expr = (
+        f"CASE WHEN bi < {thr} THEN bi // {base + 1} "
+        f"ELSE {rem} + (bi - {thr}) // {base} END"
+    )
+    pos_expr = (
+        f"CASE WHEN bi < {thr} THEN bi % {base + 1} "
+        f"ELSE (bi - {thr}) % {base} END"
+    )
+    return f"""
 WITH docs0 AS (SELECT doc_id AS id,
          list_filter(regexp_split_to_array(coalesce(text, ''), '{T.WS_CLASS}'),
                      x -> x <> '') AS w
@@ -1560,8 +1576,9 @@ vb AS (SELECT id, bi,
        FROM th CROSS JOIN bits GROUP BY id, bi
        UNION ALL
        SELECT d.id, b.bi, 0 AS v FROM docs0 d CROSS JOIN bits b WHERE len(d.w) = 0),
-bandk AS (SELECT id, bi // 16 AS band, sum(v * (1::BIGINT << (bi % 16))) AS key
-          FROM vb GROUP BY 1, 2),
+bandk AS (SELECT id, band, sum(v * (1::BIGINT << pos)) AS key
+          FROM (SELECT id, v, {band_expr} AS band, {pos_expr} AS pos FROM vb)
+          GROUP BY 1, 2),
 cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
          FROM bandk x JOIN bandk y
            ON x.band = y.band AND x.key = y.key AND x.id < y.id),
@@ -1572,9 +1589,11 @@ ham AS (SELECT c.id_a, c.id_b,
         JOIN vb y ON y.id = c.id_b AND y.bi = x.bi
         GROUP BY 1, 2)
 SELECT id_a, id_b, cast(hamming as bigint) AS hamming
-FROM ham WHERE hamming <= 8
+FROM ham WHERE hamming <= {max_hamming}
 """
 
+
+ORACLE_SIMHASH = _simhash_oracle_sql(8)
 
 def _winnowing_oracle_sql(k: int = 5, window: int = 4) -> str:
     weights = [pow(T.WINNOW_BASE, k - 1 - j, T.WINNOW_MOD) for j in range(k)]

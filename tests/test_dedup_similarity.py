@@ -328,3 +328,46 @@ def test_bmp_roundtrip():
         img = (np.arange(w * h * 3).reshape(h, w, 3) % 256).astype(np.uint8)
         out = M._decode_bmp(M._encode_bmp(img))
         assert out is not None and (out == img).all(), (w, h)
+
+
+def test_simhash_bands_partition_64_bits():
+    """Band derivation: h+1 contiguous bands covering all 64 bits exactly."""
+    import pytest
+
+    for h in (0, 1, 3, 6, 8, 31, 63):
+        bands = dedup.simhash_bands(h)
+        assert len(bands) == h + 1
+        pos = 0
+        for start, width in bands:
+            assert start == pos and width >= 1
+            pos += width
+        assert pos == 64
+    with pytest.raises(ValueError):
+        dedup.simhash_bands(64)
+    with pytest.raises(ValueError):
+        dedup.simhash_bands(-1)
+
+
+def test_simhash_recall_matches_bruteforce_at_requested_radius(spark, dup_docs):
+    """VERDICT r3 #2: the banding must guarantee recall 1.0 at the REQUESTED
+    radius. Oracle = brute-force all-pairs Hamming over the collected
+    fingerprints; the banded operator must return exactly the pairs with
+    distance ≤ h, for radii well beyond the old fixed-banding guarantee."""
+    df, _ = dup_docs
+    fps = {
+        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        for r in dedup.add_simhash(df).select("doc_id", "simhash").collect()
+    }
+    ids = sorted(fps)
+    for h in (2, 4, 6, 8):
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(fps[a] ^ fps[b]).count("1") <= h
+        }
+        got = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in dedup.simhash_near_duplicates(df, max_hamming=h).collect()
+        }
+        assert got == brute, f"radius {h}: banded pairs != brute force"
