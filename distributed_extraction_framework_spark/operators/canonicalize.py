@@ -29,12 +29,20 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     max_iter: int = 15,
-    checkpoint_every: int = 3,
     strict: bool = True,
 ) -> DataFrame:
     """(vertex, component) for the undirected graph given by edges(src, dst).
 
     Component id = lexicographically smallest URI in the component.
+
+    ONE job per round (VERDICT r3 #4): the old-vs-new comparison is folded
+    into the propagation aggregate itself — label rows carry an ``_old``
+    tag, the groupBy emits both the new min-label and the previous label,
+    and convergence is an ``observe()`` metric collected BY the per-round
+    ``localCheckpoint`` job (the same fusion transitive_closure uses,
+    operators/redirects.py:96-111) — no second labels-vs-labels join+count
+    job re-reading both label sets each iteration. Checkpointing every
+    round also keeps the join lineage flat.
 
     ``max_iter`` is a SAFETY CAP, not a silent truncation: min-label
     propagation needs ~diameter rounds, and a long chain of near-duplicates
@@ -43,40 +51,47 @@ def connected_components(
     (default) raises instead of returning wrong components — callers that
     want best-effort labels pass ``strict=False``.
     """
+    from pyspark.sql import Observation
+
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
     )
     converged = False
-    for i in range(max_iter):
+    for _ in range(max_iter):
         # candidate labels arriving over edges: neighbor's current component
         incoming = (
             sym.join(labels, sym["v"] == labels["vertex"], "inner")
-            .select(sym["u"].alias("vertex"), F.col("component"))
+            .select(sym["u"].alias("vertex"), F.col("component"),
+                    F.lit(False).alias("_old"))
         )
+        obs = Observation()
         new_labels = (
-            labels.select("vertex", "component")
+            labels.select("vertex", "component", F.lit(True).alias("_old"))
             .union(incoming)
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                # every vertex has exactly one _old row → its previous label
+                F.max(F.when(F.col("_old"), F.col("component"))).alias("_prev"),
+            )
+            .withColumn(
+                "_changed", (F.col("component") != F.col("_prev")).cast("int")
+            )
+            .observe(obs, F.sum("_changed").alias("changed"))
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = obs.get["changed"] or 0
+        labels = new_labels.drop("_prev", "_changed")
         if changed == 0:
             converged = True
             break

@@ -70,3 +70,28 @@ def test_degrees_and_hubs(spark):
     assert d["a"] == (1, 1)
     top = top_hubs(df, k=1).collect()
     assert top[0]["uri"] == "hub"
+
+
+def test_pagerank_broadcast_tier_is_byte_gated(spark):
+    """ADVICE r3: the broadcast tier must gate on estimated bytes (rows x
+    avg key width), not a row count that could broadcast ~1 GB of URIs."""
+    from distributed_extraction_framework_spark.operators.graph import (
+        estimate_vertex_table_bytes,
+        pagerank,
+    )
+
+    uris = [(f"http://kg.example.org/resource/Node_{i:04d}",) for i in range(100)]
+    verts = spark.createDataFrame(uris, ["uri"])
+    est = estimate_vertex_table_bytes(verts)
+    # 100 rows x (~40-char URIs + 24B overhead) — the estimate must track it
+    assert 100 * 40 <= est <= 100 * 90
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 20}") for i in range(20)], ["src", "dst"]
+    )
+    # tiny cap forces the shuffle tier; ranks must be identical either way
+    lo = {r["uri"]: round(r["rank"], 9)
+          for r in pagerank(edges, iterations=4, broadcast_bytes=1).collect()}
+    hi = {r["uri"]: round(r["rank"], 9)
+          for r in pagerank(edges, iterations=4, broadcast_bytes=1 << 30).collect()}
+    assert lo == hi

@@ -118,3 +118,29 @@ def test_connected_components_on_sameas(spark, pages_df):
     for comp, members in by_comp.items():
         assert comp == min(members + [comp])
     assert m.count() > 0
+
+
+def test_connected_components_one_action_per_round(spark, monkeypatch):
+    """VERDICT r3 #4: convergence is an observe() metric collected by the
+    per-round checkpoint job — the old second labels-vs-labels join +
+    ``.count()`` action per round must be gone. Spy on the ONLY two action
+    entry points a convergence probe could use (count / collect): neither
+    may fire inside connected_components; the sole per-round action is the
+    eager localCheckpoint."""
+    rows = [("z", "a"), ("z", "b"), ("z", "c"), ("z", "d")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    DataFrame = type(edges)
+    calls = []
+    for name in ("count", "collect", "toLocalIterator"):
+        orig = getattr(DataFrame, name)
+
+        def spy(self, *a, _orig=orig, _name=name, **kw):
+            calls.append(_name)
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, spy)
+    labels = connected_components(edges)
+    monkeypatch.undo()
+    assert calls == [], f"convergence must not run extra actions, saw {calls}"
+    comp = {r["vertex"]: r["component"] for r in labels.collect()}
+    assert set(comp.values()) == {"a"}
