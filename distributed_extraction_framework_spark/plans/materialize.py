@@ -360,9 +360,23 @@ def write_graph_tables(
     ``_SUCCESS`` file the parquet path relies on). Requires the runtime
     jar (session.iceberg_available); this container has none, so the
     parquet branch is the tested default and the Iceberg branch carries a
-    skipped-unless-jar test (tests/test_materialize.py).
+    skipped-unless-jar test (tests/test_pipeline.py).
+
+    NB (Iceberg branch): tables land in the CATALOG's configured warehouse
+    — the session's ``spark.sql.catalog.{catalog}.warehouse`` — so
+    ``warehouse`` must point at the same location the catalog was built
+    with; a mismatch raises instead of silently writing elsewhere.
     """
     spark = quads.sparkSession
+    if table_format == "iceberg":
+        cat_wh = spark.conf.get(f"spark.sql.catalog.{catalog}.warehouse", None)
+        if cat_wh is not None and warehouse and cat_wh.rstrip("/") != warehouse.rstrip("/"):
+            raise ValueError(
+                f"warehouse {warehouse!r} differs from catalog {catalog!r}'s "
+                f"configured warehouse {cat_wh!r}; Iceberg tables always land "
+                f"in the catalog warehouse — pass that path (or rebuild the "
+                f"session with iceberg_warehouse={warehouse!r})"
+            )
     tables = {
         "edges": (edges_table(quads), ["dataset"]),
         "literals": (literals_table(quads), ["dataset"]),

