@@ -10,12 +10,16 @@ Decode coverage is split honestly by what this container can do:
   - image resize: numpy nearest-neighbor, re-encoded to PPM;
   - features: per-channel stats + downsampled luminance grid (images),
     RMS / zero-crossing rate / log-spectral bands via numpy FFT (audio).
+* REAL video: uncompressed Y4M (YUV4MPEG2, C420/C444/Cmono) — header
+  parse + per-FRAME ``np.frombuffer`` → per-frame Y/C planes, frame
+  counts, frame extraction (``extract_video_frames``).
 * STUBBED (compressed codecs absent in this container — clearly marked):
-  jpeg/png/gif images, mp3/ogg audio, and all video decode. Those rows
-  fall back to a deterministic digest feature with ``decoded = false`` so
-  downstream can tell. Swapping in Pillow/librosa/pyav on a real cluster
-  changes ``_decode_image``/``_decode_audio`` only — the Spark plan
-  (schemas, batch shapes, explodes) is identical.
+  jpeg/png/gif images, mp3/ogg audio, and compressed video (mp4/webm).
+  Those rows fall back to a deterministic digest feature with
+  ``decoded = false`` so downstream can tell. Swapping in Pillow/librosa/
+  pyav on a real cluster changes ``_decode_image``/``_decode_audio``/
+  ``_decode_video`` only — the Spark plan (schemas, batch shapes,
+  explodes) is identical.
 """
 
 from __future__ import annotations
@@ -146,6 +150,79 @@ def _decode_image(payload: bytes) -> np.ndarray | None:
 
 
 # --------------------------------------------------------------------------
+# REAL video decode: uncompressed Y4M (YUV4MPEG2)
+# --------------------------------------------------------------------------
+
+def _y4m_frame_size(w: int, h: int, cs: str) -> int | None:
+    if cs.startswith("420"):  # C420 / C420jpeg / C420mpeg2 / C420paldv
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if cs == "mono":
+        return w * h
+    if cs.startswith("444"):
+        return 3 * w * h
+    return None
+
+
+def _decode_y4m(payload: bytes):
+    """YUV4MPEG2 container → (width, height, [frame bytes as uint8 arrays],
+    chroma). Frames are raw planar YCbCr; frame[:w*h] is the Y plane.
+    Returns None for anything malformed or a chroma layout we don't carry."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\n")
+        w = h = None
+        cs = "420"  # the spec's default chroma when no C tag is present
+        for tok in payload[9:nl].split(b" "):
+            if tok[:1] == b"W":
+                w = int(tok[1:])
+            elif tok[:1] == b"H":
+                h = int(tok[1:])
+            elif tok[:1] == b"C":
+                cs = tok[1:].decode("ascii")
+        if not w or not h:
+            return None
+        fsize = _y4m_frame_size(w, h, cs)
+        if fsize is None:
+            return None
+        frames: list[np.ndarray] = []
+        pos = nl + 1
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if not payload[pos:fnl].startswith(b"FRAME"):
+                return None
+            pos = fnl + 1
+            if pos + fsize > len(payload):
+                return None
+            frames.append(np.frombuffer(payload, np.uint8, fsize, pos))
+            pos += fsize
+        return w, h, frames, cs
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_video(payload: bytes):
+    """Dispatch on magic bytes. Y4M decodes here; compressed containers
+    (mp4/webm/mkv) need a real codec — None → digest fallback. Real impl
+    for those on a cluster: av.open(io.BytesIO(payload))."""
+    if payload[:9] == b"YUV4MPEG2":
+        return _decode_y4m(payload)
+    return None  # compressed video codec not available in this container
+
+
+def encode_y4m(frames: list, w: int, h: int) -> bytes:
+    """list of (Y, Cb, Cr) uint8 planes (Y: h×w, C: h//2×w//2) → Y4M bytes
+    (for synth/test data; the exact grammar _decode_y4m inverts)."""
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+    for y, cb, cr in frames:
+        out.append(b"FRAME\n")
+        out.append(y.astype(np.uint8).tobytes())
+        out.append(cb.astype(np.uint8).tobytes())
+        out.append(cr.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
 # REAL audio decode: PCM WAV (stdlib wave module)
 # --------------------------------------------------------------------------
 
@@ -243,6 +320,18 @@ def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 au = _decode_audio(b)
                 if au is not None:
                     return True, _audio_feature(au[0], au[1], dim)
+            elif kind == "video":
+                vid = _decode_video(b)
+                if vid is not None:
+                    w, h, frames, _ = vid
+                    if frames:
+                        # temporal luminance profile: per-frame Y mean,
+                        # padded/truncated, + global Y std in slot 0
+                        ys = np.stack([f[: w * h] for f in frames]).astype(np.float64)
+                        means = (ys.mean(axis=1) / 255.0).tolist()
+                        head = [float(ys.std() / 255.0)]
+                        out = (head + means)[:dim]
+                        return True, out + [0.0] * (dim - len(out))
             return False, _digest_feature(b, dim)
 
         for pdf in batches:
@@ -357,6 +446,7 @@ MEDIA_STATS_SCHEMA = StructType(
         StructField("px_sum", LongType(), True),
         StructField("n_samples", LongType(), True),
         StructField("samp_sum", LongType(), True),
+        StructField("n_frames", LongType(), True),
     ]
 )
 
@@ -370,12 +460,15 @@ def media_stats(media: DataFrame) -> DataFrame:
       — integer-exact, so the gate proves header parse, stride/padding,
       BGR↔RGB flip, bottom-up flip, and gray→RGB expansion are all right;
     * audio: (n_samples, Σ int16 samples) after WAV decode;
+    * video: (width, height, n_frames, Σ bytes over ALL planes of ALL
+      frames in px_sum) after Y4M decode — proves header parse, FRAME
+      walking, and 4:2:0 plane sizing;
     * undecodable payloads: decoded=false with byte length only.
     """
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(kind: str, p):
-            none = (False, None, None, None, None, None)
+            none = (False, None, None, None, None, None, None)
             if p is None:
                 return none
             b = bytes(p)
@@ -383,7 +476,7 @@ def media_stats(media: DataFrame) -> DataFrame:
                 img = _decode_image(b)
                 if img is not None:
                     return (True, img.shape[1], img.shape[0],
-                            int(img.astype(np.int64).sum()), None, None)
+                            int(img.astype(np.int64).sum()), None, None, None)
             elif kind == "audio":
                 au = _decode_audio(b)
                 if au is not None:
@@ -391,7 +484,13 @@ def media_stats(media: DataFrame) -> DataFrame:
                     # mono int16 → x = i/32768 exactly; Σx·32768 is the
                     # integer Σi (exact in float64 at these magnitudes)
                     return (True, None, None, None, int(x.size),
-                            int(round(float(x.sum()) * 32768.0)))
+                            int(round(float(x.sum()) * 32768.0)), None)
+            elif kind == "video":
+                vid = _decode_video(b)
+                if vid is not None:
+                    w, h, frames, _ = vid
+                    px = sum(int(f.astype(np.int64).sum()) for f in frames)
+                    return (True, w, h, px, None, None, len(frames))
             return none
 
         for pdf in batches:
@@ -409,10 +508,59 @@ def media_stats(media: DataFrame) -> DataFrame:
                     "px_sum": [r[3] for r in res],
                     "n_samples": [r[4] for r in res],
                     "samp_sum": [r[5] for r in res],
+                    "n_frames": [r[6] for r in res],
                 }
             )
 
     return media.mapInPandas(stats, schema=MEDIA_STATS_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", IntegerType(), True),
+        StructField("decoded", BooleanType(), False),
+        StructField("y_sum", LongType(), True),
+        StructField("frame_pgm", BinaryType(), True),
+    ]
+)
+
+
+def extract_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction for decodable (Y4M) video rows: one output row
+    per sampled frame, carrying the Y-plane sum and the Y plane re-encoded
+    as a valid PGM image (feedable straight back into the image operators).
+    Undecodable rows emit a single decoded=false marker row — same honest
+    split as every other decoder here. Arrow-batched mapInPandas; frame
+    timestamps from the row's duration spread uniformly over the frames."""
+
+    def frames_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"],
+                                   pdf["duration_ms"]):
+                vid = _decode_video(bytes(p)) if p is not None else None
+                if vid is None:
+                    rows.append((int(mid), 0, None, False, None, None))
+                    continue
+                w, h, frames, _ = vid
+                nf = len(frames)
+                for fi in range(0, nf, max(1, every_n)):
+                    y = frames[fi][: w * h].reshape(h, w)
+                    ts = int(dur) * fi // nf if dur is not None and nf else None
+                    rows.append(
+                        (int(mid), fi, ts, True,
+                         int(y.astype(np.int64).sum()),
+                         bytearray(_encode_pgm(y)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        frames_of, schema=VIDEO_FRAME_SCHEMA
+    )
 
 
 def synth_media_exact(spark, n: int = 60) -> DataFrame:
@@ -424,8 +572,13 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
       % 256, PGM gray(y,x) = (x*3 + y*5 + i) % 256 (decoder expands ×3);
     * i % 3 == 1 → audio: 16-bit mono WAV @8000 Hz, n = 400 + (i%5)*100
       samples, int16[j] = ((j*37 + i*11) % 201 - 100) * 300;
-    * i % 3 == 2 → video: opaque 32-byte block repeated 1 + i%4 times
-      (no codec in this container → decoded=false, length-only stats).
+    * i % 3 == 2 → video, alternating by k = i//3:
+      - k even → REAL Y4M (C420): w = 4 + 2*(k%4), h = 4 + 2*(k%5),
+        nf = 1 + k%3 frames; Y(y,x,f) = (x*3 + y*5 + f*7 + i) % 256,
+        Cb(cy,cx,f) = (cx + cy + f + i) % 256,
+        Cr(cy,cx,f) = (2*cx + cy + f + i) % 256 on the half grid;
+      - k odd → opaque 32-byte block repeated 1 + i%4 times (compressed-
+        codec stand-in → decoded=false, length-only stats).
 
     Built distributedly (range → mapInPandas) like every other synth
     source — the same shape scales out."""
@@ -462,9 +615,27 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
                     payload, mime = buf.getvalue(), "audio/wav"
                     dur = ns * 1000 // 8000
                 else:
-                    payload = bytes(range(32)) * (1 + i % 4)
-                    mime = "video/mp4"
-                    dur = 1000 * (1 + i % 10)
+                    k = i // 3
+                    if k % 2 == 0:  # REAL Y4M video
+                        w, h = 4 + 2 * (k % 4), 4 + 2 * (k % 5)
+                        nf = 1 + k % 3
+                        frames = []
+                        y, x = np.mgrid[0:h, 0:w]
+                        cy, cx = np.mgrid[0 : h // 2, 0 : w // 2]
+                        for f in range(nf):
+                            frames.append((
+                                (x * 3 + y * 5 + f * 7 + i) % 256,
+                                (cx + cy + f + i) % 256,
+                                (2 * cx + cy + f + i) % 256,
+                            ))
+                        payload = encode_y4m(frames, w, h)
+                        mime = "video/x-yuv4mpeg"
+                        dur = nf * 40  # 25 fps
+                        w = h = None  # metadata cols unused for video rows
+                    else:
+                        payload = bytes(range(32)) * (1 + i % 4)
+                        mime = "video/mp4"
+                        dur = 1000 * (1 + i % 10)
                 rows.append((i, kind, bytearray(payload), mime, w, h, dur))
             yield pd.DataFrame(rows, columns=list(MEDIA_SCHEMA.names))
 

@@ -1690,11 +1690,14 @@ ORACLES.update(
 # --------------------------------------------------------------------------
 
 def q_media_features(spark, sf_dir):
-    """Decode-path gate: gradient PPM/BMP/PGM images and ramp WAV audio are
-    ENCODED to real bytes, pushed through mapInPandas decode, and reduced
-    to integer-exact stats the SQL oracle derives without touching bytes —
-    proving header parse, BMP stride/BGR/bottom-up handling, gray→RGB
-    expansion, and WAV framing are all correct."""
+    """Decode-path gate: gradient PPM/BMP/PGM images, ramp WAV audio, AND
+    gradient Y4M video are ENCODED to real bytes, pushed through
+    mapInPandas decode, and reduced to integer-exact stats the SQL oracle
+    derives without touching bytes — proving header parse, BMP stride/BGR/
+    bottom-up handling, gray→RGB expansion, WAV framing, and Y4M FRAME
+    walking + 4:2:0 plane sizing are all correct (decoded=true video rows
+    with exact plane sums; the opaque-mp4 rows keep the honest
+    decoded=false path)."""
     from ..operators.multimodal import media_stats, synth_media_exact
 
     return media_stats(synth_media_exact(spark, 60))
@@ -1721,7 +1724,7 @@ imgrow AS (
                   + length(cast(img.h AS varchar)) + img.w * img.h * 3
          END AS n_bytes,
          img.w AS width, img.h AS height, imgpx.px AS px_sum,
-         NULL AS n_samples, NULL AS samp_sum
+         NULL AS n_samples, NULL AS samp_sum, NULL AS n_frames
   FROM img JOIN imgpx ON img.i = imgpx.i),
 aud AS (SELECT i, 400 + (i % 5) * 100 AS ns FROM ids WHERE i % 3 = 1),
 audsum AS (SELECT aud.i, sum(((j.j*37 + aud.i*11) % 201 - 100) * 300) AS ss
@@ -1729,21 +1732,47 @@ audsum AS (SELECT aud.i, sum(((j.j*37 + aud.i*11) % 201 - 100) * 300) AS ss
 audrow AS (
   SELECT aud.i AS media_id, 'audio' AS kind, true AS decoded,
          44 + 2 * aud.ns AS n_bytes, NULL AS width, NULL AS height,
-         NULL AS px_sum, aud.ns AS n_samples, audsum.ss AS samp_sum
+         NULL AS px_sum, aud.ns AS n_samples, audsum.ss AS samp_sum,
+         NULL AS n_frames
   FROM aud JOIN audsum ON aud.i = audsum.i),
-vidrow AS (
+-- video: k = i//3 even → REAL Y4M (closed-form plane sums), k odd → opaque
+vid AS (SELECT i, i // 3 AS k FROM ids WHERE i % 3 = 2),
+vy AS (SELECT i, 4 + 2*(k%4) AS w, 4 + 2*(k%5) AS h, 1 + k%3 AS nf
+       FROM vid WHERE k % 2 = 0),
+vysum AS (
+  SELECT vy.i, sum((x.x*3 + y.y*5 + f.f*7 + vy.i) % 256) AS ys
+  FROM vy, range(12) y(y), range(10) x(x), range(3) f(f)
+  WHERE y.y < vy.h AND x.x < vy.w AND f.f < vy.nf
+  GROUP BY vy.i),
+vcsum AS (
+  SELECT vy.i, sum((x.x + y.y + f.f + vy.i) % 256
+                   + (2*x.x + y.y + f.f + vy.i) % 256) AS cs
+  FROM vy, range(6) y(y), range(5) x(x), range(3) f(f)
+  WHERE y.y < vy.h // 2 AND x.x < vy.w // 2 AND f.f < vy.nf
+  GROUP BY vy.i),
+vidrow_y4m AS (
+  SELECT vy.i AS media_id, 'video' AS kind, true AS decoded,
+         33 + length(cast(vy.w AS varchar)) + length(cast(vy.h AS varchar))
+            + vy.nf * (6 + vy.w*vy.h + 2*(vy.w//2)*(vy.h//2)) AS n_bytes,
+         vy.w AS width, vy.h AS height, vysum.ys + vcsum.cs AS px_sum,
+         NULL AS n_samples, NULL AS samp_sum, vy.nf AS n_frames
+  FROM vy JOIN vysum ON vy.i = vysum.i JOIN vcsum ON vy.i = vcsum.i),
+vidrow_opaque AS (
   SELECT i AS media_id, 'video' AS kind, false AS decoded,
          32 * (1 + i % 4) AS n_bytes, NULL AS width, NULL AS height,
-         NULL AS px_sum, NULL AS n_samples, NULL AS samp_sum
-  FROM ids WHERE i % 3 = 2)
+         NULL AS px_sum, NULL AS n_samples, NULL AS samp_sum,
+         NULL AS n_frames
+  FROM vid WHERE k % 2 = 1)
 SELECT cast(media_id AS bigint) AS media_id, kind, decoded,
        cast(n_bytes AS bigint) AS n_bytes,
        cast(width AS int) AS width, cast(height AS int) AS height,
        cast(px_sum AS bigint) AS px_sum,
        cast(n_samples AS bigint) AS n_samples,
-       cast(samp_sum AS bigint) AS samp_sum
+       cast(samp_sum AS bigint) AS samp_sum,
+       cast(n_frames AS bigint) AS n_frames
 FROM (SELECT * FROM imgrow UNION ALL SELECT * FROM audrow
-      UNION ALL SELECT * FROM vidrow)
+      UNION ALL SELECT * FROM vidrow_y4m
+      UNION ALL SELECT * FROM vidrow_opaque)
 """
 
 

@@ -314,7 +314,21 @@ def test_media_stats_exact(spark):
             assert r["samp_sum"] == int(((((j * 37 + i * 11) % 201) - 100) * 300).sum())
             assert r["n_bytes"] == 44 + 2 * ns
         else:
-            assert not r["decoded"] and r["n_bytes"] == 32 * (1 + i % 4)
+            k = i // 3
+            if k % 2 == 0:  # REAL Y4M rows decode with exact plane sums
+                w, h, nf = 4 + 2 * (k % 4), 4 + 2 * (k % 5), 1 + k % 3
+                assert r["decoded"] and r["width"] == w and r["height"] == h
+                assert r["n_frames"] == nf
+                tot = 0
+                y, x = np.mgrid[0:h, 0:w]
+                cy, cx = np.mgrid[0:h // 2, 0:w // 2]
+                for f in range(nf):
+                    tot += int(((x * 3 + y * 5 + f * 7 + i) % 256).sum())
+                    tot += int(((cx + cy + f + i) % 256).sum())
+                    tot += int(((2 * cx + cy + f + i) % 256).sum())
+                assert r["px_sum"] == tot, i
+            else:
+                assert not r["decoded"] and r["n_bytes"] == 32 * (1 + i % 4)
 
 
 def test_bmp_roundtrip():
@@ -371,3 +385,43 @@ def test_simhash_recall_matches_bruteforce_at_requested_radius(spark, dup_docs):
             for r in dedup.simhash_near_duplicates(df, max_hamming=h).collect()
         }
         assert got == brute, f"radius {h}: banded pairs != brute force"
+
+
+def test_y4m_roundtrip_and_frame_extraction(spark):
+    """encode_y4m/_decode_y4m invert each other; extract_video_frames emits
+    one real PGM-decodable Y plane per frame with exact sums, while opaque
+    video rows emit a single decoded=false marker row."""
+    import numpy as np
+
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    w, h, nf = 6, 4, 3
+    rng = np.random.RandomState(7)
+    frames = [
+        (rng.randint(0, 256, (h, w), dtype=np.uint8),
+         rng.randint(0, 256, (h // 2, w // 2), dtype=np.uint8),
+         rng.randint(0, 256, (h // 2, w // 2), dtype=np.uint8))
+        for _ in range(nf)
+    ]
+    payload = M.encode_y4m(frames, w, h)
+    dec = M._decode_y4m(payload)
+    assert dec is not None
+    dw, dh, dframes, cs = dec
+    assert (dw, dh, len(dframes), cs) == (w, h, nf, "420")
+    for f, (y, cb, cr) in zip(dframes, frames):
+        assert (f[: w * h].reshape(h, w) == y).all()
+
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), "video/x-yuv4mpeg", None, None, 120),
+         (1, "video", bytearray(b"\x00" * 64), "video/mp4", None, None, 1000)],
+        M.MEDIA_SCHEMA,
+    )
+    got = {(r["media_id"], r["frame_idx"]): r
+           for r in M.extract_video_frames(media).collect()}
+    assert len([k for k in got if k[0] == 0]) == nf
+    for fi in range(nf):
+        r = got[(0, fi)]
+        assert r["decoded"] and r["y_sum"] == int(frames[fi][0].sum())
+        img = M._decode_ppm(bytes(r["frame_pgm"]))
+        assert img is not None and img.shape == (h, w, 3)
+    assert not got[(1, 0)]["decoded"]
