@@ -1944,3 +1944,43 @@ ORACLE_IVF_RECALL = _ivf_recall_oracle_sql()
 QUERIES.update({"lsh_recall": q_lsh_recall, "ivf_recall": q_ivf_recall})
 ORACLES.update({"lsh_recall": ORACLE_LSH_RECALL,
                 "ivf_recall": ORACLE_IVF_RECALL})
+
+
+# --------------------------------------------------------------------------
+# html → text byte-identity gate (VERDICT r3 #7)
+#
+# The BASELINE.json input_hint contract says ``text`` must be byte-identical
+# to what html_to_text derives from ``html``. The x_* gates exercise the
+# text column; this gate drives the html path end-to-end: the constructed
+# pages' text is re-wrapped into the synthetic HTML container IN-PLAN
+# (XML-escape + <pre data-kind="source"> wrap, encoded to UTF-8 binary —
+# the exact grammar sources/synth.py emits), decoded back through
+# make_html_to_text_udf (functions/wikitext.py:268-285), and the labels
+# extraction over the DECODED text is hash-compared to the text-column
+# oracle — one byte of drift anywhere in the html round trip breaks the
+# hash.
+# --------------------------------------------------------------------------
+
+def q_x_labels_from_html(spark, sf_dir):
+    from ..functions.wikitext import make_html_to_text_udf
+
+    pages = _pages(spark, sf_dir)
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.encode(
+        F.concat(
+            F.lit("<html><head><title>"), F.col("title"),
+            F.lit('</title></head><body><pre data-kind="source">'),
+            esc,
+            F.lit("</pre></body></html>"),
+        ),
+        "UTF-8",
+    )
+    decode = make_html_to_text_udf()
+    rewired = pages.withColumn("text", decode(html))
+    return extractor_df(rewired, "labels").select("subj", "pred", "obj", "lang")
+
+
+QUERIES.update({"x_labels_from_html": q_x_labels_from_html})
+ORACLES.update({"x_labels_from_html": ORACLE_X_LABELS})
