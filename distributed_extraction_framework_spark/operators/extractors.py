@@ -20,6 +20,7 @@ At 100 TB this matters: a per-extractor union would re-scan `text`
 
 from __future__ import annotations
 
+import re as _re
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -367,7 +368,12 @@ def geo_coordinates(e) -> Column:
 _INT_RE = r"^-?[0-9][0-9,]*$"
 _DBL_RE = r"^-?[0-9][0-9,]*\.[0-9]+$"
 _DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
-_UNIT_RE = r"^(-?[0-9][0-9,]*(?:\.[0-9]+)?) (km2|km|kg|m)$"
+# alternation generated from schema.UNIT_DATATYPES, longest suffix first so
+# 'km2' wins over 'km', 'mph' over 'm', … (regex alternation is first-match)
+_UNIT_ALT = "|".join(
+    _re.escape(u) for u in sorted(S.UNIT_DATATYPES, key=len, reverse=True)
+)
+_UNIT_RE = rf"^(-?[0-9][0-9,]*(?:\.[0-9]+)?) ({_UNIT_ALT})$"
 _LINK_VALUE_RE = r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$"
 _URL_VALUE_RE = r"^https?://\S+$"
 

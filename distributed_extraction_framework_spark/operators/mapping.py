@@ -25,6 +25,11 @@ from .extractors import base_norm, enrich_pages, prepare_pages, quad, resource_u
 TEMPLATE_CLASS_SCHEMA = "template string, onto_class string"
 # (template, key, onto_pred, range) — range: 'object' | an xsd datatype URI
 PROPERTY_MAP_SCHEMA = "template string, key string, onto_pred string, range string"
+# ConditionalMapping cases (published mappings-wiki semantics: the FIRST
+# matching {{Condition}} in listed order supplies the class; operators are
+# isSet / equals / contains / otherwise)
+CONDITION_SCHEMA = ("template string, cond_order int, cond_key string, "
+                    "cond_op string, cond_value string, onto_class string")
 
 # a small built-in mapping set covering the synthetic corpus's infoboxes
 # (the real system feeds these tables from the mappings wiki)
@@ -124,15 +129,48 @@ def parse_ontology_xml(path: str) -> dict[str, str]:
     return ranges
 
 
+def _parse_conditional_cases(tmpl: str, src: str) -> list[tuple]:
+    """{{ConditionalMapping | cases = {{Condition|...}} ...}} → CONDITION_
+    SCHEMA rows, in listed order (first match wins downstream)."""
+    from ..functions.wikitext import find_top_level_templates, split_template
+
+    rows: list[tuple] = []
+    order = 0
+    for sub in find_top_level_templates(src[2:-2]):
+        name, parts = split_template(sub)
+        if name != "Condition":
+            continue
+        kv = _template_kv(parts)
+        op = kv.get("operator", "otherwise").strip() or "otherwise"
+        key = kv.get("templateProperty", "").strip().replace(" ", "_")
+        val = kv.get("value", "").strip()
+        cls = ""
+        for msub in find_top_level_templates(kv.get("mapping", "")):
+            mname, mparts = split_template(msub)
+            if mname == "TemplateMapping":
+                cls = _template_kv(mparts).get("mapToClass", "").strip()
+        if cls:
+            rows.append((tmpl, order, key, op, val, S.ONTOLOGY + cls))
+            order += 1
+    return rows
+
+
 def load_mappings_xml(
     spark: SparkSession,
     mappings_path: str,
     ontology_path: str | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Parse a mappings-wiki export ('Mapping en:Infobox foo' pages holding
-    {{TemplateMapping|mapToClass=...|mappings={{PropertyMapping|...}}}})
-    into the broadcastable (template→class, (template,key)→predicate)
+    {{TemplateMapping|mapToClass=...|mappings={{PropertyMapping|...}}}} or
+    {{ConditionalMapping|cases={{Condition|...}}...}}) into the
+    broadcastable (template→class, (template,key)→predicate, conditions)
     DataFrames mapping_extract consumes.
+
+    A page holding a ConditionalMapping contributes CONDITION_SCHEMA rows
+    (one per {{Condition}}, in listed order — first match wins) instead of
+    an unconditional template→class row; its PropertyMappings (from every
+    case) merge onto the template, matching the published behavior where
+    per-case mappings apply to the template's properties.
 
     Property ranges resolve through the ontology export when given
     (object vs typed literal); unknown properties default to plain
@@ -143,15 +181,20 @@ def load_mappings_xml(
     ranges = parse_ontology_xml(ontology_path) if ontology_path else {}
     tclasses: list[tuple[str, str]] = []
     pmaps: list[tuple[str, str, str, str]] = []
+    conds: list[tuple] = []
     for title, text in _iter_export_pages(mappings_path):
         # 'Mapping en:Infobox settlement' → 'Infobox_settlement'
         tmpl = title.split(":", 1)[1] if ":" in title else title
         tmpl = tmpl.strip().replace(" ", "_")
         tmpl = tmpl[:1].upper() + tmpl[1:]
-        for src in find_top_level_templates(text):
+        tops = find_top_level_templates(text)
+        conditional = [s for s in tops if split_template(s)[0] == "ConditionalMapping"]
+        for cs in conditional:
+            conds.extend(_parse_conditional_cases(tmpl, cs))
+        for src in tops:
             name, parts = split_template(src)
             kv = _template_kv(parts)
-            if name in ("TemplateMapping", "ConditionalMapping"):
+            if name == "TemplateMapping" and not conditional:
                 cls = kv.get("mapToClass", "")
                 if cls:
                     tclasses.append((tmpl, S.ONTOLOGY + cls))
@@ -162,15 +205,77 @@ def load_mappings_xml(
                     pmaps.append(
                         (tmpl, tp.replace(" ", "_"), S.ONTOLOGY + op, rng)
                     )
-    return mapping_tables(spark, tclasses or [("__none__", "")], pmaps or [("__none__", "", "", "")])
+    tc, pm = mapping_tables(
+        spark, tclasses or [("__none__", "")], pmaps or [("__none__", "", "", "")]
+    )
+    cond_df = spark.createDataFrame(
+        conds or [("__none__", 0, "", "otherwise", "", "")], CONDITION_SCHEMA
+    )
+    return tc, pm, cond_df
+
+
+def conditional_types(kv: DataFrame, conditions: DataFrame) -> DataFrame:
+    """(subj, context, template, onto_class) — ConditionalMapping dispatch.
+
+    Published semantics (the reference's ConditionalMapping/Condition pages
+    on the mappings wiki; the extractor framework applies the FIRST
+    condition whose test passes, in listed order):
+
+    * ``isSet``    — the template sets ``cond_key`` to a non-blank value
+    * ``equals``   — the value equals ``cond_value`` (case-insensitive, trimmed)
+    * ``contains`` — the value contains ``cond_value`` (case-insensitive)
+    * ``otherwise``— always matches (the trailing default case)
+
+    Plan: the per-page key/values collapse to ONE array per (subj,
+    template) — a single shuffle with the same cardinality as pages —
+    then a broadcast join against the (tiny) condition table evaluates
+    every case with ``F.exists`` over the array (no second shuffle), and
+    ``min_by(cond_order)`` picks the first match, reusing the groupBy
+    partitioning."""
+    page_tmpl = kv.groupBy("subj", "context", "template").agg(
+        F.collect_list(F.struct(F.col("key"), F.col("value"))).alias("_kvs")
+    )
+    cand = page_tmpl.join(F.broadcast(conditions), "template")
+
+    def has(pred):
+        return F.exists(
+            "_kvs",
+            lambda e: (e["key"] == F.col("cond_key")) & pred(F.trim(e["value"])),
+        )
+
+    matched = (
+        F.when(F.col("cond_op") == "otherwise", F.lit(True))
+        .when(F.col("cond_op") == "isSet", has(lambda v: v != ""))
+        .when(
+            F.col("cond_op") == "equals",
+            has(lambda v: F.lower(v) == F.lower(F.col("cond_value"))),
+        )
+        .when(
+            F.col("cond_op") == "contains",
+            has(lambda v: F.contains(F.lower(v), F.lower(F.col("cond_value")))),
+        )
+        .otherwise(F.lit(False))
+    )
+    return (
+        cand.filter(matched)
+        .groupBy("subj", "context", "template")
+        .agg(F.min_by("onto_class", "cond_order").alias("onto_class"))
+    )
 
 
 def mapping_extract(
     pages: DataFrame,
     template_classes: DataFrame,
     property_mappings: DataFrame,
+    conditions: DataFrame | None = None,
 ) -> DataFrame:
-    """Quads from mapped infobox templates (broadcast joins, no shuffle)."""
+    """Quads from mapped infobox templates (broadcast joins, no shuffle).
+
+    ``conditions`` (CONDITION_SCHEMA rows) adds ConditionalMapping
+    dispatch: templates present there take their rdf:type class from the
+    first matching condition instead of ``template_classes``; property
+    mappings stay template-keyed (the per-case mappings of a conditional
+    template are merged onto the template by the XML loader)."""
     e = enrich_pages(prepare_pages(pages), with_parse=True).filter(
         F.col("ns") == S.NS_MAIN
     )
@@ -184,19 +289,26 @@ def mapping_extract(
         F.trim(F.col("ib.value")).alias("value"),
     )
 
-    # rdf:type from the template→class table
-    types = (
-        kv.select("subj", "context", "template").distinct()
-        .join(F.broadcast(template_classes), "template")
-        .select(
-            F.lit("instance_types").alias("dataset"),
-            F.col("subj"),
-            F.lit(S.RDF_TYPE).alias("pred"),
-            F.col("onto_class").alias("obj"),
-            F.lit(None).cast("string").alias("lang"),
-            F.lit(None).cast("string").alias("datatype"),
-            F.col("context"),
+    # rdf:type from the template→class table; conditional templates are
+    # carved out and typed by their first matching condition instead
+    tc = template_classes
+    typed = kv.select("subj", "context", "template").distinct()
+    if conditions is not None:
+        cond_templates = conditions.select("template").distinct()
+        typed = typed.join(F.broadcast(cond_templates), "template", "left_anti")
+    plain_types = typed.join(F.broadcast(tc), "template")
+    if conditions is not None:
+        plain_types = plain_types.unionByName(
+            conditional_types(kv, conditions)
         )
+    types = plain_types.select(
+        F.lit("instance_types").alias("dataset"),
+        F.col("subj"),
+        F.lit(S.RDF_TYPE).alias("pred"),
+        F.col("onto_class").alias("obj"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.col("context"),
     )
 
     # typed properties from the (template, key) → predicate table

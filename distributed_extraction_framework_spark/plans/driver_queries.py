@@ -1984,3 +1984,53 @@ def q_x_labels_from_html(spark, sf_dir):
 
 QUERIES.update({"x_labels_from_html": q_x_labels_from_html})
 ORACLES.update({"x_labels_from_html": ORACLE_X_LABELS})
+
+
+# --------------------------------------------------------------------------
+# ConditionalMapping gate (VERDICT r3 #8): first-match condition dispatch
+# over the constructed corpus's Infobox_thing boxes, hash-compared to a SQL
+# oracle that re-evaluates the same case list in closed form (contains /
+# equals / isSet / otherwise — population is always set, so 'otherwise'
+# stays a guarded default, covered by pytest).
+# --------------------------------------------------------------------------
+
+def q_mapping_conditional(spark, sf_dir):
+    from ..operators.mapping import (
+        CONDITION_SCHEMA,
+        mapping_extract,
+        mapping_tables,
+    )
+
+    pages = _pages(spark, sf_dir)
+    tc, pm = mapping_tables(spark)
+    conds = spark.createDataFrame(
+        [
+            ("Infobox_thing", 0, "name", "contains", "a", S.ONTOLOGY + "AlphaThing"),
+            ("Infobox_thing", 1, "area", "equals", "7.25", S.ONTOLOGY + "SmallThing"),
+            ("Infobox_thing", 2, "population", "isSet", "", S.ONTOLOGY + "PopulatedThing"),
+            ("Infobox_thing", 3, "", "otherwise", "", S.ONTOLOGY + "Thing"),
+        ],
+        CONDITION_SCHEMA,
+    )
+    q = mapping_extract(pages, tc, pm, conditions=conds)
+    return q.filter(F.col("dataset") == "instance_types").select("subj", "obj")
+
+
+ORACLE_MAPPING_CONDITIONAL = f"""
+{_oracle_pages()},
+boxed AS (
+  SELECT p.doc_id, p.title, split_part(d.text, ' ', 1) AS w1
+  FROM pages p JOIN documents d ON p.doc_id = d.doc_id
+  WHERE p.doc_id % 17 <> 3 AND p.doc_id % 10 > 1 AND p.doc_id % 29 <> 7
+    AND p.doc_id % 3 = 0
+)
+SELECT '{RES}' || title AS subj,
+       '{S.ONTOLOGY}' || CASE
+         WHEN contains(lower(w1), 'a') THEN 'AlphaThing'
+         WHEN cast(doc_id % 100 AS varchar) || '.25' = '7.25' THEN 'SmallThing'
+         ELSE 'PopulatedThing' END AS obj
+FROM boxed
+"""
+
+QUERIES.update({"mapping_conditional": q_mapping_conditional})
+ORACLES.update({"mapping_conditional": ORACLE_MAPPING_CONDITIONAL})

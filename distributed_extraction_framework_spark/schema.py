@@ -142,10 +142,39 @@ XSD_DATE = "http://www.w3.org/2001/XMLSchema#date"
 # guessing — KryoExtractionRegistrator.scala:46-47): suffix → datatype URI
 DATATYPE_NS = "http://kg.example.org/datatype/"
 UNIT_DATATYPES = {
+    # length
     "km": DATATYPE_NS + "kilometre",
     "m": DATATYPE_NS + "metre",
-    "kg": DATATYPE_NS + "kilogram",
+    "cm": DATATYPE_NS + "centimetre",
+    "mm": DATATYPE_NS + "millimetre",
+    "mi": DATATYPE_NS + "mile",
+    "ft": DATATYPE_NS + "foot",
+    "in": DATATYPE_NS + "inch",
+    # area
     "km2": DATATYPE_NS + "squareKilometre",
+    "m2": DATATYPE_NS + "squareMetre",
+    "mi2": DATATYPE_NS + "squareMile",
+    "ft2": DATATYPE_NS + "squareFoot",
+    "ha": DATATYPE_NS + "hectare",
+    # mass
+    "kg": DATATYPE_NS + "kilogram",
+    "g": DATATYPE_NS + "gram",
+    "lb": DATATYPE_NS + "pound",
+    "t": DATATYPE_NS + "tonne",
+    # time
+    "s": DATATYPE_NS + "second",
+    "min": DATATYPE_NS + "minute",
+    "h": DATATYPE_NS + "hour",
+    # speed
+    "km/h": DATATYPE_NS + "kilometrePerHour",
+    "mph": DATATYPE_NS + "milePerHour",
+    # power / frequency / volume
+    "kW": DATATYPE_NS + "kilowatt",
+    "MW": DATATYPE_NS + "megawatt",
+    "Hz": DATATYPE_NS + "hertz",
+    "km3": DATATYPE_NS + "cubicKilometre",
+    "m3": DATATYPE_NS + "cubicMetre",
+    "L": DATATYPE_NS + "litre",
 }
 XSD_INTEGER = XSD + "integer"
 XSD_DOUBLE = XSD + "double"

@@ -64,6 +64,17 @@ MAPPINGS_XML = """<?xml version="1.0" encoding="UTF-8"?>
 | mappings =
 {{PropertyMapping | templateProperty = website | ontologyProperty = homepage}}
 }}</text></revision></page>
+<page><title>Mapping en:Infobox building</title><ns>204</ns><id>7</id>
+<revision><id>16</id><text>{{ConditionalMapping
+| cases =
+{{Condition | templateProperty = type | operator = equals | value = church
+  | mapping = {{TemplateMapping | mapToClass = Church
+    | mappings = {{PropertyMapping | templateProperty = located in | ontologyProperty = isPartOf}} }} }}
+{{Condition | templateProperty = height | operator = isSet
+  | mapping = {{TemplateMapping | mapToClass = Skyscraper}} }}
+{{Condition | operator = otherwise
+  | mapping = {{TemplateMapping | mapToClass = Building}} }}
+}}</text></revision></page>
 </mediawiki>
 """
 
@@ -115,12 +126,25 @@ def test_mappings_xml_loader(spark, tmp_path):
         "homepage": "object",
     }
 
-    tc, pm = load_mappings_xml(spark, str(mp), str(op))
+    tc, pm, cond = load_mappings_xml(spark, str(mp), str(op))
     tcs = {(r["template"], r["onto_class"]) for r in tc.collect()}
+    # the ConditionalMapping page contributes NO unconditional class row
     assert tcs == {
         ("Infobox_settlement", S.ONTOLOGY + "Settlement"),
         ("Infobox_company", S.ONTOLOGY + "Company"),
     }
+    crows = [(r["cond_order"], r["cond_key"], r["cond_op"], r["cond_value"],
+              r["onto_class"])
+             for r in cond.filter(F.col("template") == "Infobox_building")
+             .orderBy("cond_order").collect()]
+    assert crows == [
+        (0, "type", "equals", "church", S.ONTOLOGY + "Church"),
+        (1, "height", "isSet", "", S.ONTOLOGY + "Skyscraper"),
+        (2, "", "otherwise", "", S.ONTOLOGY + "Building"),
+    ]
+    # per-case PropertyMappings merge onto the conditional template
+    pms_all = {(r["template"], r["key"]) for r in pm.collect()}
+    assert ("Infobox_building", "located_in") in pms_all
     pms = {(r["template"], r["key"], r["onto_pred"], r["range"]) for r in pm.collect()}
     assert ("Infobox_settlement", "population", S.ONTOLOGY + "populationTotal",
             S.XSD_INTEGER) in pms
@@ -189,3 +213,77 @@ def test_mapping_plan_is_broadcast(spark, pages_df):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_conditional_mapping_dispatch(spark):
+    """Published ConditionalMapping semantics: FIRST matching condition in
+    listed order types the page; isSet/equals/contains/otherwise all
+    exercised, plus units datatype guessing on the widened unit table."""
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.operators.mapping import (
+        CONDITION_SCHEMA,
+        mapping_extract,
+    )
+
+    mk = "{{{{Infobox building | name = {n} {extra}}}}}"
+    rows = [
+        ("B1", mk.format(n="B1", extra="| type = Church ")),          # equals (ci)
+        ("B2", mk.format(n="B2", extra="| height = 300 m ")),         # isSet
+        ("B3", mk.format(n="B3", extra="| type = large chapel x ")),  # contains
+        ("B4", mk.format(n="B4", extra="")),                          # otherwise
+        # equals beats the later isSet: first match wins
+        ("B5", mk.format(n="B5", extra="| type = church | height = 10 m ")),
+    ]
+    pages = spark.createDataFrame(
+        [(f"https://en.pages.example.org/wiki/{t}", None, None, txt, "en")
+         for t, txt in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    conds = spark.createDataFrame(
+        [
+            ("Infobox_building", 0, "type", "equals", "church", S.ONTOLOGY + "Church"),
+            ("Infobox_building", 1, "height", "isSet", "", S.ONTOLOGY + "Skyscraper"),
+            ("Infobox_building", 2, "type", "contains", "chapel", S.ONTOLOGY + "Chapel"),
+            ("Infobox_building", 3, "", "otherwise", "", S.ONTOLOGY + "Building"),
+        ],
+        CONDITION_SCHEMA,
+    )
+    tc = spark.createDataFrame([("Infobox_other", S.ONTOLOGY + "Other")],
+                               "template string, onto_class string")
+    pm = spark.createDataFrame(
+        [("Infobox_building", "height", S.ONTOLOGY + "height", S.XSD_DOUBLE)],
+        "template string, key string, onto_pred string, range string",
+    )
+    quads = mapping_extract(pages, tc, pm, conditions=conds)
+    types = {r["subj"].rsplit("/", 1)[1]: r["obj"].rsplit("/", 1)[1]
+             for r in quads.filter(F.col("dataset") == "instance_types").collect()}
+    assert types == {"B1": "Church", "B2": "Skyscraper", "B3": "Chapel",
+                     "B4": "Building", "B5": "Church"}
+
+
+def test_infobox_unit_datatypes_widened(spark):
+    """The widened ParserUtils-style unit table: suffix-carrying values get
+    the unit datatype URI and the numeric part as the object."""
+    from distributed_extraction_framework_spark import schema as S
+
+    cases = {
+        "area": ("510.07 mi2", "squareMile", "510.07"),
+        "speed": ("88 km/h", "kilometrePerHour", "88"),
+        "mass": ("1,234 lb", "pound", "1234"),
+        "depth": ("10 ft", "foot", "10"),
+        "len": ("42 km", "kilometre", "42"),
+        "dur": ("90 min", "minute", "90"),
+    }
+    box = " ".join(f"| {k} = {v[0]}" for k, v in cases.items())
+    pages = spark.createDataFrame(
+        [("https://en.pages.example.org/wiki/U1", None, None,
+          "{{Infobox thing | name = U1 " + box + "}}", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    quads = extract(pages, extractors=["infobox_properties"])
+    got = {r["pred"].rsplit("/", 1)[1]: (r["obj"], r["datatype"])
+           for r in quads.collect()}
+    for k, (_, unit_name, num) in cases.items():
+        obj, dt = got[k]
+        assert obj == num, (k, obj)
+        assert dt == S.DATATYPE_NS + unit_name, (k, dt)
