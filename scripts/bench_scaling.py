@@ -266,19 +266,31 @@ def main() -> None:
 
     met_rows = []
     met_configs = []
-    for (kernel, levels), g in sorted(groups.items()):
+    # default-kernel configs lead the verdict; compute-kernel rows are a
+    # non-default gate configuration (its higher CPU-per-byte lowers
+    # bandwidth demand and flatters efficiency — ADVICE r3 disclosure)
+    for (kernel, levels), g in sorted(
+        groups.items(), key=lambda kv: (kv[0][0] != "fast", kv[0])
+    ):
         n_met, best = met(kernel, levels)
         status = "MET (reproduced)" if n_met >= 2 else (
             "met once" if n_met == 1 else "below 0.8")
+        label = (f"{kernel} (DEFAULT — shipped config)" if kernel == "fast"
+                 else f"{kernel} (non-default gate config)")
         met_rows.append(
-            f"| {kernel} | {levels[0]}→{levels[1]} | {best} | "
+            f"| {label} | {levels[0]}→{levels[1]} | {best} | "
             f"{round(statistics.median([t['scaling_efficiency'] for t in g]), 3)} | "
             f"{n_met}/{len(g)} | {status} |")
         if n_met >= 2:
+            tag = "DEFAULT `fast` kernel" if kernel == "fast" else \
+                "non-default `compute` gate kernel"
             met_configs.append(
-                f"kernel `{kernel}` at {levels[0]}→{levels[1]} cores "
+                f"{tag} at {levels[0]}→{levels[1]} cores "
                 f"({n_met} trials ≥ 0.8 raw)")
-    verdict = ("MET — reproduced in: " + "; ".join(met_configs)
+    fast_met = any("DEFAULT" in c for c in met_configs)
+    verdict = (("MET in the DEFAULT (`fast`) kernel — " if fast_met
+                else "MET (non-default kernel only) — reproduced in: ")
+               + "; ".join(met_configs)
                if met_configs else "NOT MET")
     group_md = "\n\n".join(
         f"### kernel `{k}`, {lv[0]}→{lv[1]} cores\n\n{_fmt_group(g)}"
