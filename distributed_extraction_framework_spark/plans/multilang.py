@@ -25,12 +25,10 @@ from pyspark.sql import functions as F
 from ..operators.extractors import extract
 
 
-def extract_partitioned(pages: DataFrame, out_path: str,
-                        extractors: list[str] | None = None) -> None:
-    """One fused job; sink partitioned by (lang, dataset)."""
-    quads = extract(pages, extractors=extractors)
-    # lang of the SUBJECT page == the quad's lang column for literals, but
-    # resource-only quads carry null lang; recover page language from subj host
+def with_page_lang(quads: DataFrame) -> DataFrame:
+    """Append ``page_lang``: the SUBJECT page's language. It equals the
+    quad's lang column for literals, but resource-only quads carry null
+    lang — recover it from the subj URI host instead."""
     from .. import schema as S
 
     host = S.RESOURCE_HOST.replace(".", r"\.")
@@ -38,8 +36,15 @@ def extract_partitioned(pages: DataFrame, out_path: str,
         F.col("subj").rlike(rf"^http://[a-z]{{2,3}}\.{host}/"),
         F.regexp_extract("subj", r"^http://([a-z]{2,3})\.", 1),
     ).otherwise("en")
+    return quads.withColumn("page_lang", page_lang)
+
+
+def extract_partitioned(pages: DataFrame, out_path: str,
+                        extractors: list[str] | None = None) -> None:
+    """One fused job; sink partitioned by (lang, dataset)."""
+    quads = extract(pages, extractors=extractors)
     (
-        quads.withColumn("page_lang", page_lang)
+        with_page_lang(quads)
         .write.mode("overwrite")
         .partitionBy("page_lang", "dataset")
         .parquet(out_path)

@@ -50,6 +50,12 @@ class PipelineConfig:
     canonicalize: bool = True
     use_disambiguation_set: bool = True
     salt_buckets: int = 8
+    # C1: partition every quad stage by (page_lang, dataset) — the one-job
+    # collapse of the reference's per-language concurrency (multilang.py)
+    partition_by_lang: bool = False
+    # K1: multi-format export fan-out after the final stage, e.g.
+    # {"nt.gz": "n-triples", "tql.gz": "n-quads"} (suffix → codec)
+    output_formats: dict | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -75,15 +81,7 @@ class Pipeline:
     def _stage_path(self, stage: str) -> str:
         return f"{self.cfg.warehouse}/{stage}"
 
-    def _committed(self, stage: str, fingerprint: str) -> bool:
-        """Stage output exists AND lineage says it completed for this input."""
-        path = self._stage_path(stage)
-        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-        fs = jvm_path.getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
-        if not fs.exists(jvm_path):
-            return False
+    def _lineage_complete(self, stage: str, fingerprint: str) -> bool:
         try:
             lin = self.spark.read.parquet(self._stage_path("lineage"))
         except Exception:
@@ -96,6 +94,17 @@ class Pipeline:
             ).count()
         )
         return n > 0
+
+    def _committed(self, stage: str, fingerprint: str) -> bool:
+        """Stage output exists AND lineage says it completed for this input."""
+        path = self._stage_path(stage)
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        fs = jvm_path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        if not fs.exists(jvm_path):
+            return False
+        return self._lineage_complete(stage, fingerprint)
 
     def _record(self, stage: str, partition: str, n_rows: int, wall_ms: int,
                 fingerprint: str, status: str = "complete") -> None:
@@ -162,14 +171,22 @@ class Pipeline:
                 lambda: compute_disambiguation_pages(pages),
             )
 
+        # C1 collapse: quad stages optionally lay out as (page_lang, dataset)
+        part_cols = (["page_lang", "dataset"] if self.cfg.partition_by_lang
+                     else "dataset")
+
         def build_quads() -> DataFrame:
             p = pages.observe(pages_obs, F.count(F.lit(1)).alias("pages_in"))
             q = X.extract(p, extractors=self.cfg.extractors,
                           disambiguations_df=dab)
+            if self.cfg.partition_by_lang:
+                from .multilang import with_page_lang
+
+                q = with_page_lang(q)
             return q.observe(obs, F.count(F.lit(1)).alias("quads_out"))
 
         quads = self._run_stage("quads", fp, build_quads,
-                                partition_col="dataset", partition_by="dataset")
+                                partition_col="dataset", partition_by=part_cols)
 
         redirects_cl = self._run_stage(
             "redirect_closure", fp,
@@ -180,7 +197,7 @@ class Pipeline:
             "quads_resolved", fp,
             lambda: resolve_objects(quads, redirects_cl,
                                     datasets=self.cfg.resolve_datasets),
-            partition_col="dataset", partition_by="dataset",
+            partition_col="dataset", partition_by=part_cols,
         )
 
         final = resolved
@@ -194,7 +211,7 @@ class Pipeline:
 
             final = self._run_stage("quads_canonical", fp, build_canonical,
                                     partition_col="dataset",
-                                    partition_by="dataset")
+                                    partition_by=part_cols)
 
         outputs: dict[str, DataFrame] = {"quads": final}
 
@@ -206,6 +223,20 @@ class Pipeline:
             outputs["entity_links"] = self._run_stage(
                 "entity_links", fp, build_links
             )
+
+        # K1: multi-format export fan-out (N-Triples/N-Quads/Turtle/... with
+        # suffix-implied codecs) as a resumable stage of the DAG
+        if self.cfg.output_formats:
+            if not self._lineage_complete("exports", fp):
+                t0 = time.time()
+                M.write_formats(final, self._stage_path("exports"),
+                                self.cfg.output_formats)
+                n_out = (int(obs.get["quads_out"])
+                         if "quads" in self._fresh else 0)
+                self._record("exports",
+                             ",".join(sorted(self.cfg.output_formats)),
+                             n_out, int((time.time() - t0) * 1000), fp)
+                self._flush_lineage()
 
         t0 = time.time()
         if not self._committed("edges", fp):

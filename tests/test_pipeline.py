@@ -264,3 +264,44 @@ def test_pipeline_metrics_come_from_observation(spark, pages_df, tmp_path, monke
          for r in spark.read.parquet(wh + "/metrics").collect()}
     assert m["pages_in"] == pages_df.count()
     assert m["quads_out"] == out["quads"].count()
+
+
+def test_pipeline_fanout_and_lang_partitioning(spark, pages_df, tmp_path):
+    """K1+C1 wired into the resumable DAG (VERDICT r3 #10): quad stages lay
+    out as (page_lang, dataset); the export fan-out writes per-format
+    compressed text as a lineage-guarded stage that resume skips."""
+    import os
+
+    wh = str(tmp_path / "wh_fanout")
+    out = run_pipeline(
+        spark, pages_df, wh,
+        link_entities=False, canonicalize=False,
+        partition_by_lang=True,
+        output_formats={"nt.gz": "n-triples", "tql.gz": "n-quads"},
+    )
+    assert out["quads"].count() > 0
+
+    # (page_lang=..., dataset=...) physical layout on the quads stage
+    langs = [d for d in os.listdir(wh + "/quads") if d.startswith("page_lang=")]
+    assert langs, "quads stage must be partitioned by page_lang"
+    inner = os.listdir(wh + "/quads/" + langs[0])
+    assert any(d.startswith("dataset=") for d in inner)
+
+    # export fan-out: one dir per format, gzip part files inside
+    for sub in ("nt_gz", "tql_gz"):
+        d = f"{wh}/exports/{sub}"
+        assert os.path.isdir(d), d
+        gz = [f for root, _, fs in os.walk(d) for f in fs if f.endswith(".gz")]
+        assert gz, f"no gzip part files under {d}"
+
+    # resume: exports stage must be skipped (exactly one lineage row)
+    lineage = spark.read.parquet(wh + "/lineage")
+    assert lineage.filter(F.col("stage") == "exports").count() == 1
+    run_pipeline(
+        spark, pages_df, wh,
+        link_entities=False, canonicalize=False,
+        partition_by_lang=True,
+        output_formats={"nt.gz": "n-triples", "tql.gz": "n-quads"},
+    )
+    lineage2 = spark.read.parquet(wh + "/lineage")
+    assert lineage2.filter(F.col("stage") == "exports").count() == 1
