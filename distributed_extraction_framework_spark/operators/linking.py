@@ -647,17 +647,21 @@ def link_entities(
       then runs the salted shuffle join against the full distributed
       dictionary.
     """
-    # scalar smallness probe: a count over at most broadcast_rows+1 rows
-    n_probe = surface_forms.limit(broadcast_rows + 1).count()
+    # materialize the dictionary ONCE (its plan is usually a whole
+    # extraction pass — probing and collecting the raw plan would scan it
+    # twice), then the smallness probe is a count over at most
+    # broadcast_rows+1 checkpointed rows: a scalar job, no row transfer
+    sfd_ck = surface_forms.localCheckpoint(eager=True)
+    n_probe = sfd_ck.limit(broadcast_rows + 1).count()
     if n_probe <= broadcast_rows:
         spark = pages.sparkSession
-        rows = surface_forms.collect()  # bounded: probe proved ≤ broadcast_rows
+        rows = sfd_ck.collect()  # bounded: probe proved ≤ broadcast_rows
         surfaces = sorted({r["surface"] for r in rows})
         sfd = spark.createDataFrame(rows, schema=surface_forms.schema)
         mentions = detect_mentions(pages, sfd, surfaces=surfaces)
         best = score_candidates(mentions, sfd, salt_buckets=0)
     else:
-        sfd = surface_forms.localCheckpoint(eager=True)
+        sfd = sfd_ck
         dsurf = (
             sfd.select("surface").distinct().localCheckpoint(eager=True)
         )

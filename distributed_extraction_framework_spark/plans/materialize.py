@@ -65,16 +65,61 @@ def render_ntriples(quads: DataFrame, quad_form: bool = False) -> DataFrame:
     )
 
 
+def with_marker_lines(lines: DataFrame, started_ts: str) -> DataFrame:
+    """Per-file ``# started/completed`` comment marker lines — the
+    reference's in-file completion protocol
+    (DBpediaDatasetOutputFormat.scala:101-115 writes a started header and
+    completed footer comment into every output file).
+
+    Within each writer partition a ``# started <ts>`` row is emitted
+    before the first row of each dataset and ``# completed <ts>`` after
+    its last; since the dataset-partitioned text sink routes rows to one
+    part file per (partition, dataset) in stream order, every physical
+    file then begins and ends with the markers. A file missing its
+    completed footer was interrupted mid-write — exactly the reference's
+    torn-output detection. Comment lines never change dataset content:
+    diff harnesses strip them (reference run-extraction-test:25)."""
+    import pandas as pd
+
+    def mark(batches):
+        started: set = set()
+        for pdf in batches:
+            pieces = [
+                (ds, f"# started {started_ts}")
+                for ds in dict.fromkeys(pdf["dataset"])
+                if ds not in started
+            ]
+            started.update(p[0] for p in pieces)
+            if pieces:
+                hdr = pd.DataFrame(pieces, columns=["dataset", "line"])
+                yield pd.concat([hdr, pdf], ignore_index=True)
+            else:
+                yield pdf
+        if started:
+            yield pd.DataFrame(
+                [(ds, f"# completed {started_ts}") for ds in sorted(started)],
+                columns=["dataset", "line"],
+            )
+
+    return lines.mapInPandas(mark, schema="dataset string, line string")
+
+
 def write_ntriples(
     quads: DataFrame, path: str, quad_form: bool = False,
     compression: str | None = None,
+    markers_ts: str | None = None,
 ) -> None:
     """Dataset-multiplexed N-Triples sink: one directory per dataset
     (`.../dataset=labels/part-*.txt`), the reference's
     ``{lang}wiki-{date}-{dataset}.nt`` fan-out as partitioned text.
     ``compression='gzip'`` mirrors the reference's ``format.nt.gz``
-    codec-inferred outputs (MultipleTextOutputFormat.scala:57-96)."""
-    w = render_ntriples(quads, quad_form).write.mode("overwrite")
+    codec-inferred outputs (MultipleTextOutputFormat.scala:57-96);
+    ``markers_ts`` adds the reference's per-file started/completed comment
+    lines (``with_marker_lines``)."""
+    lines = render_ntriples(quads, quad_form)
+    if markers_ts:
+        lines = with_marker_lines(lines, markers_ts)
+    w = lines.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
     w.partitionBy("dataset").text(path)
@@ -150,6 +195,7 @@ def render_turtle(quads: DataFrame, quad_form: bool = False) -> DataFrame:
 def write_turtle(
     quads: DataFrame, path: str, quad_form: bool = False,
     compression: str | None = None,
+    markers_ts: str | None = None,
 ) -> None:
     """Dataset-multiplexed Turtle sink. Every part file is self-contained
     valid Turtle: rows are repartitioned by dataset and a ``@prefix`` block
@@ -181,10 +227,10 @@ def write_turtle(
             else:
                 yield pdf
 
-    w = (
-        lines.mapInPandas(prepend, schema="dataset string, line string")
-        .write.mode("overwrite")
-    )
+    out = lines.mapInPandas(prepend, schema="dataset string, line string")
+    if markers_ts:
+        out = with_marker_lines(out, markers_ts)
+    w = out.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
     w.partitionBy("dataset").text(path)
@@ -244,8 +290,12 @@ def render_trix(quads: DataFrame, quad_form: bool = False) -> DataFrame:
 def write_trix(
     quads: DataFrame, path: str, quad_form: bool = False,
     compression: str | None = None,
+    markers_ts: str | None = None,
 ) -> None:
-    w = render_trix(quads, quad_form).write.mode("overwrite")
+    lines = render_trix(quads, quad_form)
+    if markers_ts:
+        lines = with_marker_lines(lines, markers_ts)
+    w = lines.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
     w.partitionBy("dataset").text(path)
@@ -282,21 +332,24 @@ def apply_uri_policy(
 
 FORMAT_WRITERS = {
     # reference format keys (config.properties:65-70) → writer
-    "n-triples": lambda q, p, c=None: write_ntriples(q, p, False, c),
-    "n-quads": lambda q, p, c=None: write_ntriples(q, p, True, c),
-    "turtle-triples": lambda q, p, c=None: write_turtle(q, p, False, c),
-    "turtle-quads": lambda q, p, c=None: write_turtle(q, p, True, c),
-    "trix-triples": lambda q, p, c=None: write_trix(q, p, False, c),
-    "trix-quads": lambda q, p, c=None: write_trix(q, p, True, c),
+    "n-triples": lambda q, p, c=None, m=None: write_ntriples(q, p, False, c, m),
+    "n-quads": lambda q, p, c=None, m=None: write_ntriples(q, p, True, c, m),
+    "turtle-triples": lambda q, p, c=None, m=None: write_turtle(q, p, False, c, m),
+    "turtle-quads": lambda q, p, c=None, m=None: write_turtle(q, p, True, c, m),
+    "trix-triples": lambda q, p, c=None, m=None: write_trix(q, p, False, c, m),
+    "trix-quads": lambda q, p, c=None, m=None: write_trix(q, p, True, c, m),
 }
 
 
-def write_formats(quads: DataFrame, base: str, formats: dict[str, str]) -> None:
+def write_formats(quads: DataFrame, base: str, formats: dict[str, str],
+                  markers_ts: str | None = None) -> None:
     """Reference-style multi-format fan-out: ``{'nt.gz': 'n-triples', ...}``
-    — suffix implies codec (``.gz`` → gzip), value picks the serializer."""
+    — suffix implies codec (``.gz`` → gzip), value picks the serializer;
+    ``markers_ts`` adds per-file started/completed comment lines."""
     for suffix, fmt in formats.items():
         comp = "gzip" if suffix.endswith(".gz") else None
-        FORMAT_WRITERS[fmt](quads, f"{base}/{suffix.replace('.', '_')}", comp)
+        FORMAT_WRITERS[fmt](quads, f"{base}/{suffix.replace('.', '_')}", comp,
+                            markers_ts)
 
 
 # --------------------------------------------------------------------------

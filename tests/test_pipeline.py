@@ -305,3 +305,53 @@ def test_pipeline_fanout_and_lang_partitioning(spark, pages_df, tmp_path):
     )
     lineage2 = spark.read.parquet(wh + "/lineage")
     assert lineage2.filter(F.col("stage") == "exports").count() == 1
+
+
+def test_sink_marker_lines(spark, pages_df, tmp_path):
+    """Reference per-file completion protocol (DBpediaDatasetOutputFormat):
+    with markers_ts set, EVERY part file of every dataset begins with
+    '# started <ts>' and ends with '# completed <ts>'; content between is
+    unchanged (comment lines are stripped by diff harnesses)."""
+    import os
+
+    from distributed_extraction_framework_spark.operators.extractors import extract
+    from distributed_extraction_framework_spark.plans.materialize import (
+        write_ntriples,
+        write_turtle,
+    )
+
+    quads = extract(pages_df, extractors=["labels", "page_links"]).cache()
+    ts = "2024-01-01T00:00:00Z"
+    out_nt = str(tmp_path / "nt_marked")
+    write_ntriples(quads, out_nt, markers_ts=ts)
+    out_ttl = str(tmp_path / "ttl_marked")
+    write_turtle(quads, out_ttl, markers_ts=ts)
+
+    def parts(base):
+        for root, _, fs in os.walk(base):
+            for f in fs:
+                if f.startswith("part-") and not f.endswith(".crc"):
+                    yield os.path.join(root, f)
+
+    n_checked = 0
+    for base in (out_nt, out_ttl):
+        for pf in parts(base):
+            txt = [ln for ln in open(pf).read().splitlines() if ln]
+            assert txt[0] == f"# started {ts}", pf
+            assert txt[-1] == f"# completed {ts}", pf
+            n_checked += 1
+    assert n_checked >= 4
+
+    # markers don't perturb content: same data lines as the unmarked sink
+    out_plain = str(tmp_path / "nt_plain")
+    write_ntriples(quads, out_plain)
+
+    def data_lines(base):
+        out = set()
+        for pf in parts(base):
+            for ln in open(pf).read().splitlines():
+                if ln and not ln.startswith("#"):
+                    out.add(ln)
+        return out
+
+    assert data_lines(out_nt) == data_lines(out_plain)
