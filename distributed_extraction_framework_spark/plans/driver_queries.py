@@ -2034,3 +2034,44 @@ FROM boxed
 
 QUERIES.update({"mapping_conditional": q_mapping_conditional})
 ORACLES.update({"mapping_conditional": ORACLE_MAPPING_CONDITIONAL})
+
+
+# --------------------------------------------------------------------------
+# video frame-extraction gate: the per-frame decode path (Y plane walking,
+# frame timestamps) reduced to integer-exact (media_id, frame_idx, ts,
+# y_sum) rows; the oracle recomputes the Y-plane sums in closed form from
+# the synth_media_exact payload grammar. Opaque (compressed) video rows
+# keep their single decoded=false marker row.
+# --------------------------------------------------------------------------
+
+def q_video_frames(spark, sf_dir):
+    from ..operators.multimodal import extract_video_frames, synth_media_exact
+
+    return extract_video_frames(synth_media_exact(spark, 60)).select(
+        "media_id", "frame_idx", "frame_ts_ms", "decoded", "y_sum"
+    )
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH ids AS (SELECT unnest(range(60)) AS i),
+vid AS (SELECT i, i // 3 AS k FROM ids WHERE i % 3 = 2),
+vy AS (SELECT i, 4 + 2*(k%4) AS w, 4 + 2*(k%5) AS h, 1 + k%3 AS nf
+       FROM vid WHERE k % 2 = 0),
+frames AS (SELECT vy.i, vy.w, vy.h, f.f AS fi
+           FROM vy, range(3) f(f) WHERE f.f < vy.nf),
+ys AS (SELECT fr.i, fr.fi,
+              sum((x.x*3 + y.y*5 + fr.fi*7 + fr.i) % 256) AS y_sum
+       FROM frames fr, range(12) y(y), range(10) x(x)
+       WHERE y.y < fr.h AND x.x < fr.w
+       GROUP BY fr.i, fr.fi)
+SELECT cast(i AS bigint) AS media_id, cast(fi AS int) AS frame_idx,
+       cast(40 * fi AS int) AS frame_ts_ms, true AS decoded,
+       cast(y_sum AS bigint) AS y_sum
+FROM ys
+UNION ALL
+SELECT cast(i AS bigint), 0, NULL, false, NULL
+FROM vid WHERE k % 2 = 1
+"""
+
+QUERIES.update({"video_frames": q_video_frames})
+ORACLES.update({"video_frames": ORACLE_VIDEO_FRAMES})
