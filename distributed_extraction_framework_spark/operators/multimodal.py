@@ -546,9 +546,12 @@ def extract_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                     continue
                 w, h, frames, _ = vid
                 nf = len(frames)
+                # nullable ints arrive as float64 NaN through Arrow — a
+                # bare `is not None` lets NaN through and int(NaN) raises
+                has_dur = dur is not None and pd.notna(dur)
                 for fi in range(0, nf, max(1, every_n)):
                     y = frames[fi][: w * h].reshape(h, w)
-                    ts = int(dur) * fi // nf if dur is not None and nf else None
+                    ts = int(dur) * fi // nf if has_dur and nf else None
                     rows.append(
                         (int(mid), fi, ts, True,
                          int(y.astype(np.int64).sum()),

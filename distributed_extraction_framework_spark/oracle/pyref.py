@@ -33,6 +33,14 @@ from .. import schema as S
 
 Quad = tuple  # (dataset, subj, pred, obj, lang, datatype, context)
 
+# same generated longest-suffix-first alternation as the engine
+# (operators/extractors._UNIT_RE) — the two implementations must never
+# drift (they did when the unit table widened; code-review r4)
+_UNIT_VALUE_RE = re.compile(
+    r"^(-?[0-9][0-9,]*(?:\.[0-9]+)?) ("
+    + "|".join(re.escape(u) for u in sorted(S.UNIT_DATATYPES, key=len, reverse=True))
+    + r")$"
+)
 _ILINK_RE = re.compile(INTERNAL_LINK_PATTERN)
 _BRACKET_RE = re.compile(BRACKET_EXTERNAL_PATTERN)
 _BARE_RE = re.compile(BARE_EXTERNAL_PATTERN)
@@ -144,7 +152,7 @@ def extract_page(page: dict) -> set[Quad]:
             pred = S.PROPERTY + k
             v = value.strip()
             mlink = re.match(r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$", v)
-            munit = re.match(r"^(-?[0-9][0-9,]*(?:\.[0-9]+)?) (km2|km|kg|m)$", v)
+            munit = _UNIT_VALUE_RE.match(v)
             if re.match(r"^-?[0-9][0-9,]*$", v):
                 emit("infobox_properties", subj, pred, v.replace(",", ""),
                      None, S.XSD_INTEGER)

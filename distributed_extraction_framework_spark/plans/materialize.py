@@ -65,43 +65,48 @@ def render_ntriples(quads: DataFrame, quad_form: bool = False) -> DataFrame:
     )
 
 
-def with_marker_lines(lines: DataFrame, started_ts: str) -> DataFrame:
+def _write_marked_text(
+    lines: DataFrame, path: str, compression: str | None, started_ts: str,
+    file_header: list[str] | None = None,
+) -> None:
     """Per-file ``# started/completed`` comment marker lines — the
     reference's in-file completion protocol
     (DBpediaDatasetOutputFormat.scala:101-115 writes a started header and
     completed footer comment into every output file).
 
-    Within each writer partition a ``# started <ts>`` row is emitted
-    before the first row of each dataset and ``# completed <ts>`` after
-    its last; since the dataset-partitioned text sink routes rows to one
-    part file per (partition, dataset) in stream order, every physical
-    file then begins and ends with the markers. A file missing its
-    completed footer was interrupted mid-write — exactly the reference's
-    torn-output detection. Comment lines never change dataset content:
-    diff harnesses strip them (reference run-extraction-test:25)."""
+    Ordering must be EXACT (a file whose first line is data reads as torn),
+    and ``partitionBy`` cannot give that guarantee: Spark's dynamic-
+    partition write inserts a sort on the partition column whose
+    spill-run merge is not stable among equal keys, so at precisely the
+    file sizes this protocol targets a later run's data rows could merge
+    ahead of the header. Instead the (materialized once) lines write one
+    plain text job per dataset — no partition sort exists, within-file
+    order is task stream order, and every partition's file is wrapped
+    header…footer unconditionally (a marker-only file = an empty but
+    COMPLETE task output, the reference's own semantics for files it
+    opened and closed cleanly). Comment lines never change dataset
+    content: diff harnesses strip them (reference run-extraction-test:25).
+    """
     import pandas as pd
 
-    def mark(batches):
-        started: set = set()
-        for pdf in batches:
-            pieces = [
-                (ds, f"# started {started_ts}")
-                for ds in dict.fromkeys(pdf["dataset"])
-                if ds not in started
-            ]
-            started.update(p[0] for p in pieces)
-            if pieces:
-                hdr = pd.DataFrame(pieces, columns=["dataset", "line"])
-                yield pd.concat([hdr, pdf], ignore_index=True)
-            else:
-                yield pdf
-        if started:
-            yield pd.DataFrame(
-                [(ds, f"# completed {started_ts}") for ds in sorted(started)],
-                columns=["dataset", "line"],
-            )
+    lines = lines.localCheckpoint(eager=True)
+    datasets = sorted(
+        r["dataset"] for r in lines.select("dataset").distinct().collect()
+    )
+    head = [f"# started {started_ts}"] + list(file_header or [])
 
-    return lines.mapInPandas(mark, schema="dataset string, line string")
+    def mark(batches):
+        yield pd.DataFrame({"line": head})
+        for pdf in batches:
+            yield pdf[["line"]]
+        yield pd.DataFrame({"line": [f"# completed {started_ts}"]})
+
+    for ds in datasets:
+        one = lines.filter(F.col("dataset") == ds)
+        w = one.mapInPandas(mark, schema="line string").write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.text(f"{path}/dataset={ds}")
 
 
 def write_ntriples(
@@ -115,10 +120,11 @@ def write_ntriples(
     ``compression='gzip'`` mirrors the reference's ``format.nt.gz``
     codec-inferred outputs (MultipleTextOutputFormat.scala:57-96);
     ``markers_ts`` adds the reference's per-file started/completed comment
-    lines (``with_marker_lines``)."""
+    lines (``_write_marked_text`` — order-exact, no partition sort)."""
     lines = render_ntriples(quads, quad_form)
     if markers_ts:
-        lines = with_marker_lines(lines, markers_ts)
+        _write_marked_text(lines, path, compression, markers_ts)
+        return
     w = lines.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
@@ -206,6 +212,12 @@ def write_turtle(
     header = "\n".join(
         f"@prefix {p}: <{ns}> ." for p, ns in _turtle_prefixes()
     )
+    if markers_ts:
+        _write_marked_text(
+            render_turtle(quads, quad_form), path, compression, markers_ts,
+            file_header=header.split("\n"),
+        )
+        return
     lines = render_turtle(quads, quad_form).repartition("dataset")
 
     def prepend(batches):
@@ -228,8 +240,6 @@ def write_turtle(
                 yield pdf
 
     out = lines.mapInPandas(prepend, schema="dataset string, line string")
-    if markers_ts:
-        out = with_marker_lines(out, markers_ts)
     w = out.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
@@ -294,7 +304,8 @@ def write_trix(
 ) -> None:
     lines = render_trix(quads, quad_form)
     if markers_ts:
-        lines = with_marker_lines(lines, markers_ts)
+        _write_marked_text(lines, path, compression, markers_ts)
+        return
     w = lines.write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)

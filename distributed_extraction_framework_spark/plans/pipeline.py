@@ -81,19 +81,39 @@ class Pipeline:
     def _stage_path(self, stage: str) -> str:
         return f"{self.cfg.warehouse}/{stage}"
 
-    def _lineage_complete(self, stage: str, fingerprint: str) -> bool:
+    def _lineage_complete(self, stage: str, fingerprint: str,
+                          partition: str | None = None) -> bool:
+        """``partition`` pins the check to one lineage partition row — the
+        exports stage passes its format set there, so ADDING a format to
+        the config re-runs the stage instead of silently skipping it."""
         try:
             lin = self.spark.read.parquet(self._stage_path("lineage"))
         except Exception:
             return False
-        n = (
+        cond = (
+            (F.col("stage") == stage)
+            & (F.col("status") == "complete")
+            & (F.col("input_fingerprint") == fingerprint)
+        )
+        if partition is not None:
+            cond = cond & (F.col("partition") == partition)
+        return lin.filter(cond).count() > 0
+
+    def _stage_row_total(self, stage: str, fingerprint: str) -> int:
+        """Total output rows of a completed stage, summed from its lineage
+        partition rows — no data re-scan."""
+        try:
+            lin = self.spark.read.parquet(self._stage_path("lineage"))
+        except Exception:
+            return 0
+        row = (
             lin.filter(
                 (F.col("stage") == stage)
                 & (F.col("status") == "complete")
                 & (F.col("input_fingerprint") == fingerprint)
-            ).count()
+            ).agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).first()
         )
-        return n > 0
+        return int(row["n"])
 
     def _committed(self, stage: str, fingerprint: str) -> bool:
         """Stage output exists AND lineage says it completed for this input."""
@@ -201,7 +221,9 @@ class Pipeline:
         )
 
         final = resolved
+        final_stage = "quads_resolved"
         if self.cfg.canonicalize:
+            final_stage = "quads_canonical"
             def build_canonical() -> DataFrame:
                 sameas = resolved.filter(
                     F.col("pred") == S.OWL_SAMEAS
@@ -227,15 +249,17 @@ class Pipeline:
         # K1: multi-format export fan-out (N-Triples/N-Quads/Turtle/... with
         # suffix-implied codecs) as a resumable stage of the DAG
         if self.cfg.output_formats:
-            if not self._lineage_complete("exports", fp):
+            fmt_key = ",".join(sorted(self.cfg.output_formats))
+            # keyed on the FORMAT SET: adding a format re-runs the fan-out
+            if not self._lineage_complete("exports", fp, partition=fmt_key):
                 t0 = time.time()
                 M.write_formats(final, self._stage_path("exports"),
                                 self.cfg.output_formats)
-                n_out = (int(obs.get["quads_out"])
-                         if "quads" in self._fresh else 0)
-                self._record("exports",
-                             ",".join(sorted(self.cfg.output_formats)),
-                             n_out, int((time.time() - t0) * 1000), fp)
+                # exported row count = the final quad stage's lineage total
+                # (correct on resumed runs too; no data re-scan)
+                n_out = self._stage_row_total(final_stage, fp)
+                self._record("exports", fmt_key, n_out,
+                             int((time.time() - t0) * 1000), fp)
                 self._flush_lineage()
 
         t0 = time.time()

@@ -140,10 +140,25 @@ def refetch_failures(fetched: DataFrame, **kwargs) -> DataFrame:
     return ok.unionByName(fetch_urls(retry, **kwargs))
 
 
-def fetched_to_pages(fetched: DataFrame, lang_default: str = "en") -> DataFrame:
+# the configured wiki-language set (the reference drives downloads off an
+# explicit language list — download config `languages=`); a bare 2-3 letter
+# host label is NOT enough ('www.', 'api.', 'cdn.' would become languages)
+DEFAULT_LANGS = frozenset(
+    "en de fr es it nl pt ru ja zh pl sv ar ko cs fi no tr uk hu da el he "
+    "id ro th vi fa ca bg hr lt lv et sk sl sr ms".split()
+)
+
+
+def fetched_to_pages(
+    fetched: DataFrame,
+    lang_default: str = "en",
+    known_langs: frozenset = DEFAULT_LANGS,
+) -> DataFrame:
     """ok fetch rows → the engine's pages shape: ``text`` derived from the
     payload through the html→text kernel (functions/wikitext.py), lang
-    from the url host's leading label when it looks like a language code.
+    from the url host's leading label ONLY when it is in ``known_langs``
+    (so ``www.`` / ``api.`` hosts fall back to ``lang_default`` instead of
+    becoming phantom languages — code-review r4).
 
     The fetch stage writes payloads once; this projection is a plain
     map — chain it straight into ``Pipeline.run``.
@@ -151,7 +166,10 @@ def fetched_to_pages(fetched: DataFrame, lang_default: str = "en") -> DataFrame:
     from ..functions.wikitext import make_html_to_text_udf
 
     decode = make_html_to_text_udf()
-    lang = F.regexp_extract("url", r"^https?://([a-z]{2,3})\.", 1)
+    label = F.regexp_extract("url", r"^https?://([a-z]{2,3})\.", 1)
+    lang = F.when(
+        label.isin(*sorted(known_langs)), label
+    ).otherwise(F.lit(lang_default))
     return (
         fetched.filter(F.col("status") == "ok")
         .select(
@@ -159,6 +177,6 @@ def fetched_to_pages(fetched: DataFrame, lang_default: str = "en") -> DataFrame:
             F.lit(None).cast("timestamp").alias("warc_ts"),
             F.col("payload").alias("html"),
             decode(F.col("payload")).alias("text"),
-            F.when(lang != "", lang).otherwise(lang_default).alias("lang"),
+            lang.alias("lang"),
         )
     )

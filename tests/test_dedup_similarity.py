@@ -425,3 +425,23 @@ def test_y4m_roundtrip_and_frame_extraction(spark):
         img = M._decode_ppm(bytes(r["frame_pgm"]))
         assert img is not None and img.shape == (h, w, 3)
     assert not got[(1, 0)]["decoded"]
+
+
+def test_video_frames_null_duration(spark):
+    """Arrow turns nullable ints into NaN — a decodable Y4M row with NULL
+    duration must still extract frames (ts null), not crash (code-review r4)."""
+    import numpy as np
+
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    w, h = 4, 4
+    frames = [(np.zeros((h, w), np.uint8), np.zeros((2, 2), np.uint8),
+               np.zeros((2, 2), np.uint8))]
+    payload = M.encode_y4m(frames, w, h)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(payload), "video/x-yuv4mpeg", None, None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.extract_video_frames(media).collect()
+    assert len(rows) == 1 and rows[0]["decoded"]
+    assert rows[0]["frame_ts_ms"] is None and rows[0]["y_sum"] == 0

@@ -146,3 +146,22 @@ def test_fetched_to_pages_feeds_the_extractor(spark, mirror):
     quads = extract(pages, extractors=["page_links"])
     objs = {r["obj"].rsplit("/", 1)[1] for r in quads.collect()}
     assert {"Target_0", "Target_1", "Target_2"} <= objs
+
+
+def test_fetched_to_pages_lang_allowlist(spark, mirror):
+    """'www.'/'api.' host labels must NOT become languages (code-review r4):
+    only labels in the known-language set map; everything else falls back."""
+    from distributed_extraction_framework_spark.sources.fetch import FETCH_SCHEMA
+
+    rows = [
+        ("http://www.example.org/x", "www.example.org", "ok", 200, 1, 1, 3,
+         bytearray(b"<pre data-kind=\"source\">a</pre>"), None),
+        ("http://de.example.org/x", "de.example.org", "ok", 200, 1, 1, 3,
+         bytearray(b"<pre data-kind=\"source\">b</pre>"), None),
+        ("http://cdn.example.org/x", "cdn.example.org", "ok", 200, 1, 1, 3,
+         bytearray(b"<pre data-kind=\"source\">c</pre>"), None),
+    ]
+    fetched = spark.createDataFrame(rows, FETCH_SCHEMA)
+    langs = {r["url"].split("//")[1].split(".")[0]: r["lang"]
+             for r in fetched_to_pages(fetched).collect()}
+    assert langs == {"www": "en", "de": "de", "cdn": "en"}

@@ -305,6 +305,21 @@ def test_pipeline_fanout_and_lang_partitioning(spark, pages_df, tmp_path):
     )
     lineage2 = spark.read.parquet(wh + "/lineage")
     assert lineage2.filter(F.col("stage") == "exports").count() == 1
+    # the exports lineage row carries the REAL exported row count
+    n_exported = lineage2.filter(F.col("stage") == "exports").first()["n_rows"]
+    assert n_exported == out["quads"].count()
+
+    # ADDING a format re-runs the fan-out instead of silently skipping it
+    run_pipeline(
+        spark, pages_df, wh,
+        link_entities=False, canonicalize=False,
+        partition_by_lang=True,
+        output_formats={"nt.gz": "n-triples", "tql.gz": "n-quads",
+                        "ttl.gz": "turtle-triples"},
+    )
+    assert os.path.isdir(f"{wh}/exports/ttl_gz")
+    lineage3 = spark.read.parquet(wh + "/lineage")
+    assert lineage3.filter(F.col("stage") == "exports").count() == 2
 
 
 def test_sink_marker_lines(spark, pages_df, tmp_path):
