@@ -140,6 +140,72 @@ def pagerank(
     return ranks
 
 
+def reachability(
+    edges: DataFrame,
+    max_iter: int = 12,
+    broadcast_rows: int = 5_000_000,
+) -> DataFrame:
+    """(src, dst) all-pairs reachability — the transitive closure of the
+    edge RELATION, keeping every reachable pair (strict: no self-pairs).
+
+    Differs from ``redirects.transitive_closure`` (pointer doubling over a
+    functional map that keeps only FINAL targets): this is the shape
+    ontology ``subClassOf`` closure (the reference corpus's published
+    instance-types-transitive dataset) and SPARQL 1.1 ``<p>+`` property
+    paths need — an instance typed C must surface EVERY ancestor of C,
+    not just the root.
+
+    Repeated squaring: R_{k+1} = R_k ∪ (R_k ∘ R_k), so paths of length up
+    to 2^max_iter close in ``max_iter`` rounds. Per round: one self-join
+    (broadcast build side while the relation is ≤ ``broadcast_rows``,
+    shuffled equi-join above — the unbounded-scale shape) + one distinct,
+    with convergence read from an ``observe()`` row count collected BY the
+    round's checkpoint job itself — no extra count job (the fused pattern
+    of redirects.transitive_closure / canonicalize).
+
+    Scale contract: output is O(V × avg reachable set); intended for
+    bounded-depth relations — class hierarchies, redirect chains,
+    category trees — not dense social graphs, where the closure itself
+    is the blow-up regardless of engine.
+    """
+    from pyspark.sql import Observation
+
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = cur.count()
+    use_broadcast = n <= broadcast_rows
+    for _ in range(max_iter):
+        right = cur.select(
+            F.col("src").alias("j_src"), F.col("dst").alias("j_dst")
+        ).alias("b")
+        if use_broadcast:
+            right = F.broadcast(right)
+        obs = Observation()
+        nxt = (
+            cur.alias("a")
+            .unionByName(
+                cur.alias("a2")
+                .join(right, F.col("a2.dst") == F.col("b.j_src"))
+                .select(F.col("a2.src").alias("src"), F.col("b.j_dst").alias("dst"))
+            )
+            # cycles yield self-pairs — drop them (strict reachability)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .localCheckpoint(eager=True)
+        )
+        m = int(obs.get["rows"] or 0)
+        cur = nxt
+        if m == n:
+            break
+        n = m
+    return cur
+
+
 def top_hubs(edges: DataFrame, k: int = 20) -> DataFrame:
     """Highest in-degree resources — the head-entity skew diagnostic that
     motivates the salted linking join (FIXTURES.md §3)."""

@@ -129,6 +129,88 @@ def parse_ontology_xml(path: str) -> dict[str, str]:
     return ranges
 
 
+# (cls, parent) — one row per direct rdfs:subClassOf edge
+SUBCLASS_SCHEMA = "cls string, parent string"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+
+
+def parse_ontology_classes(path: str) -> list[tuple[str, str]]:
+    """OntologyClass pages → direct (class URI, parent URI) subClassOf
+    edges. The mappings-wiki shape is ``{{Class | rdfs:subClassOf = X}}``
+    (possibly comma-separated parents); bare names resolve into the
+    ontology namespace, ``owl:Thing`` to the OWL URI, other prefixed
+    externals are kept verbatim-namespaced under their prefix-stripped
+    name only if unprefixed — external-vocabulary parents (schema:…)
+    are skipped, as the published extraction does for type emission."""
+    from ..functions.wikitext import find_top_level_templates, split_template
+
+    edges: list[tuple[str, str]] = []
+    for title, text in _iter_export_pages(path):
+        if not title.startswith("OntologyClass:"):
+            continue
+        cls = title.split(":", 1)[1].strip().replace(" ", "_")
+        for src in find_top_level_templates(text):
+            name, parts = split_template(src)
+            if name != "Class":
+                continue
+            for parent in _template_kv(parts).get("rdfs:subClassOf", "").split(","):
+                parent = parent.strip()
+                if not parent:
+                    continue
+                if parent == "owl:Thing":
+                    edges.append((S.ONTOLOGY + cls, OWL_THING))
+                elif ":" not in parent:
+                    edges.append((S.ONTOLOGY + cls, S.ONTOLOGY + parent.replace(" ", "_")))
+    return edges
+
+
+def subclass_edges(spark: SparkSession, edges=None, ontology_path: str | None = None) -> DataFrame:
+    """SUBCLASS_SCHEMA DataFrame from explicit rows and/or an ontology
+    export (both may be given; rows union)."""
+    rows = list(edges or [])
+    if ontology_path:
+        rows.extend(parse_ontology_classes(ontology_path))
+    return spark.createDataFrame(rows or [("__none__", "")], SUBCLASS_SCHEMA)
+
+
+def instance_types_transitive(
+    quads: DataFrame,
+    subclasses: DataFrame,
+    max_iter: int = 8,
+) -> DataFrame:
+    """The published instance-types-transitive dataset: for every direct
+    (subj rdf:type C) and every STRICT ancestor A of C in the subClassOf
+    hierarchy, emit (subj rdf:type A).
+
+    Plan: the ontology hierarchy is tiny and bounded (reference
+    ontology.xml: hundreds of classes), so its transitive closure
+    (graph.reachability, repeated squaring — depth d closes in ⌈log2 d⌉
+    rounds) stays broadcast-sized; the corpus-scale types table then
+    broadcast-joins against it — a map-side join, zero added shuffles
+    except the final per-(subj, ancestor) distinct that multi-path DAG
+    inheritance requires."""
+    from .graph import reachability
+
+    closure = reachability(
+        subclasses.select(F.col("cls").alias("src"), F.col("parent").alias("dst")),
+        max_iter=max_iter,
+    )
+    t = quads.filter(F.col("dataset") == "instance_types")
+    return (
+        t.join(F.broadcast(closure), t["obj"] == closure["src"])
+        .select(
+            F.lit("instance_types_transitive").alias("dataset"),
+            t["subj"],
+            F.lit(S.RDF_TYPE).alias("pred"),
+            closure["dst"].alias("obj"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("datatype"),
+            t["context"],
+        )
+        .distinct()
+    )
+
+
 def _parse_conditional_cases(tmpl: str, src: str) -> list[tuple]:
     """{{ConditionalMapping | cases = {{Condition|...}} ...}} → CONDITION_
     SCHEMA rows, in listed order (first match wins downstream)."""

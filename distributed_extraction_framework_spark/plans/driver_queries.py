@@ -2075,3 +2075,161 @@ FROM vid WHERE k % 2 = 1
 
 QUERIES.update({"video_frames": q_video_frames})
 ORACLES.update({"video_frames": ORACLE_VIDEO_FRAMES})
+
+
+# --------------------------------------------------------------------------
+# instance-types-transitive gate: the published DBpedia dataset the
+# reference corpus ships alongside instance_types — every STRICT ancestor
+# of the direct class through the ontology subClassOf hierarchy
+# (operators/mapping.instance_types_transitive over graph.reachability's
+# repeated-squaring closure). Direct classes come from the same
+# ConditionalMapping dispatch the mapping_conditional gate verifies; the
+# oracle recomputes the dispatch in closed form and closes the hierarchy
+# with a recursive CTE.
+# --------------------------------------------------------------------------
+
+_TT_HIERARCHY = [
+    ("AlphaThing", "NamedThing"),
+    ("SmallThing", "SizedThing"),
+    ("SizedThing", "PhysicalThing"),
+    ("PopulatedThing", "PhysicalThing"),
+    ("PhysicalThing", "Thing"),
+    ("NamedThing", "Thing"),
+]
+
+
+def q_instance_types_transitive(spark, sf_dir):
+    from ..operators.mapping import (
+        CONDITION_SCHEMA,
+        instance_types_transitive,
+        mapping_extract,
+        mapping_tables,
+        subclass_edges,
+    )
+
+    pages = _pages(spark, sf_dir)
+    tc, pm = mapping_tables(spark)
+    conds = spark.createDataFrame(
+        [
+            ("Infobox_thing", 0, "name", "contains", "a", S.ONTOLOGY + "AlphaThing"),
+            ("Infobox_thing", 1, "area", "equals", "7.25", S.ONTOLOGY + "SmallThing"),
+            ("Infobox_thing", 2, "population", "isSet", "", S.ONTOLOGY + "PopulatedThing"),
+            ("Infobox_thing", 3, "", "otherwise", "", S.ONTOLOGY + "Thing"),
+        ],
+        CONDITION_SCHEMA,
+    )
+    quads = mapping_extract(pages, tc, pm, conditions=conds)
+    edges = subclass_edges(
+        spark, [(S.ONTOLOGY + c, S.ONTOLOGY + p) for c, p in _TT_HIERARCHY]
+    )
+    return instance_types_transitive(quads, edges).select("subj", "obj")
+
+
+_TT_VALUES = ", ".join(f"('{c}', '{p}')" for c, p in _TT_HIERARCHY)
+
+ORACLE_INSTANCE_TYPES_TRANSITIVE = f"""
+{_oracle_pages()},
+boxed AS (
+  SELECT p.doc_id, p.title, split_part(d.text, ' ', 1) AS w1
+  FROM pages p JOIN documents d ON p.doc_id = d.doc_id
+  WHERE p.doc_id % 17 <> 3 AND p.doc_id % 10 > 1 AND p.doc_id % 29 <> 7
+    AND p.doc_id % 3 = 0
+),
+direct AS (
+  SELECT '{RES}' || title AS subj,
+         CASE
+           WHEN contains(lower(w1), 'a') THEN 'AlphaThing'
+           WHEN cast(doc_id % 100 AS varchar) || '.25' = '7.25' THEN 'SmallThing'
+           ELSE 'PopulatedThing' END AS cls
+  FROM boxed
+),
+h(cls, parent) AS (SELECT * FROM (VALUES {_TT_VALUES}) AS v(cls, parent)),
+walk AS (
+  SELECT cls, parent FROM h
+  UNION ALL
+  SELECT walk.cls, h.parent FROM walk JOIN h ON walk.parent = h.cls
+)
+SELECT DISTINCT d.subj, '{S.ONTOLOGY}' || w.parent AS obj
+FROM direct d JOIN walk w ON d.cls = w.cls
+"""
+
+QUERIES.update({"instance_types_transitive": q_instance_types_transitive})
+ORACLES.update({"instance_types_transitive": ORACLE_INSTANCE_TYPES_TRANSITIVE})
+
+
+# --------------------------------------------------------------------------
+# SPARQL BGP gates (plans/bgp.py): conjunctive queries compiled to
+# DataFrame joins over the engine's own extracted quads.
+#
+# bgp_join — two patterns sharing ?mid: documents linking into a page
+#            that has a category (join over page_links × article_
+#            categories); oracle = the same two x_* oracle CTEs joined.
+# bgp_path — SPARQL 1.1 <p>+ OneOrMore over the redirects predicate:
+#            ALL reachable (s, t) pairs (not just final targets — the
+#            complement of the redirect_closure gate); oracle = an
+#            unfiltered recursive walk.
+# --------------------------------------------------------------------------
+
+def q_bgp_join(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    pages = _pages(spark, sf_dir)
+    quads = extract(pages, extractors=["page_links", "article_categories"])
+    return bgp_query(
+        quads,
+        f"SELECT DISTINCT ?doc ?cat WHERE {{ ?doc <{S.DBO_WIKI_LINK}> ?mid . "
+        f"?mid <{S.DCT_SUBJECT}> ?cat }}",
+    )
+
+
+ORACLE_BGP_JOIN = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+),
+pl AS (
+  SELECT DISTINCT '{RES}' || title AS s,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS o
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+),
+cats AS (
+  SELECT DISTINCT '{RES}' || title AS s, '{RES}' || tgt AS o
+  FROM t WHERE tgt LIKE 'Category:%'
+)
+SELECT DISTINCT pl.s AS doc, cats.o AS cat
+FROM pl JOIN cats ON pl.o = cats.s
+"""
+
+
+def q_bgp_path(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "redirects")
+    return bgp_query(
+        quads,
+        f"SELECT DISTINCT ?s ?t WHERE {{ ?s <{S.DBO_WIKI_REDIRECTS}>+ ?t }}",
+    )
+
+
+ORACLE_BGP_PATH = f"""
+{_oracle_pages()},
+r AS (
+  SELECT '{RES}Doc_' || doc_id AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+),
+walk AS (
+  SELECT src, dst FROM r
+  UNION ALL
+  SELECT walk.src, r.dst FROM walk JOIN r ON walk.dst = r.src
+)
+SELECT DISTINCT src AS s, dst AS t FROM walk
+"""
+
+QUERIES.update({"bgp_join": q_bgp_join, "bgp_path": q_bgp_path})
+ORACLES.update({"bgp_join": ORACLE_BGP_JOIN, "bgp_path": ORACLE_BGP_PATH})

@@ -1,0 +1,111 @@
+"""SPARQL BGP compiler (plans/bgp.py) — parser + join semantics +
+property-path closure over a hand-built quads table."""
+
+import pytest
+
+from distributed_extraction_framework_spark import schema as S
+from distributed_extraction_framework_spark.plans.bgp import bgp_query, parse_bgp
+
+TYPE = S.RDF_TYPE
+LINK = S.DBO_WIKI_LINK
+SUBJ = S.DCT_SUBJECT
+LABEL = S.RDFS_LABEL
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("a", TYPE, "City", None),
+        ("b", TYPE, "City", None),
+        ("c", TYPE, "Country", None),
+        ("a", LINK, "b", None),
+        ("b", LINK, "c", None),
+        ("a", SUBJ, "Cat1", None),
+        ("b", SUBJ, "Cat2", None),
+        ("a", LABEL, "Alpha", "en"),
+        ("a", LABEL, "Alpha-de", "de"),
+        ("b", LABEL, "Beta", "en"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, lang string"
+    ).cache()
+
+
+def test_parse_bgp_shapes():
+    sel, distinct, pats, limit = parse_bgp(
+        f'SELECT DISTINCT ?x ?y WHERE {{ ?x <{TYPE}> "City" . ?x <{LINK}>+ ?y }} LIMIT 5'
+    )
+    assert sel == ["x", "y"] and distinct and limit == 5
+    (s1, p1, o1), (s2, p2, o2) = pats
+    assert (s1.kind, p1.kind, o1.kind) == ("var", "uri", "lit")
+    assert p2.kind == "path" and p2.value == LINK
+
+    with pytest.raises(ValueError):
+        parse_bgp("SELECT ?x WHERE { ?x <p> }")  # not whole triples
+    with pytest.raises(ValueError):
+        parse_bgp('SELECT ?x WHERE { "lit" <p> ?x }')  # literal subject
+    with pytest.raises(ValueError):
+        parse_bgp("nonsense")
+
+
+def test_single_pattern_and_literal_lang(spark, quads):
+    got = {r["x"] for r in bgp_query(
+        quads, f'SELECT ?x WHERE {{ ?x <{TYPE}> "City" }}'
+    ).collect()}
+    assert got == {"a", "b"}
+
+    # @lang constrains the lang column
+    got = {r["x"] for r in bgp_query(
+        quads, f'SELECT ?x WHERE {{ ?x <{LABEL}> "Alpha-de"@de }}'
+    ).collect()}
+    assert got == {"a"}
+    got = {r["x"] for r in bgp_query(
+        quads, f'SELECT ?x WHERE {{ ?x <{LABEL}> "Alpha-de"@en }}'
+    ).collect()}
+    assert got == set()
+
+
+def test_join_on_shared_var(spark, quads):
+    q = (f"SELECT ?doc ?cat WHERE {{ ?doc <{LINK}> ?mid . "
+         f"?mid <{SUBJ}> ?cat }}")
+    got = {(r["doc"], r["cat"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", "Cat2")}  # a links b, b in Cat2; b links c (no cat)
+
+
+def test_predicate_variable_binds(spark, quads):
+    q = "SELECT DISTINCT ?p WHERE { ?s ?p ?o }"
+    got = {r["p"] for r in bgp_query(quads, q).collect()}
+    assert got == {TYPE, LINK, SUBJ, LABEL}
+
+
+def test_property_path_one_or_more(spark, quads):
+    q = f"SELECT ?s ?t WHERE {{ ?s <{LINK}>+ ?t }}"
+    got = {(r["s"], r["t"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_repeated_var_in_one_pattern(spark):
+    df = spark.createDataFrame(
+        [("a", "p", "a", None), ("a", "p", "b", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    got = [r["x"] for r in bgp_query(df, "SELECT ?x WHERE { ?x <p> ?x }").collect()]
+    assert got == ["a"]
+
+
+def test_unbound_select_var_raises(spark, quads):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(quads, f'SELECT ?zzz WHERE {{ ?x <{TYPE}> "City" }}')
+
+
+def test_bgp_runs_on_extracted_quads(spark, pages_df):
+    """End-to-end over the real extractor output: docs linking into a page
+    of a category — the join the driver gate (bgp_join) exercises."""
+    from distributed_extraction_framework_spark.operators.extractors import extract
+
+    quads = extract(pages_df, extractors=["page_links", "article_categories"])
+    q = (f"SELECT DISTINCT ?doc ?cat WHERE {{ ?doc <{LINK}> ?mid . "
+         f"?mid <{SUBJ}> ?cat }}")
+    out = bgp_query(quads, q)
+    assert out.columns == ["doc", "cat"]
+    assert out.count() > 0

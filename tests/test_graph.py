@@ -95,3 +95,45 @@ def test_pagerank_broadcast_tier_is_byte_gated(spark):
     hi = {r["uri"]: round(r["rank"], 9)
           for r in pagerank(edges, iterations=4, broadcast_bytes=1 << 30).collect()}
     assert lo == hi
+
+
+def test_reachability_chain_dag_and_cycle(spark):
+    """All-pairs closure: chains close to every suffix pair, DAG
+    multi-parent inheritance reaches both ancestors, cycles yield the
+    full strict cross-pairs without self-loops."""
+    from distributed_extraction_framework_spark.operators.graph import reachability
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {(r["src"], r["dst"]) for r in reachability(chain).collect()}
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    }
+
+    dag = spark.createDataFrame(
+        [("x", "p1"), ("x", "p2"), ("p1", "root"), ("p2", "root")],
+        ["src", "dst"],
+    )
+    got = {(r["src"], r["dst"]) for r in reachability(dag).collect()}
+    # multi-path x→root collapses to ONE pair (distinct), both parents kept
+    assert got == {("x", "p1"), ("x", "p2"), ("x", "root"),
+                   ("p1", "root"), ("p2", "root")}
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    got = {(r["src"], r["dst"]) for r in reachability(cyc).collect()}
+    assert got == {("a", "b"), ("b", "a")}  # no self-pairs
+
+
+def test_reachability_broadcast_and_shuffle_tiers_agree(spark):
+    from distributed_extraction_framework_spark.operators.graph import reachability
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(17)], ["src", "dst"]
+    )
+    bc = {(r["src"], r["dst"]) for r in reachability(edges).collect()}
+    sh = {(r["src"], r["dst"])
+          for r in reachability(edges, broadcast_rows=0).collect()}
+    assert bc == sh
+    assert len(bc) == 17 * 18 // 2  # every (i<j) pair of an 18-node chain

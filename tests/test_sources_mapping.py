@@ -287,3 +287,83 @@ def test_infobox_unit_datatypes_widened(spark):
         obj, dt = got[k]
         assert obj == num, (k, obj)
         assert dt == S.DATATYPE_NS + unit_name, (k, dt)
+
+
+ONTOLOGY_CLASSES_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.8/">
+<page><title>OntologyClass:Settlement</title><ns>200</ns><id>21</id>
+<revision><id>31</id><text>{{Class
+| rdfs:subClassOf = PopulatedPlace
+}}</text></revision></page>
+<page><title>OntologyClass:PopulatedPlace</title><ns>200</ns><id>22</id>
+<revision><id>32</id><text>{{Class
+| rdfs:subClassOf = Place
+}}</text></revision></page>
+<page><title>OntologyClass:Place</title><ns>200</ns><id>23</id>
+<revision><id>33</id><text>{{Class
+| rdfs:subClassOf = owl:Thing, schema:Place
+}}</text></revision></page>
+</mediawiki>
+"""
+
+
+def test_parse_ontology_classes(tmp_path):
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.operators.mapping import (
+        OWL_THING,
+        parse_ontology_classes,
+    )
+
+    p = tmp_path / "ontology.xml"
+    p.write_text(ONTOLOGY_CLASSES_XML)
+    edges = set(parse_ontology_classes(str(p)))
+    O = S.ONTOLOGY
+    # external-vocabulary parent (schema:Place) skipped; owl:Thing mapped
+    assert edges == {
+        (O + "Settlement", O + "PopulatedPlace"),
+        (O + "PopulatedPlace", O + "Place"),
+        (O + "Place", OWL_THING),
+    }
+
+
+def test_instance_types_transitive(spark, tmp_path, pages_df):
+    """The published instance-types-transitive dataset: every STRICT
+    ancestor of the direct class, deduplicated across DAG paths."""
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.operators.mapping import (
+        OWL_THING,
+        instance_types_transitive,
+        mapping_extract,
+        mapping_tables,
+        subclass_edges,
+    )
+
+    p = tmp_path / "ontology.xml"
+    p.write_text(ONTOLOGY_CLASSES_XML)
+    O = S.ONTOLOGY
+    edges = subclass_edges(
+        spark,
+        edges=[(O + "Settlement", O + "Locality"), (O + "Locality", O + "Place")],
+        ontology_path=str(p),
+    )
+
+    tc, pm = mapping_tables(
+        spark, template_classes=[("Infobox_settlement", O + "Settlement")]
+    )
+    quads = mapping_extract(pages_df, tc, pm)
+    direct = quads.filter(F.col("dataset") == "instance_types")
+    n_direct = direct.count()
+    assert n_direct > 0
+
+    tt = instance_types_transitive(quads, edges)
+    rows = tt.collect()
+    assert all(r["dataset"] == "instance_types_transitive" for r in rows)
+    assert all(r["pred"] == S.RDF_TYPE for r in rows)
+    # Settlement reaches {PopulatedPlace, Locality, Place, owl:Thing}:
+    # 4 strict ancestors per typed subject, multi-path Place deduplicated
+    per_subj = {}
+    for r in rows:
+        per_subj.setdefault(r["subj"], set()).add(r["obj"])
+    assert len(per_subj) == direct.select("subj").distinct().count()
+    expect = {O + "PopulatedPlace", O + "Locality", O + "Place", OWL_THING}
+    assert all(objs == expect for objs in per_subj.values())
