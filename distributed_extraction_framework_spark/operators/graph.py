@@ -101,21 +101,24 @@ def pagerank(
     def bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if use_broadcast else df
 
-    out_deg = (
-        e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # out-degree is loop-invariant: fold it into the iterated state ONCE
+    # (uri, out_deg, rank) so each round needs no ranks⋈out_deg join and
+    # the dangling filter is a local predicate on the state table
+    state = (
+        verts.join(out_deg, verts["uri"] == out_deg["src"], "left")
+        .select("uri", "out_deg", F.lit(1.0 / n).alias("rank"))
         .localCheckpoint(eager=True)
     )
-    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for it in range(iterations):
-        with_deg = ranks.join(bc(out_deg), ranks["uri"] == out_deg["src"], "left")
         # 1-row dangling-mass aggregate, broadcast into the update (no
         # driver round-trip, mass conservation identical to the collect form)
         dangling = F.broadcast(
-            with_deg.filter(F.col("out_deg").isNull())
+            state.filter(F.col("out_deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         c_df = (
-            with_deg.filter(F.col("out_deg").isNotNull())
+            state.filter(F.col("out_deg").isNotNull())
             .select("uri", (F.col("rank") / F.col("out_deg")).alias("c"))
         )
         contribs = (
@@ -123,11 +126,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            verts.join(bc(contribs), verts["uri"] == contribs["dst"], "left")
+        state = (
+            state.drop("rank")
+            .join(bc(contribs), state["uri"] == contribs["dst"], "left")
             .crossJoin(dangling)
             .select(
                 "uri",
+                "out_deg",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping / n) * F.col("_dangling")
@@ -136,8 +141,8 @@ def pagerank(
             )
         )
         if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            state = state.localCheckpoint(eager=True)
+    return state.select("uri", "rank")
 
 
 def reachability(
