@@ -141,3 +141,49 @@ def test_stream_exact_dedup_state_keys_on_digest(spark):
     plan = _plan(STR.stream_exact_dedup(docs))  # batch plan, same shape
     m = re.search(r"Exchange hashpartitioning\((\w+)", plan)
     assert m and m.group(1).startswith("digest"), plan
+
+
+def test_bgp_join_plan_is_equi_join_with_pushed_filters(spark):
+    """BGP pattern joins must be hash equi-joins on the shared variable —
+    no cartesian/nested-loop — and each pattern's constant predicate
+    filter must sit in the scan-side plan, not post-join."""
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.plans.bgp import bgp_query
+
+    quads = spark.createDataFrame(
+        [("a", S.DBO_WIKI_LINK, "b", None), ("b", S.DCT_SUBJECT, "c", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    df = bgp_query(
+        quads,
+        f"SELECT ?doc ?cat WHERE {{ ?doc <{S.DBO_WIKI_LINK}> ?mid . "
+        f"?mid <{S.DCT_SUBJECT}> ?cat }}",
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both constant-predicate filters present (pattern selection pushed
+    # into each scan branch, not evaluated after the join)
+    assert plan.count("wikiPageWikiLink") >= 1 and plan.count("subject") >= 1
+
+
+def test_instance_types_transitive_joins_broadcast(spark):
+    """Corpus-scale types × ontology closure must be a broadcast (map-side)
+    join — the ontology is bounded, the types table is not."""
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.operators.mapping import (
+        instance_types_transitive,
+        subclass_edges,
+    )
+
+    O = S.ONTOLOGY
+    quads = spark.createDataFrame(
+        [("instance_types", "s1", S.RDF_TYPE, O + "A", None, None, "ctx")],
+        "dataset string, subj string, pred string, obj string, "
+        "lang string, datatype string, context string",
+    )
+    edges = subclass_edges(spark, [(O + "A", O + "B"), (O + "B", O + "C")])
+    plan = _plan(instance_types_transitive(quads, edges))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
