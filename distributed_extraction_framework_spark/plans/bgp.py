@@ -11,14 +11,20 @@ delegated to the optimizer.
 
 Supported grammar (deliberately the well-defined core):
 
-    SELECT [DISTINCT] ?v1 ?v2 ... WHERE { tp ( . tp )* } [LIMIT n]
+    SELECT [DISTINCT] ?v1 ?v2 ... WHERE { tp ( . tp )* flt* } [LIMIT n]
     tp   := term term term
     term := ?var | <uri> | "literal" | "literal"@lang
             | <uri>+                (predicate position only)
+    flt  := FILTER ( atom cmp atom ) | FILTER ( regex(?var, "pat" [, "i"]) )
+    atom := ?var | number | "string" ; cmp := = | != | < | <= | > | >=
 
 ``<p>+`` is SPARQL 1.1 property-path ``OneOrMore``: it compiles to
 ``graph.reachability`` (repeated-squaring transitive closure) over the
-p-labelled subgraph.
+p-labelled subgraph. FILTERs apply conjunctively over the joined result
+— expressed as Catalyst predicates, so the optimizer pushes them below
+the joins (and into the scans) whenever legal. A comparison against a
+numeric literal coerces the variable to double (SPARQL numeric-order
+semantics); var-to-var and string comparisons stay lexicographic.
 
 Semantics: bag (multiset) joins per the SPARQL algebra; ``DISTINCT``
 projects to set semantics. Terms are matched against the quads columns
@@ -70,24 +76,96 @@ def _parse_term(tok: str) -> Term:
     return Term("lit", lit, lang.lstrip("@") or None)
 
 
+_NUM = re.compile(r"^-?\d+(\.\d+)?$")
+_CMP = re.compile(
+    r'^\s*(?P<l>\?\w+|-?[\d.]+|"(?:[^"\\]|\\.)*")\s*'
+    r"(?P<op>=|!=|<=|>=|<|>)\s*"
+    r'(?P<r>\?\w+|-?[\d.]+|"(?:[^"\\]|\\.)*")\s*$'
+)
+_RX = re.compile(
+    r'^\s*regex\s*\(\s*\?(?P<v>\w+)\s*,\s*"(?P<pat>(?:[^"\\]|\\.)*)"'
+    r'\s*(?:,\s*"(?P<flags>[a-z]*)")?\s*\)\s*$',
+    re.IGNORECASE,
+)
+
+
+def _extract_filters(body: str) -> tuple[str, list[str]]:
+    """Strip FILTER(...) clauses (paren-balanced) out of the WHERE body."""
+    filters: list[str] = []
+    out: list[str] = []
+    i = 0
+    for m in re.finditer(r"\bFILTER\s*\(", body, re.IGNORECASE):
+        if m.start() < i:
+            continue
+        out.append(body[i: m.start()])
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            depth += {"(": 1, ")": -1}.get(body[j], 0)
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced FILTER parens in {body!r}")
+        filters.append(body[m.end(): j - 1])
+        i = j
+    out.append(body[i:])
+    return " ".join(out), filters
+
+
 def parse_bgp(query: str):
-    """→ (select_vars, distinct, [(s, p, o) Term triples], limit)."""
+    """→ (select_vars, distinct, [(s, p, o) Term triples], filters, limit)."""
     m = _HEAD.match(query)
     if not m:
         raise ValueError(f"unparseable BGP query: {query!r}")
     sel = re.findall(r"\?([A-Za-z_]\w*)", m.group("vars"))
     if not sel:
         raise ValueError("SELECT needs at least one ?var")
-    toks = _TOKEN.findall(m.group("body"))
+    body, filters = _extract_filters(m.group("body"))
+    toks = _TOKEN.findall(body)
     if not toks or len(toks) % 3:
         raise ValueError(f"WHERE body is not whole triple patterns: {toks}")
     pats = [tuple(_parse_term(t) for t in toks[i: i + 3]) for i in range(0, len(toks), 3)]
     for s, p, o in pats:
         if s.kind in ("lit", "path") or p.kind == "lit" or o.kind == "path":
             raise ValueError(f"unsupported term position in pattern {(s, p, o)}")
-    return sel, bool(m.group("distinct")), pats, (
+    for f in filters:
+        if not (_CMP.match(f) or _RX.match(f)):
+            raise ValueError(f"unsupported FILTER expression: {f!r}")
+    return sel, bool(m.group("distinct")), pats, filters, (
         int(m.group("limit")) if m.group("limit") else None
     )
+
+
+def _filter_condition(expr: str, bound: set[str]):
+    """One FILTER body → a Catalyst boolean Column over bound variables."""
+    rx = _RX.match(expr)
+    if rx:
+        if rx.group("v") not in bound:
+            raise ValueError(f"FILTER var ?{rx.group('v')} not bound")
+        pat = rx.group("pat")
+        if "i" in (rx.group("flags") or ""):
+            pat = "(?i)" + pat
+        return F.col(rx.group("v")).rlike(pat)
+
+    m = _CMP.match(expr)
+    assert m, expr  # parse_bgp validated
+
+    def atom(tok: str):
+        if tok.startswith("?"):
+            if tok[1:] not in bound:
+                raise ValueError(f"FILTER var {tok} not bound")
+            return ("var", F.col(tok[1:]))
+        if _NUM.match(tok):
+            return ("num", F.lit(float(tok) if "." in tok else int(tok)))
+        return ("str", F.lit(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")))
+
+    (lk, lc), (rk, rc) = atom(m.group("l")), atom(m.group("r"))
+    if "num" in (lk, rk):  # SPARQL numeric order: coerce vars to double
+        lc = lc.cast("double") if lk == "var" else lc
+        rc = rc.cast("double") if rk == "var" else rc
+    op = m.group("op")
+    return {
+        "=": lc == rc, "!=": lc != rc, "<": lc < rc,
+        "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+    }[op]
 
 
 def _pattern_df(quads: DataFrame, s: Term, p: Term, o: Term) -> DataFrame:
@@ -136,7 +214,7 @@ def bgp_query(quads: DataFrame, query: str) -> DataFrame:
     Patterns sharing no variable with the accumulated result cross-join —
     legal SPARQL, and flagged to the author by the plan itself.
     """
-    sel, distinct, pats, limit = parse_bgp(query)
+    sel, distinct, pats, filters, limit = parse_bgp(query)
     result: DataFrame | None = None
     for s, p, o in pats:
         df = _pattern_df(quads, s, p, o)
@@ -146,6 +224,9 @@ def bgp_query(quads: DataFrame, query: str) -> DataFrame:
             shared = [c for c in df.columns if c in result.columns]
             result = result.join(df, shared) if shared else result.crossJoin(df)
     assert result is not None
+    bound = set(result.columns)
+    for f in filters:
+        result = result.filter(_filter_condition(f, bound))
     missing = [v for v in sel if v not in result.columns]
     if missing:
         raise ValueError(f"SELECT vars not bound by any pattern: {missing}")

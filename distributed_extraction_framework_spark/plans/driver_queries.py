@@ -2233,3 +2233,32 @@ SELECT DISTINCT src AS s, dst AS t FROM walk
 
 QUERIES.update({"bgp_join": q_bgp_join, "bgp_path": q_bgp_path})
 ORACLES.update({"bgp_join": ORACLE_BGP_JOIN, "bgp_path": ORACLE_BGP_PATH})
+
+
+# --------------------------------------------------------------------------
+# bgp_filter gate: FILTER(regex(...)) applied over a BGP pattern — the
+# predicate must reach the labels scan (Catalyst pushdown, plan-asserted
+# in tests/test_plans.py); oracle = the labels oracle with the same
+# regex as a SQL predicate.
+# --------------------------------------------------------------------------
+
+def q_bgp_filter(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?o WHERE {{ ?s <{S.RDFS_LABEL}> ?o . "
+        f'FILTER(regex(?o, "^Doc 1[0-9]$")) }}',
+    )
+
+
+ORACLE_BGP_FILTER = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS o
+FROM pages
+WHERE {_MAIN} AND regexp_matches(replace(title, '_', ' '), '^Doc 1[0-9]$')
+"""
+
+QUERIES.update({"bgp_filter": q_bgp_filter})
+ORACLES.update({"bgp_filter": ORACLE_BGP_FILTER})

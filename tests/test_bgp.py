@@ -32,18 +32,26 @@ def quads(spark):
 
 
 def test_parse_bgp_shapes():
-    sel, distinct, pats, limit = parse_bgp(
+    sel, distinct, pats, filters, limit = parse_bgp(
         f'SELECT DISTINCT ?x ?y WHERE {{ ?x <{TYPE}> "City" . ?x <{LINK}>+ ?y }} LIMIT 5'
     )
-    assert sel == ["x", "y"] and distinct and limit == 5
+    assert sel == ["x", "y"] and distinct and limit == 5 and filters == []
     (s1, p1, o1), (s2, p2, o2) = pats
     assert (s1.kind, p1.kind, o1.kind) == ("var", "uri", "lit")
     assert p2.kind == "path" and p2.value == LINK
+
+    _, _, pats, filters, _ = parse_bgp(
+        'SELECT ?x WHERE { ?x <p> ?v . FILTER(?v >= 10) '
+        'FILTER(regex(?x, "^D.c", "i")) }'
+    )
+    assert len(pats) == 1 and filters == ["?v >= 10", 'regex(?x, "^D.c", "i")']
 
     with pytest.raises(ValueError):
         parse_bgp("SELECT ?x WHERE { ?x <p> }")  # not whole triples
     with pytest.raises(ValueError):
         parse_bgp('SELECT ?x WHERE { "lit" <p> ?x }')  # literal subject
+    with pytest.raises(ValueError):
+        parse_bgp("SELECT ?x WHERE { ?x <p> ?v . FILTER(bound(?v)) }")
     with pytest.raises(ValueError):
         parse_bgp("nonsense")
 
@@ -91,6 +99,49 @@ def test_repeated_var_in_one_pattern(spark):
     )
     got = [r["x"] for r in bgp_query(df, "SELECT ?x WHERE { ?x <p> ?x }").collect()]
     assert got == ["a"]
+
+
+def test_filter_numeric_comparison(spark):
+    """Comparison against a numeric literal coerces the var to double —
+    lexicographic order would wrongly exclude '9' < '100'."""
+    df = spark.createDataFrame(
+        [("a", "score", "10", None), ("b", "score", "9", None),
+         ("c", "score", "100", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    got = {r["s"] for r in bgp_query(
+        df, "SELECT ?s WHERE { ?s <score> ?v . FILTER(?v >= 10) }"
+    ).collect()}
+    assert got == {"a", "c"}
+    got = {r["s"] for r in bgp_query(
+        df, "SELECT ?s WHERE { ?s <score> ?v . FILTER(?v < 10) }"
+    ).collect()}
+    assert got == {"b"}
+
+
+def test_filter_regex_and_string_eq(spark, quads):
+    got = {r["x"] for r in bgp_query(
+        quads, f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . FILTER(regex(?l, "^Alph")) }}'
+    ).collect()}
+    assert got == {"a"}
+    # case-insensitive flag
+    got = {r["x"] for r in bgp_query(
+        quads, f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . FILTER(regex(?l, "^alpha$", "i")) }}'
+    ).collect()}
+    assert got == {"a"}
+    # string equality (var = "literal")
+    got = {r["x"] for r in bgp_query(
+        quads, f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . FILTER(?l = "Beta") }}'
+    ).collect()}
+    assert got == {"b"}
+
+
+def test_filter_unbound_var_raises(spark, quads):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_query(
+            quads,
+            f'SELECT ?x WHERE {{ ?x <{TYPE}> "City" . FILTER(?nope = "x") }}',
+        )
 
 
 def test_unbound_select_var_raises(spark, quads):
