@@ -1,8 +1,8 @@
-"""SPARQL basic-graph-pattern queries compiled to DataFrame joins.
+"""SPARQL queries compiled to DataFrame plans over the extracted quads.
 
 The reference emits triples and stops — querying them means loading a
-separate triple store. A Spark-native KG engine can answer conjunctive
-(BGP) queries directly over the quads DataFrame it just produced: every
+separate triple store. A Spark-native KG engine can answer SPARQL
+queries directly over the quads DataFrame it just produced: every
 triple pattern is a filtered projection of the quads table, shared
 variables become equi-join keys, and Catalyst/AQE pick the physical join
 strategy (broadcast for selective patterns, shuffled hash otherwise) at
@@ -11,20 +11,40 @@ delegated to the optimizer.
 
 Supported grammar (deliberately the well-defined core):
 
-    SELECT [DISTINCT] ?v1 ?v2 ... WHERE { tp ( . tp )* flt* } [LIMIT n]
-    tp   := term term term
-    term := ?var | <uri> | "literal" | "literal"@lang
-            | <uri>+                (predicate position only)
-    flt  := FILTER ( atom cmp atom ) | FILTER ( regex(?var, "pat" [, "i"]) )
-    atom := ?var | number | "string" ; cmp := = | != | < | <= | > | >=
+    SELECT [DISTINCT] item+ WHERE { group ( UNION { group' } )* }
+        [GROUP BY ?v+] [ORDER BY ord+] [LIMIT n]
+    item  := ?var | ( AGG ( [DISTINCT] ?var | * ) AS ?alias )
+    AGG   := COUNT | SUM | AVG | MIN | MAX
+    group := ( tp . | flt | OPTIONAL { group } | VALUES ?v { const+ } )+
+    tp    := term term term
+    term  := ?var | <uri> | "literal" | "literal"@lang
+             | <uri>+               (predicate position only)
+    flt   := FILTER ( atom cmp atom ) | FILTER ( regex(?var, "pat" [, "i"]) )
+    atom  := ?var | number | "string" ; cmp := = | != | < | <= | > | >=
+    ord   := ?var | ASC(?var) | DESC(?var)
 
-``<p>+`` is SPARQL 1.1 property-path ``OneOrMore``: it compiles to
-``graph.reachability`` (repeated-squaring transitive closure) over the
-p-labelled subgraph. FILTERs apply conjunctively over the joined result
-— expressed as Catalyst predicates, so the optimizer pushes them below
-the joins (and into the scans) whenever legal. A comparison against a
-numeric literal coerces the variable to double (SPARQL numeric-order
-semantics); var-to-var and string comparisons stay lexicographic.
+How each construct maps to the DataFrame algebra:
+
+* ``<p>+`` — SPARQL 1.1 property-path ``OneOrMore``: compiles to
+  ``graph.reachability`` (repeated-squaring transitive closure) over the
+  p-labelled subgraph.
+* ``FILTER`` — a Catalyst predicate; the optimizer pushes it below the
+  joins (and into the scans) whenever legal. Comparison against a
+  numeric literal coerces the variable to double (SPARQL numeric-order
+  semantics); var-to-var and string comparisons stay lexicographic.
+* ``OPTIONAL { … }`` — SPARQL left-join: the optional group compiles to
+  its own join tree, then LEFT OUTER joins the required part on the
+  shared variables; unmatched rows carry NULL (SPARQL "unbound").
+* ``{ … } UNION { … }`` — each branch compiles independently;
+  ``unionByName(allowMissingColumns=True)`` NULL-fills variables bound
+  in only one branch (SPARQL bag union with partial bindings).
+* ``VALUES ?v { … }`` — an inline broadcast relation equi-joined on the
+  variable; Catalyst turns it into a broadcast hash join / IN-filter.
+* aggregates + ``GROUP BY`` — ``df.groupBy(keys).agg(…)``; map-side
+  partial aggregation comes free. SUM/AVG coerce to double (the quads
+  object column is lexical); COUNT/MIN/MAX operate on the lexical form.
+* ``ORDER BY`` + ``LIMIT`` — global sort is a TakeOrderedAndProject when
+  LIMIT is present (per-partition top-n, no full sort shuffle).
 
 Semantics: bag (multiset) joins per the SPARQL algebra; ``DISTINCT``
 projects to set semantics. Terms are matched against the quads columns
@@ -39,7 +59,7 @@ local scan. No collect; no driver-side joins.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -50,9 +70,25 @@ _TOKEN = re.compile(
     r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+)?'  # "literal"(@lang)
 )
 _HEAD = re.compile(
-    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<vars>.*?)\s+"
-    r"WHERE\s*\{(?P<body>.*)\}\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
+    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<vars>.*?)\s+WHERE\s*(?=\{)",
     re.IGNORECASE | re.DOTALL,
+)
+_TAIL = re.compile(
+    r"^\s*(?:GROUP\s+BY\s+(?P<groupby>(?:\?\w+\s*)+))?"
+    r"\s*(?:ORDER\s+BY\s+(?P<orderby>(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
+    r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*))?"
+    r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SEL_ITEM = re.compile(
+    r"\?(?P<var>[A-Za-z_]\w*)"
+    r"|\(\s*(?P<agg>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<dist>DISTINCT\s+)?"
+    r"(?:\?(?P<arg>\w+)|(?P<star>\*))\s*\)\s+AS\s+\?(?P<alias>\w+)\s*\)",
+    re.IGNORECASE,
+)
+_ORD_ITEM = re.compile(
+    r"(?:(?P<dir>ASC|DESC)\s*\(\s*\?(?P<pv>\w+)\s*\))|\?(?P<v>\w+)",
+    re.IGNORECASE,
 )
 
 
@@ -61,6 +97,22 @@ class Term:
     kind: str  # 'var' | 'uri' | 'path' | 'lit'
     value: str
     lang: str | None = None
+
+
+@dataclass(frozen=True)
+class SelItem:
+    name: str               # output column name
+    agg: str | None = None  # 'count' | 'sum' | 'avg' | 'min' | 'max'
+    arg: str | None = None  # source var; None with agg='count' means *
+    distinct: bool = False
+
+
+@dataclass
+class Group:
+    triples: list = field(default_factory=list)
+    filters: list = field(default_factory=list)
+    optionals: list = field(default_factory=list)   # list[Group]
+    values: list = field(default_factory=list)      # list[(var, [Term])]
 
 
 def _parse_term(tok: str) -> Term:
@@ -89,6 +141,16 @@ _RX = re.compile(
 )
 
 
+def _balanced(text: str, start: int) -> int:
+    """text[start] == '{' → index just past the matching '}'."""
+    depth = 0
+    for j in range(start, len(text)):
+        depth += {"{": 1, "}": -1}.get(text[j], 0)
+        if depth == 0:
+            return j + 1
+    raise ValueError(f"unbalanced braces in {text[start:start + 40]!r}…")
+
+
 def _extract_filters(body: str) -> tuple[str, list[str]]:
     """Strip FILTER(...) clauses (paren-balanced) out of the WHERE body."""
     filters: list[str] = []
@@ -110,28 +172,157 @@ def _extract_filters(body: str) -> tuple[str, list[str]]:
     return " ".join(out), filters
 
 
-def parse_bgp(query: str):
-    """→ (select_vars, distinct, [(s, p, o) Term triples], filters, limit)."""
-    m = _HEAD.match(query)
-    if not m:
-        raise ValueError(f"unparseable BGP query: {query!r}")
-    sel = re.findall(r"\?([A-Za-z_]\w*)", m.group("vars"))
-    if not sel:
-        raise ValueError("SELECT needs at least one ?var")
-    body, filters = _extract_filters(m.group("body"))
-    toks = _TOKEN.findall(body)
-    if not toks or len(toks) % 3:
+def _extract_blocks(body: str, opener: re.Pattern) -> tuple[str, list]:
+    """Strip ``opener … { balanced }`` blocks; return (rest, [(match, inner)])."""
+    blocks, out, i = [], [], 0
+    for m in opener.finditer(body):
+        if m.start() < i:
+            continue  # inside a previously-consumed block
+        out.append(body[i: m.start()])
+        end = _balanced(body, m.end() - 1)
+        blocks.append((m, body[m.end(): end - 1]))
+        i = end
+    out.append(body[i:])
+    return " ".join(out), blocks
+
+
+_OPTIONAL_OPEN = re.compile(r"\bOPTIONAL\s*(\{)", re.IGNORECASE)
+_VALUES_OPEN = re.compile(r"\bVALUES\s+\?(?P<var>\w+)\s*(\{)", re.IGNORECASE)
+
+
+def _parse_triples(text: str):
+    toks = _TOKEN.findall(text)
+    if len(toks) % 3:
         raise ValueError(f"WHERE body is not whole triple patterns: {toks}")
-    pats = [tuple(_parse_term(t) for t in toks[i: i + 3]) for i in range(0, len(toks), 3)]
+    pats = [
+        tuple(_parse_term(t) for t in toks[i: i + 3])
+        for i in range(0, len(toks), 3)
+    ]
     for s, p, o in pats:
         if s.kind in ("lit", "path") or p.kind == "lit" or o.kind == "path":
             raise ValueError(f"unsupported term position in pattern {(s, p, o)}")
-    for f in filters:
+    return pats
+
+
+def _parse_group(body: str) -> Group:
+    g = Group()
+    body, opts = _extract_blocks(body, _OPTIONAL_OPEN)
+    g.optionals = [_parse_group(inner) for _, inner in opts]
+    body, vals = _extract_blocks(body, _VALUES_OPEN)
+    for m, inner in vals:
+        terms = [_parse_term(t) for t in _TOKEN.findall(inner)]
+        if not terms or any(t.kind not in ("uri", "lit") for t in terms):
+            raise ValueError(f"VALUES accepts only constants: {inner!r}")
+        g.values.append((m.group("var"), terms))
+    body, g.filters = _extract_filters(body)
+    for f in g.filters:
         if not (_CMP.match(f) or _RX.match(f)):
             raise ValueError(f"unsupported FILTER expression: {f!r}")
-    return sel, bool(m.group("distinct")), pats, filters, (
-        int(m.group("limit")) if m.group("limit") else None
+    g.triples = _parse_triples(body)
+    if not g.triples and not g.values:
+        raise ValueError("empty group pattern")
+    return g
+
+
+def _parse_union(body: str) -> list[Group]:
+    """``{ g } UNION { g' } …`` at the top level, else one plain group."""
+    stripped = body.strip()
+    if not stripped.startswith("{"):
+        return [_parse_group(body)]
+    groups, i = [], 0
+    text = stripped
+    while True:
+        if not text[i:].lstrip().startswith("{"):
+            raise ValueError(f"expected '{{' in UNION body at {text[i:i+30]!r}")
+        start = i + (len(text[i:]) - len(text[i:].lstrip()))
+        end = _balanced(text, start)
+        groups.append(_parse_group(text[start + 1: end - 1]))
+        rest = text[end:].strip()
+        if not rest:
+            return groups
+        m = re.match(r"UNION\b", rest, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"expected UNION, got {rest[:30]!r}")
+        i = end + (len(text[end:]) - len(text[end:].lstrip())) + m.end()
+
+
+def _parse_select(head: str) -> list[SelItem]:
+    items, pos = [], 0
+    for m in _SEL_ITEM.finditer(head):
+        if head[pos: m.start()].strip():
+            raise ValueError(f"bad SELECT clause near {head[pos:m.start()]!r}")
+        pos = m.end()
+        if m.group("var"):
+            items.append(SelItem(m.group("var")))
+        else:
+            items.append(SelItem(
+                m.group("alias"),
+                agg=m.group("agg").lower(),
+                arg=m.group("arg"),
+                distinct=bool(m.group("dist")),
+            ))
+    if head[pos:].strip() or not items:
+        raise ValueError(f"bad SELECT clause: {head!r}")
+    for it in items:
+        if it.agg is None and it.arg is None and it.name is None:
+            raise ValueError("SELECT needs at least one ?var")
+        if it.agg and it.arg is None and it.agg != "count":
+            raise ValueError(f"{it.agg.upper()}(*) is not defined")
+    return items
+
+
+@dataclass(frozen=True)
+class ParsedQuery:
+    select: tuple
+    distinct: bool
+    groups: tuple          # UNION branches, each a Group
+    group_by: tuple
+    order_by: tuple        # (var, desc) pairs
+    limit: int | None
+
+
+def parse_query(query: str) -> ParsedQuery:
+    m = _HEAD.match(query)
+    if not m:
+        raise ValueError(f"unparseable BGP query: {query!r}")
+    select = _parse_select(m.group("vars"))
+    brace = query.index("{", m.end() - 1)
+    end = _balanced(query, brace)
+    body, tail = query[brace + 1: end - 1], query[end:]
+    t = _TAIL.match(tail)
+    if not t:
+        raise ValueError(f"unparseable query tail: {tail!r}")
+    group_by = tuple(re.findall(r"\?(\w+)", t.group("groupby") or ""))
+    order_by = tuple(
+        (om.group("pv") or om.group("v"),
+         (om.group("dir") or "").upper() == "DESC")
+        for om in _ORD_ITEM.finditer(t.group("orderby") or "")
     )
+    return ParsedQuery(
+        select=tuple(select),
+        distinct=bool(m.group("distinct")),
+        groups=tuple(_parse_union(body)),
+        group_by=group_by,
+        order_by=order_by,
+        limit=int(t.group("limit")) if t.group("limit") else None,
+    )
+
+
+def parse_bgp(query: str):
+    """Legacy view: → (select_vars, distinct, [(s,p,o)], filters, limit).
+
+    Only valid for the single-group conjunctive fragment; extended
+    constructs (UNION/OPTIONAL/VALUES/aggregates/ORDER BY) raise — use
+    :func:`parse_query` / :func:`bgp_query` for those.
+    """
+    q = parse_query(query)
+    if (len(q.groups) != 1 or q.groups[0].optionals or q.groups[0].values
+            or q.group_by or q.order_by
+            or any(it.agg for it in q.select)):
+        raise ValueError("extended query: use parse_query()")
+    g = q.groups[0]
+    return ([it.name for it in q.select], q.distinct, g.triples,
+            g.filters, q.limit)
 
 
 def _filter_condition(expr: str, bound: set[str]):
@@ -146,7 +337,7 @@ def _filter_condition(expr: str, bound: set[str]):
         return F.col(rx.group("v")).rlike(pat)
 
     m = _CMP.match(expr)
-    assert m, expr  # parse_bgp validated
+    assert m, expr  # parse validated
 
     def atom(tok: str):
         if tok.startswith("?"):
@@ -206,33 +397,96 @@ def _pattern_df(quads: DataFrame, s: Term, p: Term, o: Term) -> DataFrame:
     return base.select(*[F.col(c).alias(v) for c, v in rename.items()])
 
 
+def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
+    """One group pattern → DataFrame of its variable bindings."""
+    result: DataFrame | None = None
+
+    def merge(acc, df):
+        if acc is None:
+            return df
+        shared = [c for c in df.columns if c in acc.columns]
+        return acc.join(df, shared) if shared else acc.crossJoin(df)
+
+    for s, p, o in g.triples:
+        result = merge(result, _pattern_df(quads, s, p, o))
+    for var, terms in g.values:
+        inline = quads.sparkSession.createDataFrame(
+            [(t.value,) for t in terms], f"{var} string"
+        ).distinct()
+        result = merge(result, F.broadcast(inline))
+    assert result is not None  # parse guarantees triples or values
+    bound = set(result.columns)
+    for f in g.filters:
+        result = result.filter(_filter_condition(f, bound))
+    for opt in g.optionals:
+        odf = _compile_group(quads, opt)
+        shared = [c for c in odf.columns if c in result.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required pattern"
+            )
+        result = result.join(odf, shared, "left")
+    return result
+
+
+_AGG_FN = {
+    "count": lambda c, d: (F.countDistinct(c) if d else F.count(c))
+    if c is not None else F.count(F.lit(1)),
+    "sum": lambda c, d: (F.sum_distinct if d else F.sum)(c.cast("double")),
+    "avg": lambda c, d: F.avg(c.cast("double")),
+    "min": lambda c, d: F.min(c),
+    "max": lambda c, d: F.max(c),
+}
+
+
 def bgp_query(quads: DataFrame, query: str) -> DataFrame:
-    """Answer a BGP query over a quads DataFrame (subj/pred/obj/lang cols).
+    """Answer a SPARQL query over a quads DataFrame (subj/pred/obj/lang).
 
     Join order is pattern order as written (selective patterns first is
     the usual authoring convention); AQE re-plans sizes at runtime.
     Patterns sharing no variable with the accumulated result cross-join —
     legal SPARQL, and flagged to the author by the plan itself.
     """
-    sel, distinct, pats, filters, limit = parse_bgp(query)
-    result: DataFrame | None = None
-    for s, p, o in pats:
-        df = _pattern_df(quads, s, p, o)
-        if result is None:
-            result = df
-        else:
-            shared = [c for c in df.columns if c in result.columns]
-            result = result.join(df, shared) if shared else result.crossJoin(df)
-    assert result is not None
-    bound = set(result.columns)
-    for f in filters:
-        result = result.filter(_filter_condition(f, bound))
-    missing = [v for v in sel if v not in result.columns]
+    q = parse_query(query)
+    branches = [_compile_group(quads, g) for g in q.groups]
+    result = branches[0]
+    for b in branches[1:]:
+        result = result.unionByName(b, allowMissingColumns=True)
+
+    plain = [it for it in q.select if it.agg is None]
+    aggs = [it for it in q.select if it.agg is not None]
+    missing = [v for v in
+               [it.name for it in plain]
+               + [it.arg for it in aggs if it.arg]
+               + list(q.group_by)
+               if v not in result.columns]
     if missing:
         raise ValueError(f"SELECT vars not bound by any pattern: {missing}")
-    out = result.select(*sel)
-    if distinct:
+
+    if aggs or q.group_by:
+        keys = list(q.group_by) or [it.name for it in plain]
+        stray = [it.name for it in plain if it.name not in keys]
+        if stray:
+            raise ValueError(f"non-grouped SELECT vars {stray} need GROUP BY")
+        agg_cols = [
+            _AGG_FN[it.agg](F.col(it.arg) if it.arg else None, it.distinct)
+            .alias(it.name)
+            for it in aggs
+        ]
+        result = (result.groupBy(*keys).agg(*agg_cols) if keys
+                  else result.agg(*agg_cols))
+
+    out = result.select(*[it.name for it in q.select])
+    if q.distinct:
         out = out.distinct()
-    if limit is not None:
-        out = out.limit(limit)
+    if q.order_by:
+        bad = [v for v, _ in q.order_by if v not in out.columns]
+        if bad:
+            raise ValueError(f"ORDER BY vars not in SELECT: {bad}")
+        out = out.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc()
+              for v, desc in q.order_by]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
     return out

@@ -2262,3 +2262,143 @@ WHERE {_MAIN} AND regexp_matches(replace(title, '_', ' '), '^Doc 1[0-9]$')
 
 QUERIES.update({"bgp_filter": q_bgp_filter})
 ORACLES.update({"bgp_filter": ORACLE_BGP_FILTER})
+
+
+# --------------------------------------------------------------------------
+# Extended-SPARQL gates (plans/bgp.py): OPTIONAL / UNION / VALUES /
+# aggregates+ORDER BY compiled to left joins, unionByName, broadcast
+# inline relations, and groupBy aggregation respectively.
+#
+# bgp_optional — labels LEFT JOIN geo latitude: every main-ns page keeps
+#                its row; only doc_id%4=1 regular pages carry a lat.
+# bgp_union    — redirect targets ∪ disambiguation targets (distinct).
+# bgp_values   — inline broadcast relation restricting subjects (SQL IN).
+# bgp_agg      — out-link count per page, total-ordered top 50.
+# --------------------------------------------------------------------------
+
+def q_bgp_optional(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    quads = extract(_pages(spark, sf_dir),
+                    extractors=["labels", "geo_coordinates"])
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?l ?lat WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
+        f"OPTIONAL {{ ?s <{S.GEO_LAT}> ?lat }} }}",
+    )
+
+
+ORACLE_BGP_OPTIONAL = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+),
+g AS (
+  SELECT '{RES}' || title AS s, printf('%.6f', (doc_id % 90) + 0.5) AS lat
+  FROM pages WHERE {_REGULAR} AND doc_id % 4 = 1
+)
+SELECT lbl.s AS s, lbl.l AS l, g.lat AS lat
+FROM lbl LEFT JOIN g ON lbl.s = g.s
+"""
+
+
+def q_bgp_union(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    quads = extract(_pages(spark, sf_dir),
+                    extractors=["redirects", "disambiguations"])
+    return bgp_query(
+        quads,
+        f"SELECT DISTINCT ?s ?t WHERE {{ "
+        f"{{ ?s <{S.DBO_WIKI_REDIRECTS}> ?t }} UNION "
+        f"{{ ?s <{S.DBO_WIKI_DISAMBIGUATES}> ?t }} }}",
+    )
+
+
+ORACLE_BGP_UNION = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages
+  WHERE {_NONREDIR} AND contains(text, '{{{{Disambiguation}}}}')
+), d AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+)
+SELECT '{RES}' || title AS s, '{RES}Doc_' || (doc_id + 1) AS t
+FROM pages WHERE {_ISREDIR}
+UNION
+SELECT '{RES}' || title AS s,
+       '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS t
+FROM d
+WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+"""
+
+
+_BGP_VALUES_IDS = (5, 23, 42)  # regular docs: none are category/redirect ids
+
+
+def q_bgp_values(spark, sf_dir):
+    from .bgp import bgp_query
+
+    vals = " ".join(f"<{RES}Doc_{i}>" for i in _BGP_VALUES_IDS)
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?l WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
+        f"VALUES ?s {{ {vals} }} }}",
+    )
+
+
+ORACLE_BGP_VALUES = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+FROM pages
+WHERE {_MAIN} AND doc_id IN {_BGP_VALUES_IDS}
+"""
+
+
+def q_bgp_agg(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "page_links")
+    return bgp_query(
+        quads,
+        f"SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{S.DBO_WIKI_LINK}> ?o }} "
+        f"GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 50",
+    )
+
+
+ORACLE_BGP_AGG = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+),
+pl AS (
+  SELECT DISTINCT '{RES}' || title AS s,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS o
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+)
+SELECT s, count(o) AS n FROM pl GROUP BY s
+ORDER BY n DESC, s LIMIT 50
+"""
+
+QUERIES.update({
+    "bgp_optional": q_bgp_optional,
+    "bgp_union": q_bgp_union,
+    "bgp_values": q_bgp_values,
+    "bgp_agg": q_bgp_agg,
+})
+ORACLES.update({
+    "bgp_optional": ORACLE_BGP_OPTIONAL,
+    "bgp_union": ORACLE_BGP_UNION,
+    "bgp_values": ORACLE_BGP_VALUES,
+    "bgp_agg": ORACLE_BGP_AGG,
+})

@@ -160,3 +160,95 @@ def test_bgp_runs_on_extracted_quads(spark, pages_df):
     out = bgp_query(quads, q)
     assert out.columns == ["doc", "cat"]
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# extended constructs: OPTIONAL / UNION / VALUES / aggregates / ORDER BY
+# ---------------------------------------------------------------------------
+
+
+def test_optional_left_join(spark, quads):
+    """OPTIONAL = SPARQL left join: unmatched rows keep NULL (unbound)."""
+    q = (f'SELECT ?x ?cat WHERE {{ ?x <{TYPE}> "City" . '
+         f"OPTIONAL {{ ?x <{SUBJ}> ?cat }} }}")
+    got = {(r["x"], r["cat"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", "Cat1"), ("b", "Cat2")}
+    # drop b's category: b must survive with NULL
+    q2 = (f'SELECT ?x ?l WHERE {{ ?x <{TYPE}> ?t . '
+          f'OPTIONAL {{ ?x <{LABEL}> ?l . FILTER(regex(?l, "^Alpha$")) }} }}')
+    got = {(r["x"], r["l"]) for r in bgp_query(quads, q2).collect()}
+    assert got == {("a", "Alpha"), ("b", None), ("c", None)}
+
+
+def test_optional_requires_shared_var(spark, quads):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_query(
+            quads,
+            f'SELECT ?x WHERE {{ ?x <{TYPE}> "City" . '
+            f"OPTIONAL {{ ?y <{SUBJ}> ?c }} }}",
+        ).collect()
+
+
+def test_union_branches(spark, quads):
+    q = (f'SELECT DISTINCT ?x WHERE {{ {{ ?x <{TYPE}> "Country" }} '
+         f'UNION {{ ?x <{SUBJ}> "Cat1" }} }}')
+    got = {r["x"] for r in bgp_query(quads, q).collect()}
+    assert got == {"c", "a"}
+
+
+def test_union_partial_bindings_null_fill(spark, quads):
+    """A var bound in only one branch is NULL in the other (SPARQL union)."""
+    q = (f'SELECT ?x ?cat WHERE {{ {{ ?x <{TYPE}> "Country" }} '
+         f"UNION {{ ?x <{SUBJ}> ?cat }} }}")
+    got = {(r["x"], r["cat"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("c", None), ("a", "Cat1"), ("b", "Cat2")}
+
+
+def test_values_inline_join(spark, quads):
+    q = (f'SELECT ?x ?t WHERE {{ ?x <{TYPE}> ?t . '
+         f'VALUES ?x {{ "a" "c" }} }}')
+    got = {(r["x"], r["t"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", "City"), ("c", "Country")}
+    with pytest.raises(ValueError, match="constants"):
+        bgp_query(quads, "SELECT ?x WHERE { ?x <p> ?t . VALUES ?x { ?y } }")
+
+
+def test_aggregates_group_by(spark, quads):
+    q = (f"SELECT ?t (COUNT(?x) AS ?n) WHERE {{ ?x <{TYPE}> ?t }} "
+         f"GROUP BY ?t ORDER BY DESC(?n) ?t")
+    rows = [(r["t"], r["n"]) for r in bgp_query(quads, q).collect()]
+    assert rows == [("City", 2), ("Country", 1)]
+    # global aggregate (no GROUP BY), COUNT DISTINCT
+    q2 = f"SELECT (COUNT(DISTINCT ?t) AS ?kinds) WHERE {{ ?x <{TYPE}> ?t }}"
+    assert bgp_query(quads, q2).collect()[0]["kinds"] == 2
+
+
+def test_aggregate_numeric_sum(spark):
+    df = spark.createDataFrame(
+        [("a", "score", "10", None), ("a", "score", "2.5", None),
+         ("b", "score", "9", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    q = ("SELECT ?s (SUM(?v) AS ?total) WHERE { ?s <score> ?v } "
+         "GROUP BY ?s ORDER BY ?s")
+    rows = [(r["s"], r["total"]) for r in bgp_query(df, q).collect()]
+    assert rows == [("a", 12.5), ("b", 9.0)]
+
+
+def test_order_by_limit(spark, quads):
+    q = f"SELECT ?x ?l WHERE {{ ?x <{LABEL}> ?l }} ORDER BY DESC(?l) LIMIT 2"
+    rows = [(r["x"], r["l"]) for r in bgp_query(quads, q).collect()]
+    assert rows == [("b", "Beta"), ("a", "Alpha-de")]
+
+
+def test_non_grouped_select_var_raises(spark, quads):
+    with pytest.raises(ValueError, match="GROUP BY"):
+        bgp_query(
+            quads,
+            f"SELECT ?x (COUNT(?t) AS ?n) WHERE {{ ?x <{TYPE}> ?t }} GROUP BY ?t",
+        )
+
+
+def test_parse_bgp_rejects_extended():
+    with pytest.raises(ValueError, match="extended"):
+        parse_bgp('SELECT ?x WHERE { { ?x <p> "a" } UNION { ?x <q> "b" } }')
