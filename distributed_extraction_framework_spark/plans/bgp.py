@@ -490,3 +490,106 @@ def bgp_query(quads: DataFrame, query: str) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT and ASK query forms
+# ---------------------------------------------------------------------------
+
+_CONSTRUCT_HEAD = re.compile(r"^\s*CONSTRUCT\s*(?=\{)", re.IGNORECASE)
+_ASK_HEAD = re.compile(r"^\s*ASK\s*(?:WHERE\s*)?(?=\{)", re.IGNORECASE)
+_WHERE_KW = re.compile(r"\s*WHERE\s*(?=\{)", re.IGNORECASE)
+
+
+def _parse_where_tail(query: str, pos: int):
+    """``{ body } [LIMIT n]`` at ``pos`` → (groups, limit)."""
+    end = _balanced(query, query.index("{", pos))
+    tail = query[end:]
+    t = re.match(r"^\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$", tail, re.IGNORECASE)
+    if not t:
+        raise ValueError(f"unparseable query tail: {tail!r}")
+    groups = _parse_union(query[query.index("{", pos) + 1: end - 1])
+    return groups, (int(t.group("limit")) if t.group("limit") else None)
+
+
+def construct_query(quads: DataFrame, query: str) -> DataFrame:
+    """``CONSTRUCT { tp+ } WHERE { … } [LIMIT n]`` → new triples.
+
+    The WHERE part accepts everything :func:`bgp_query` does in its body
+    (joins, paths, FILTER, OPTIONAL, UNION, VALUES). Each template triple
+    is instantiated once per solution; instantiations with an unbound
+    (NULL) variable are skipped per the SPARQL spec, and the result is a
+    distinct graph (set semantics). Returns ``subj/pred/obj/lang``
+    columns composable with :func:`bgp_query` and the RDF sinks; a
+    variable in object position carries no language tag (the binding
+    representation is lexical), so ``lang`` is non-NULL only for
+    constant ``"lit"@lang`` template objects.
+    """
+    m = _CONSTRUCT_HEAD.match(query)
+    if not m:
+        raise ValueError(f"not a CONSTRUCT query: {query!r}")
+    tpl_start = query.index("{", m.end())
+    tpl_end = _balanced(query, tpl_start)
+    template = _parse_triples(query[tpl_start + 1: tpl_end - 1])
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    w = _WHERE_KW.match(query, tpl_end)
+    if not w:
+        raise ValueError("CONSTRUCT needs a WHERE block")
+    groups, limit = _parse_where_tail(query, w.end())
+
+    bindings = _compile_group(quads, groups[0])
+    for g in groups[1:]:
+        bindings = bindings.unionByName(
+            _compile_group(quads, g), allowMissingColumns=True
+        )
+    if limit is not None:
+        bindings = bindings.limit(limit)
+
+    def term_col(t: Term):
+        if t.kind == "var":
+            if t.value not in bindings.columns:
+                raise ValueError(f"template var ?{t.value} not bound in WHERE")
+            return F.col(t.value)
+        return F.lit(t.value)
+
+    parts = []
+    for s, p, o in template:
+        used = [t.value for t in (s, p, o) if t.kind == "var"]
+        row = bindings
+        for v in used:
+            if v not in bindings.columns:
+                raise ValueError(f"template var ?{v} not bound in WHERE")
+            row = row.filter(F.col(v).isNotNull())
+        parts.append(row.select(
+            term_col(s).alias("subj"),
+            term_col(p).alias("pred"),
+            term_col(o).alias("obj"),
+            (F.lit(o.lang) if o.kind == "lit" and o.lang is not None
+             else F.lit(None)).cast("string").alias("lang"),
+        ))
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out.distinct()
+
+
+def ask_query(quads: DataFrame, query: str) -> DataFrame:
+    """``ASK [WHERE] { … }`` → a 1-row DataFrame with boolean ``ask``.
+
+    Compiles the body like :func:`bgp_query` and reduces to "does any
+    solution exist"; a LIMIT-1 guard above the aggregation lets Spark
+    stop scanning at the first match.
+    """
+    m = _ASK_HEAD.match(query)
+    if not m:
+        raise ValueError(f"not an ASK query: {query!r}")
+    groups, limit = _parse_where_tail(query, m.end())
+    if limit is not None:
+        raise ValueError("LIMIT is meaningless on ASK")
+    result = _compile_group(quads, groups[0])
+    for g in groups[1:]:
+        result = result.unionByName(
+            _compile_group(quads, g), allowMissingColumns=True
+        )
+    return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))

@@ -2402,3 +2402,80 @@ ORACLES.update({
     "bgp_values": ORACLE_BGP_VALUES,
     "bgp_agg": ORACLE_BGP_AGG,
 })
+
+
+# --------------------------------------------------------------------------
+# CONSTRUCT / ASK / N-Triples round-trip gates.
+#
+# construct_types — CONSTRUCT template instantiation: every labelled page
+#                   gets an rdf:type foaf:Document triple plus its label
+#                   triple (var objects carry no lang in the binding
+#                   representation, so lang is NULL both sides).
+# ask_exists      — ASK reduced to a 1-row boolean aggregate.
+# nt_roundtrip    — labels rendered to N-Triples lines by the sink
+#                   renderer, parsed back by sources/ntriples.py; must
+#                   reproduce the labels dataset byte-identically
+#                   (escape chain exercised both directions, all
+#                   JVM-side regexp).
+# --------------------------------------------------------------------------
+
+def q_construct_types(spark, sf_dir):
+    from .bgp import construct_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    return construct_query(
+        quads,
+        f"CONSTRUCT {{ ?s <{S.RDF_TYPE}> <{S.FOAF_DOCUMENT}> . "
+        f"?s <{S.RDFS_LABEL}> ?l }} "
+        f"WHERE {{ ?s <{S.RDFS_LABEL}> ?l }}",
+    )
+
+
+ORACLE_CONSTRUCT_TYPES = f"""
+{_oracle_pages()}
+SELECT '{RES}' || title AS subj, '{S.RDF_TYPE}' AS pred,
+       '{S.FOAF_DOCUMENT}' AS obj, CAST(NULL AS VARCHAR) AS lang
+FROM pages WHERE {_MAIN}
+UNION
+SELECT '{RES}' || title, '{S.RDFS_LABEL}', replace(title, '_', ' '),
+       CAST(NULL AS VARCHAR)
+FROM pages WHERE {_MAIN}
+"""
+
+
+def q_ask_exists(spark, sf_dir):
+    from .bgp import ask_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "redirects")
+    return ask_query(
+        quads, f"ASK {{ ?s <{S.DBO_WIKI_REDIRECTS}> ?t }}"
+    )
+
+
+ORACLE_ASK_EXISTS = f"""
+{_oracle_pages()}
+SELECT count(*) > 0 AS ask FROM pages WHERE {_ISREDIR}
+"""
+
+
+def q_nt_roundtrip(spark, sf_dir):
+    from ..sources.ntriples import parse_ntriples_lines
+    from .materialize import render_ntriples
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    lines = render_ntriples(quads).select("line")
+    return parse_ntriples_lines(lines).select("subj", "pred", "obj", "lang")
+
+
+ORACLE_NT_ROUNDTRIP = ORACLE_X_LABELS
+
+QUERIES.update({
+    "construct_types": q_construct_types,
+    "ask_exists": q_ask_exists,
+    "nt_roundtrip": q_nt_roundtrip,
+})
+ORACLES.update({
+    "construct_types": ORACLE_CONSTRUCT_TYPES,
+    "ask_exists": ORACLE_ASK_EXISTS,
+    "nt_roundtrip": ORACLE_NT_ROUNDTRIP,
+})

@@ -252,3 +252,54 @@ def test_non_grouped_select_var_raises(spark, quads):
 def test_parse_bgp_rejects_extended():
     with pytest.raises(ValueError, match="extended"):
         parse_bgp('SELECT ?x WHERE { { ?x <p> "a" } UNION { ?x <q> "b" } }')
+
+
+# ---------------------------------------------------------------------------
+# CONSTRUCT and ASK forms
+# ---------------------------------------------------------------------------
+
+
+def test_construct_emits_template_triples(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import construct_query
+
+    q = (f'CONSTRUCT {{ ?x <isA> ?t . ?x <in> "KG"@en }} '
+         f"WHERE {{ ?x <{TYPE}> ?t }}")
+    got = {(r["subj"], r["pred"], r["obj"], r["lang"])
+           for r in construct_query(quads, q).collect()}
+    assert got == {
+        ("a", "isA", "City", None), ("b", "isA", "City", None),
+        ("c", "isA", "Country", None),
+        ("a", "in", "KG", "en"), ("b", "in", "KG", "en"),
+        ("c", "in", "KG", "en"),
+    }
+
+
+def test_construct_skips_unbound_optional_vars(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import construct_query
+
+    q = (f"CONSTRUCT {{ ?x <cat> ?c }} WHERE {{ ?x <{TYPE}> ?t . "
+         f"OPTIONAL {{ ?x <{SUBJ}> ?c }} }}")
+    got = {(r["subj"], r["obj"]) for r in construct_query(quads, q).collect()}
+    assert got == {("a", "Cat1"), ("b", "Cat2")}  # c has no category → skipped
+
+
+def test_construct_unbound_template_var_raises(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import construct_query
+
+    with pytest.raises(ValueError, match="not bound"):
+        construct_query(
+            quads, f"CONSTRUCT {{ ?x <p> ?zzz }} WHERE {{ ?x <{TYPE}> ?t }}"
+        )
+
+
+def test_ask_query(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import ask_query
+
+    assert ask_query(
+        quads, f'ASK {{ ?x <{TYPE}> "City" }}'
+    ).collect()[0]["ask"] is True
+    assert ask_query(
+        quads, f'ASK WHERE {{ ?x <{TYPE}> "Planet" }}'
+    ).collect()[0]["ask"] is False
+    with pytest.raises(ValueError, match="LIMIT"):
+        ask_query(quads, f'ASK {{ ?x <{TYPE}> "City" }} LIMIT 1')
