@@ -178,6 +178,10 @@ def main() -> None:
         "instance_types_transitive",
         lambda: _sink(Q.q_instance_types_transitive(spark, SF_DIR)),
     )
+    timed_extra("bgp_optional", lambda: _sink(Q.q_bgp_optional(spark, SF_DIR)))
+    timed_extra("bgp_agg", lambda: _sink(Q.q_bgp_agg(spark, SF_DIR)))
+    timed_extra("construct_types", lambda: _sink(Q.q_construct_types(spark, SF_DIR)))
+    timed_extra("nt_roundtrip", lambda: _sink(Q.q_nt_roundtrip(spark, SF_DIR)))
     out = {
         "metric": "headline_suite_sec",
         "value": total,

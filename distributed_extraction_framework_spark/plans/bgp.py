@@ -18,16 +18,21 @@ Supported grammar (deliberately the well-defined core):
     group := ( tp . | flt | OPTIONAL { group } | VALUES ?v { const+ } )+
     tp    := term term term
     term  := ?var | <uri> | "literal" | "literal"@lang
-             | <uri>+               (predicate position only)
+             | path                 (predicate position only)
+    path  := pseq ( '|' pseq )* ; pseq := pstep ( '/' pstep )*
+    pstep := '^'? <uri> ('+' | '*')?
     flt   := FILTER ( atom cmp atom ) | FILTER ( regex(?var, "pat" [, "i"]) )
     atom  := ?var | number | "string" ; cmp := = | != | < | <= | > | >=
     ord   := ?var | ASC(?var) | DESC(?var)
 
 How each construct maps to the DataFrame algebra:
 
-* ``<p>+`` — SPARQL 1.1 property-path ``OneOrMore``: compiles to
-  ``graph.reachability`` (repeated-squaring transitive closure) over the
-  p-labelled subgraph.
+* property paths — ``<p>+`` (OneOrMore) and ``<p>*`` (ZeroOrMore)
+  compile to ``graph.reachability`` (repeated-squaring transitive
+  closure) over the p-labelled subgraph ('*' additionally unions the
+  identity relation over all graph terms, per spec); ``^<p>`` (inverse)
+  swaps src/dst; ``<a>/<b>`` (sequence) joins through a hidden mid
+  variable; ``<a>|<b>`` (alternative) unions the pair sets.
 * ``FILTER`` — a Catalyst predicate; the optimizer pushes it below the
   joins (and into the scans) whenever legal. Comparison against a
   numeric literal coerces the variable to double (SPARQL numeric-order
@@ -66,9 +71,14 @@ from pyspark.sql import functions as F
 
 _TOKEN = re.compile(
     r"\?[A-Za-z_]\w*"              # ?var
-    r"|<[^<>\s]+>\+?"              # <uri> / <uri>+
+    # property-path expression (predicate position): ^?<uri>[+*]? steps
+    # joined by / (sequence) or | (alternative); plain <uri> and <uri>+
+    # are the degenerate cases
+    r"|\^?<[^<>\s]+>[+*]?(?:[/|]\^?<[^<>\s]+>[+*]?)*"
     r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+)?'  # "literal"(@lang)
 )
+_SIMPLE_URI = re.compile(r"^<[^<>\s]+>$")
+_SIMPLE_PLUS = re.compile(r"^<[^<>\s]+>\+$")
 _HEAD = re.compile(
     r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<vars>.*?)\s+WHERE\s*(?=\{)",
     re.IGNORECASE | re.DOTALL,
@@ -118,10 +128,12 @@ class Group:
 def _parse_term(tok: str) -> Term:
     if tok.startswith("?"):
         return Term("var", tok[1:])
-    if tok.startswith("<"):
-        if tok.endswith("+"):
+    if tok.startswith("<") or tok.startswith("^"):
+        if _SIMPLE_URI.match(tok):
+            return Term("uri", tok[1:-1])
+        if _SIMPLE_PLUS.match(tok):
             return Term("path", tok[1:-2])
-        return Term("uri", tok[1:-1])
+        return Term("pathx", tok)  # compound path expression, parsed later
     body, _, lang = tok.rpartition('"')
     lit = tok[1: len(tok) - len(lang) - 1] if lang else tok[1:-1]
     lit = lit.replace('\\"', '"').replace("\\\\", "\\")
@@ -199,7 +211,8 @@ def _parse_triples(text: str):
         for i in range(0, len(toks), 3)
     ]
     for s, p, o in pats:
-        if s.kind in ("lit", "path") or p.kind == "lit" or o.kind == "path":
+        if (s.kind in ("lit", "path", "pathx") or p.kind == "lit"
+                or o.kind in ("path", "pathx")):
             raise ValueError(f"unsupported term position in pattern {(s, p, o)}")
     return pats
 
@@ -359,15 +372,86 @@ def _filter_condition(expr: str, bound: set[str]):
     }[op]
 
 
+# --- SPARQL 1.1 property-path algebra -------------------------------------
+#
+# alternative := sequence ( '|' sequence )*        (union)
+# sequence    := step ( '/' step )*                (join through a mid var)
+# step        := '^'? <uri> ('+' | '*')?           (inverse = swap src/dst;
+#                + = reachability closure; * = closure ∪ zero-length)
+#
+# Zero-length semantics per the spec: ``?s <p>* ?o`` relates every graph
+# term to itself, so '*' unions the identity relation over all subjects
+# and objects — a distinct over the quads, itself a one-shuffle
+# aggregation, NOT an all-pairs product.
+
+_PATH_STEP = re.compile(r"(?P<inv>\^)?<(?P<uri>[^<>\s]+)>(?P<quant>[+*])?")
+
+
+def _split_path(expr: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside ``<…>`` (IRIs may contain '|' or '/')."""
+    parts, depth, cur = [], 0, []
+    for ch in expr:
+        depth += {"<": 1, ">": -1}.get(ch, 0)
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
+    """Path expression → DataFrame of (src, dst) pairs it relates."""
+    from ..operators.graph import reachability
+
+    alts = _split_path(expr, "|")
+    if len(alts) > 1:
+        out = _path_pairs(quads, alts[0])
+        for a in alts[1:]:
+            out = out.unionByName(_path_pairs(quads, a))
+        return out
+
+    seq = _split_path(expr, "/")
+    if len(seq) > 1:
+        out = _path_pairs(quads, seq[0])
+        for s in seq[1:]:
+            nxt = _path_pairs(quads, s)
+            out = (
+                out.withColumnRenamed("dst", "_mid")
+                .join(nxt.withColumnRenamed("src", "_mid"), "_mid")
+                .select("src", "dst")
+            )
+        return out
+
+    m = _PATH_STEP.fullmatch(expr.strip())
+    if not m:
+        raise ValueError(f"unparseable path step: {expr!r}")
+    pairs = quads.filter(F.col("pred") == m.group("uri")).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    if m.group("inv"):
+        pairs = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    quant = m.group("quant")
+    if quant in ("+", "*"):
+        pairs = reachability(pairs)
+    if quant == "*":
+        nodes = (
+            quads.select(F.col("subj").alias("n"))
+            .unionByName(quads.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        pairs = pairs.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).distinct()
+    return pairs
+
+
 def _pattern_df(quads: DataFrame, s: Term, p: Term, o: Term) -> DataFrame:
     """One triple pattern → DataFrame whose columns are its variables."""
-    if p.kind == "path":
-        from ..operators.graph import reachability
-
-        base = reachability(
-            quads.filter(F.col("pred") == p.value)
-            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        ).select(
+    if p.kind in ("path", "pathx"):
+        expr = f"<{p.value}>+" if p.kind == "path" else p.value
+        base = _path_pairs(quads, expr).select(
             F.col("src").alias("_s"),
             F.col("dst").alias("_o"),
             F.lit(None).cast("string").alias("_lang"),

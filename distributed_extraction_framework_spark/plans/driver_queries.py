@@ -2479,3 +2479,83 @@ ORACLES.update({
     "ask_exists": ORACLE_ASK_EXISTS,
     "nt_roundtrip": ORACLE_NT_ROUNDTRIP,
 })
+
+
+# --------------------------------------------------------------------------
+# Property-path operator gates.
+#
+# bgp_path_seq — sequence through a closure step: every label reachable
+#                via one-or-more redirect hops (<redirects>+/<label>);
+#                oracle = recursive walk joined to the labels CTE.
+# bgp_path_alt — alternative (<subject>|<redirects>): union of the
+#                article-categories and redirect pair sets.
+# --------------------------------------------------------------------------
+
+def q_bgp_path_seq(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    quads = extract(_pages(spark, sf_dir), extractors=["redirects", "labels"])
+    return bgp_query(
+        quads,
+        f"SELECT DISTINCT ?s ?l WHERE {{ "
+        f"?s <{S.DBO_WIKI_REDIRECTS}>+/<{S.RDFS_LABEL}> ?l }}",
+    )
+
+
+ORACLE_BGP_PATH_SEQ = f"""
+{_oracle_pages()},
+r AS (
+  SELECT '{RES}Doc_' || doc_id AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+),
+walk AS (
+  SELECT src, dst FROM r
+  UNION ALL
+  SELECT walk.src, r.dst FROM walk JOIN r ON walk.dst = r.src
+),
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+)
+SELECT DISTINCT walk.src AS s, lbl.l AS l
+FROM walk JOIN lbl ON walk.dst = lbl.s
+"""
+
+
+def q_bgp_path_alt(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    quads = extract(_pages(spark, sf_dir),
+                    extractors=["article_categories", "redirects"])
+    return bgp_query(
+        quads,
+        f"SELECT DISTINCT ?s ?o WHERE {{ "
+        f"?s <{S.DCT_SUBJECT}>|<{S.DBO_WIKI_REDIRECTS}> ?o }}",
+    )
+
+
+ORACLE_BGP_PATH_ALT = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+)
+SELECT DISTINCT '{RES}' || title AS s, '{RES}' || tgt AS o
+FROM t WHERE tgt LIKE 'Category:%'
+UNION
+SELECT '{RES}' || title AS s, '{RES}Doc_' || (doc_id + 1) AS o
+FROM pages WHERE {_ISREDIR}
+"""
+
+QUERIES.update({
+    "bgp_path_seq": q_bgp_path_seq,
+    "bgp_path_alt": q_bgp_path_alt,
+})
+ORACLES.update({
+    "bgp_path_seq": ORACLE_BGP_PATH_SEQ,
+    "bgp_path_alt": ORACLE_BGP_PATH_ALT,
+})

@@ -303,3 +303,60 @@ def test_ask_query(spark, quads):
     ).collect()[0]["ask"] is False
     with pytest.raises(ValueError, match="LIMIT"):
         ask_query(quads, f'ASK {{ ?x <{TYPE}> "City" }} LIMIT 1')
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 property-path operators: ^ inverse, / sequence, | alternative,
+# * ZeroOrMore
+# ---------------------------------------------------------------------------
+
+
+def test_path_inverse(spark, quads):
+    got = {(r["x"], r["y"]) for r in bgp_query(
+        quads, f"SELECT ?x ?y WHERE {{ ?x ^<{LINK}> ?y }}"
+    ).collect()}
+    # LINK edges are a->b, b->c; inverse relates b->a, c->b
+    assert got == {("b", "a"), ("c", "b")}
+
+
+def test_path_sequence(spark, quads):
+    # a -LINK-> b -SUBJ-> Cat2
+    got = {(r["x"], r["c"]) for r in bgp_query(
+        quads, f"SELECT ?x ?c WHERE {{ ?x <{LINK}>/<{SUBJ}> ?c }}"
+    ).collect()}
+    assert got == {("a", "Cat2")}
+
+
+def test_path_alternative(spark, quads):
+    got = {(r["x"], r["o"]) for r in bgp_query(
+        quads, f'SELECT ?x ?o WHERE {{ ?x <{SUBJ}>|<{TYPE}> ?o . '
+               f'FILTER(?x = "a") }}'
+    ).collect()}
+    assert got == {("a", "Cat1"), ("a", "City")}
+
+
+def test_path_zero_or_more(spark, quads):
+    got = {r["y"] for r in bgp_query(
+        quads, f'SELECT ?y WHERE {{ ?x <{LINK}>* ?y . FILTER(?x = "a") }}'
+    ).collect()}
+    # zero-length: a itself; one step: b; two steps: c
+    assert got == {"a", "b", "c"}
+    # zero-length relates EVERY graph term to itself, literals included
+    got = {r["y"] for r in bgp_query(
+        quads, f'SELECT ?y WHERE {{ ?x <{LINK}>* ?y . FILTER(?x = "Cat1") }}'
+    ).collect()}
+    assert got == {"Cat1"}
+
+
+def test_path_sequence_with_closure_step(spark, quads):
+    # every LINK-reachable node's category: a -> {b,c}; only b has SUBJ
+    got = {(r["x"], r["c"]) for r in bgp_query(
+        quads, f"SELECT ?x ?c WHERE {{ ?x <{LINK}>+/<{SUBJ}> ?c }}"
+    ).collect()}
+    assert got == {("a", "Cat2")}
+
+
+def test_bad_path_raises(spark, quads):
+    with pytest.raises(ValueError, match="unparseable path step"):
+        from distributed_extraction_framework_spark.plans.bgp import _path_pairs
+        _path_pairs(quads, "<a><b>")
