@@ -12,17 +12,24 @@ delegated to the optimizer.
 Supported grammar (deliberately the well-defined core):
 
     SELECT [DISTINCT] item+ WHERE { group ( UNION { group' } )* }
-        [GROUP BY ?v+] [ORDER BY ord+] [LIMIT n]
-    item  := ?var | ( AGG ( [DISTINCT] ?var | * ) AS ?alias )
-    AGG   := COUNT | SUM | AVG | MIN | MAX
-    group := ( tp . | flt | OPTIONAL { group } | VALUES ?v { const+ } )+
+        [GROUP BY ?v+] [ORDER BY ord+] [LIMIT n] [OFFSET n]
+    item  := ?var | ( AGG ( [DISTINCT] ?var | * ) [; SEPARATOR="s"] AS ?alias )
+    AGG   := COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT
+    group := ( tp . | flt | OPTIONAL { group } | MINUS { group }
+               | FILTER [NOT] EXISTS { group } | BIND ( expr AS ?v )
+               | VALUES ?v { const+ } )+
     tp    := term term term
     term  := ?var | <uri> | "literal" | "literal"@lang
              | path                 (predicate position only)
     path  := pseq ( '|' pseq )* ; pseq := pstep ( '/' pstep )*
-    pstep := '^'? <uri> ('+' | '*')?
-    flt   := FILTER ( atom cmp atom ) | FILTER ( regex(?var, "pat" [, "i"]) )
-    atom  := ?var | number | "string" ; cmp := = | != | < | <= | > | >=
+    pstep := ( '^'? <uri> | '!' <uri> | '!( <uri> ( '|' <uri> )* )' )
+             ('+' | '*' | '?')?
+    flt   := bool over: atom cmp atom | regex(?v, "pat" [, "i"])
+             | ?v [NOT] IN ( const+ ) | BOUND(?v)
+             | STRSTARTS/STRENDS/CONTAINS(?v, "s") ; bool := && | "||" | !
+    expr  := CONCAT(expr+) | STR/UCASE/LCASE/STRLEN(expr)
+             | atom (+|-|*|/) atom | atom
+    atom  := ?var | number | "string" | <uri> ; cmp := = | != | < | <= | > | >=
     ord   := ?var | ASC(?var) | DESC(?var)
 
 How each construct maps to the DataFrame algebra:
@@ -45,6 +52,17 @@ How each construct maps to the DataFrame algebra:
   in only one branch (SPARQL bag union with partial bindings).
 * ``VALUES ?v { … }`` — an inline broadcast relation equi-joined on the
   variable; Catalyst turns it into a broadcast hash join / IN-filter.
+* ``MINUS { … }`` — LEFT ANTI join on the shared variables (set-minus of
+  compatible solutions); a MINUS group sharing no variable removes
+  nothing, per the SPARQL algebra.
+* ``FILTER EXISTS { … }`` / ``FILTER NOT EXISTS { … }`` — LEFT SEMI /
+  LEFT ANTI join on the shared variables. Both compile to one
+  hash-join probe, never a correlated subquery per row.
+* ``BIND(expr AS ?v)`` — ``withColumn`` with a Catalyst expression
+  (CONCAT/STR/UCASE/LCASE/STRLEN, binary arithmetic with SPARQL numeric
+  coercion); applied after the group's patterns, before its FILTERs.
+* negated property sets ``!<p>`` / ``!(<a>|<b>)`` — a NOT-IN predicate
+  on the pred column, same single scan as a forward step.
 * aggregates + ``GROUP BY`` — ``df.groupBy(keys).agg(…)``; map-side
   partial aggregation comes free. SUM/AVG coerce to double (the quads
   object column is lexical); COUNT/MIN/MAX operate on the lexical form.
@@ -69,12 +87,17 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# one property-path step: forward/inverse URI, a negated URI, or a
+# negated property set !(<a>|<b>), each optionally quantified by + * ?
+_STEP_SRC = (
+    r"(?:!\(\^?<[^<>\s]+>(?:\|\^?<[^<>\s]+>)*\)|!?\^?<[^<>\s]+>)[+*?]?"
+)
 _TOKEN = re.compile(
     r"\?[A-Za-z_]\w*"              # ?var
-    # property-path expression (predicate position): ^?<uri>[+*]? steps
-    # joined by / (sequence) or | (alternative); plain <uri> and <uri>+
-    # are the degenerate cases
-    r"|\^?<[^<>\s]+>[+*]?(?:[/|]\^?<[^<>\s]+>[+*]?)*"
+    # property-path expression (predicate position): steps joined by
+    # / (sequence) or | (alternative); plain <uri> and <uri>+ are the
+    # degenerate cases
+    rf"|{_STEP_SRC}(?:[/|]{_STEP_SRC})*"
     r'|"(?:[^"\\]|\\.)*"(?:@[\w-]+)?'  # "literal"(@lang)
 )
 _SIMPLE_URI = re.compile(r"^<[^<>\s]+>$")
@@ -87,13 +110,18 @@ _TAIL = re.compile(
     r"^\s*(?:GROUP\s+BY\s+(?P<groupby>(?:\?\w+\s*)+))?"
     r"\s*(?:ORDER\s+BY\s+(?P<orderby>(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+)"
     r"(?:\s+(?:(?:ASC|DESC)\s*\(\s*\?\w+\s*\)|\?\w+))*))?"
-    r"\s*(?:LIMIT\s+(?P<limit>\d+))?\s*$",
+    # LIMIT/OFFSET may appear in either order (SPARQL LimitOffsetClauses)
+    r"\s*(?:LIMIT\s+(?P<limit>\d+)\s*(?:OFFSET\s+(?P<offset>\d+))?"
+    r"|OFFSET\s+(?P<offset2>\d+)\s*(?:LIMIT\s+(?P<limit2>\d+))?)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _SEL_ITEM = re.compile(
     r"\?(?P<var>[A-Za-z_]\w*)"
-    r"|\(\s*(?P<agg>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(?P<dist>DISTINCT\s+)?"
-    r"(?:\?(?P<arg>\w+)|(?P<star>\*))\s*\)\s+AS\s+\?(?P<alias>\w+)\s*\)",
+    r"|\(\s*(?P<agg>COUNT|SUM|AVG|MIN|MAX|SAMPLE|GROUP_CONCAT)"
+    r"\s*\(\s*(?P<dist>DISTINCT\s+)?"
+    r"(?:\?(?P<arg>\w+)|(?P<star>\*))\s*"
+    r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?'
+    r"\)\s+AS\s+\?(?P<alias>\w+)\s*\)",
     re.IGNORECASE,
 )
 _ORD_ITEM = re.compile(
@@ -112,9 +140,10 @@ class Term:
 @dataclass(frozen=True)
 class SelItem:
     name: str               # output column name
-    agg: str | None = None  # 'count' | 'sum' | 'avg' | 'min' | 'max'
+    agg: str | None = None  # count|sum|avg|min|max|sample|group_concat
     arg: str | None = None  # source var; None with agg='count' means *
     distinct: bool = False
+    sep: str | None = None  # GROUP_CONCAT separator (default " ")
 
 
 @dataclass
@@ -123,12 +152,15 @@ class Group:
     filters: list = field(default_factory=list)
     optionals: list = field(default_factory=list)   # list[Group]
     values: list = field(default_factory=list)      # list[(var, [Term])]
+    minus: list = field(default_factory=list)       # list[Group]
+    exists: list = field(default_factory=list)      # list[(positive, Group)]
+    binds: list = field(default_factory=list)       # list[(var, expr_str)]
 
 
 def _parse_term(tok: str) -> Term:
     if tok.startswith("?"):
         return Term("var", tok[1:])
-    if tok.startswith("<") or tok.startswith("^"):
+    if tok.startswith("<") or tok.startswith("^") or tok.startswith("!"):
         if _SIMPLE_URI.match(tok):
             return Term("uri", tok[1:-1])
         if _SIMPLE_PLUS.match(tok):
@@ -200,6 +232,38 @@ def _extract_blocks(body: str, opener: re.Pattern) -> tuple[str, list]:
 
 _OPTIONAL_OPEN = re.compile(r"\bOPTIONAL\s*(\{)", re.IGNORECASE)
 _VALUES_OPEN = re.compile(r"\bVALUES\s+\?(?P<var>\w+)\s*(\{)", re.IGNORECASE)
+_MINUS_OPEN = re.compile(r"\bMINUS\s*(\{)", re.IGNORECASE)
+_EXISTS_OPEN = re.compile(
+    r"\bFILTER\s+(?P<neg>NOT\s+)?EXISTS\s*(\{)", re.IGNORECASE
+)
+_BIND_OPEN = re.compile(r"\bBIND\s*\(", re.IGNORECASE)
+_BIND_AS = re.compile(
+    r"^(?P<expr>.*\S)\s+AS\s+\?(?P<var>\w+)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _extract_binds(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Strip ``BIND( expr AS ?v )`` clauses (paren-balanced) out of the body."""
+    binds: list[tuple[str, str]] = []
+    out: list[str] = []
+    i = 0
+    for m in _BIND_OPEN.finditer(body):
+        if m.start() < i:
+            continue
+        out.append(body[i: m.start()])
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            depth += {"(": 1, ")": -1}.get(body[j], 0)
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced BIND parens in {body!r}")
+        am = _BIND_AS.match(body[m.end(): j - 1])
+        if not am:
+            raise ValueError(f"BIND needs 'expr AS ?var': {body[m.end():j-1]!r}")
+        binds.append((am.group("var"), am.group("expr")))
+        i = j
+    out.append(body[i:])
+    return " ".join(out), binds
 
 
 def _parse_triples(text: str):
@@ -217,20 +281,58 @@ def _parse_triples(text: str):
     return pats
 
 
+def _extract_braced(body: str):
+    """One left-to-right scan consuming every top-level braced block
+    (OPTIONAL / FILTER [NOT] EXISTS / MINUS / VALUES), so a block nested
+    inside another block's braces is left for the recursive parse of that
+    block rather than ripped out of it."""
+    openers = (
+        ("optional", _OPTIONAL_OPEN),
+        ("exists", _EXISTS_OPEN),
+        ("minus", _MINUS_OPEN),
+        ("values", _VALUES_OPEN),
+    )
+    out, blocks, i = [], [], 0
+    while True:
+        first = None
+        for kind, rx in openers:
+            m = rx.search(body, i)
+            if m and (first is None or m.start() < first[1].start()):
+                first = (kind, m)
+        if first is None:
+            out.append(body[i:])
+            return " ".join(out), blocks
+        kind, m = first
+        out.append(body[i: m.start()])
+        end = _balanced(body, m.end() - 1)
+        blocks.append((kind, m, body[m.end(): end - 1]))
+        i = end
+
+
 def _parse_group(body: str) -> Group:
     g = Group()
-    body, opts = _extract_blocks(body, _OPTIONAL_OPEN)
-    g.optionals = [_parse_group(inner) for _, inner in opts]
-    body, vals = _extract_blocks(body, _VALUES_OPEN)
+    body, blocks = _extract_braced(body)
+    vals = []
+    for kind, m, inner in blocks:
+        if kind == "optional":
+            g.optionals.append(_parse_group(inner))
+        elif kind == "exists":
+            g.exists.append((not m.group("neg"), _parse_group(inner)))
+        elif kind == "minus":
+            g.minus.append(_parse_group(inner))
+        else:
+            vals.append((m, inner))
     for m, inner in vals:
         terms = [_parse_term(t) for t in _TOKEN.findall(inner)]
         if not terms or any(t.kind not in ("uri", "lit") for t in terms):
             raise ValueError(f"VALUES accepts only constants: {inner!r}")
         g.values.append((m.group("var"), terms))
+    body, g.binds = _extract_binds(body)
+    for _, expr in g.binds:
+        _parse_expr(expr)  # raise at parse time on unsupported expressions
     body, g.filters = _extract_filters(body)
     for f in g.filters:
-        if not (_CMP.match(f) or _RX.match(f)):
-            raise ValueError(f"unsupported FILTER expression: {f!r}")
+        _parse_filter_ast(f)  # raise at parse time on unsupported filters
     g.triples = _parse_triples(body)
     if not g.triples and not g.values:
         raise ValueError("empty group pattern")
@@ -268,11 +370,15 @@ def _parse_select(head: str) -> list[SelItem]:
         if m.group("var"):
             items.append(SelItem(m.group("var")))
         else:
+            sep = m.group("sep")
+            if sep is not None and m.group("agg").lower() != "group_concat":
+                raise ValueError("SEPARATOR is only valid on GROUP_CONCAT")
             items.append(SelItem(
                 m.group("alias"),
                 agg=m.group("agg").lower(),
                 arg=m.group("arg"),
                 distinct=bool(m.group("dist")),
+                sep=(_unquote(f'"{sep}"') if sep is not None else None),
             ))
     if head[pos:].strip() or not items:
         raise ValueError(f"bad SELECT clause: {head!r}")
@@ -292,6 +398,7 @@ class ParsedQuery:
     group_by: tuple
     order_by: tuple        # (var, desc) pairs
     limit: int | None
+    offset: int | None = None
 
 
 def parse_query(query: str) -> ParsedQuery:
@@ -311,13 +418,16 @@ def parse_query(query: str) -> ParsedQuery:
          (om.group("dir") or "").upper() == "DESC")
         for om in _ORD_ITEM.finditer(t.group("orderby") or "")
     )
+    limit = t.group("limit") or t.group("limit2")
+    offset = t.group("offset") or t.group("offset2")
     return ParsedQuery(
         select=tuple(select),
         distinct=bool(m.group("distinct")),
         groups=tuple(_parse_union(body)),
         group_by=group_by,
         order_by=order_by,
-        limit=int(t.group("limit")) if t.group("limit") else None,
+        limit=int(limit) if limit else None,
+        offset=int(offset) if offset else None,
     )
 
 
@@ -329,8 +439,10 @@ def parse_bgp(query: str):
     :func:`parse_query` / :func:`bgp_query` for those.
     """
     q = parse_query(query)
-    if (len(q.groups) != 1 or q.groups[0].optionals or q.groups[0].values
-            or q.group_by or q.order_by
+    g0 = q.groups[0]
+    if (len(q.groups) != 1 or g0.optionals or g0.values or g0.minus
+            or g0.exists or g0.binds or q.group_by or q.order_by
+            or q.offset is not None
             or any(it.agg for it in q.select)):
         raise ValueError("extended query: use parse_query()")
     g = q.groups[0]
@@ -338,67 +450,322 @@ def parse_bgp(query: str):
             g.filters, q.limit)
 
 
-def _filter_condition(expr: str, bound: set[str]):
-    """One FILTER body → a Catalyst boolean Column over bound variables."""
-    rx = _RX.match(expr)
-    if rx:
-        if rx.group("v") not in bound:
-            raise ValueError(f"FILTER var ?{rx.group('v')} not bound")
-        pat = rx.group("pat")
-        if "i" in (rx.group("flags") or ""):
-            pat = "(?i)" + pat
-        return F.col(rx.group("v")).rlike(pat)
+# FILTER boolean grammar: || over && over !/(…) over the comparison,
+# regex, IN, BOUND, and string-function primaries. Parsed to a small AST
+# at parse time (so bad filters fail fast), compiled to one Catalyst
+# boolean Column at plan time.
 
-    m = _CMP.match(expr)
-    assert m, expr  # parse validated
+_ATOM_SRC = r'(?:\?\w+|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"|<[^<>\s]+>)'
+_CMP_AT = re.compile(
+    rf"(?P<l>{_ATOM_SRC})\s*(?P<op>=|!=|<=|>=|<|>)\s*(?P<r>{_ATOM_SRC})"
+)
+_RX_AT = re.compile(
+    r'regex\s*\(\s*\?(?P<v>\w+)\s*,\s*"(?P<pat>(?:[^"\\]|\\.)*)"'
+    r'\s*(?:,\s*"(?P<flags>[a-z]*)")?\s*\)',
+    re.IGNORECASE,
+)
+_BOUND_AT = re.compile(r"BOUND\s*\(\s*\?(?P<v>\w+)\s*\)", re.IGNORECASE)
+_SFN_AT = re.compile(
+    r"(?P<fn>STRSTARTS|STRENDS|CONTAINS)"
+    r'\s*\(\s*\?(?P<v>\w+)\s*,\s*"(?P<s>(?:[^"\\]|\\.)*)"\s*\)',
+    re.IGNORECASE,
+)
+_IN_AT = re.compile(
+    rf"\?(?P<v>\w+)\s+(?P<neg>NOT\s+)?IN\s*\("
+    rf"\s*(?P<items>{_ATOM_SRC}(?:\s*,\s*{_ATOM_SRC})*)\s*\)",
+    re.IGNORECASE,
+)
+_ATOM_ONLY = re.compile(_ATOM_SRC)
 
-    def atom(tok: str):
-        if tok.startswith("?"):
-            if tok[1:] not in bound:
-                raise ValueError(f"FILTER var {tok} not bound")
-            return ("var", F.col(tok[1:]))
-        if _NUM.match(tok):
-            return ("num", F.lit(float(tok) if "." in tok else int(tok)))
-        return ("str", F.lit(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")))
 
-    (lk, lc), (rk, rc) = atom(m.group("l")), atom(m.group("r"))
+def _unquote(tok: str) -> str:
+    return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+
+class _FilterParser:
+    """Recursive descent over one FILTER body → tuple AST."""
+
+    def __init__(self, s: str):
+        self.s, self.i = s, 0
+
+    def _ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _lit(self, tok: str) -> bool:
+        self._ws()
+        if self.s.startswith(tok, self.i):
+            self.i += len(tok)
+            return True
+        return False
+
+    def parse(self):
+        ast = self._or()
+        self._ws()
+        if self.i != len(self.s):
+            raise ValueError(f"unsupported FILTER expression: {self.s!r}")
+        return ast
+
+    def _or(self):
+        a = self._and()
+        while self._lit("||"):
+            a = ("or", a, self._and())
+        return a
+
+    def _and(self):
+        a = self._unary()
+        while self._lit("&&"):
+            a = ("and", a, self._unary())
+        return a
+
+    def _unary(self):
+        self._ws()
+        if (self.s.startswith("!", self.i)
+                and not self.s.startswith("!=", self.i)):
+            self.i += 1
+            return ("not", self._unary())
+        return self._primary()
+
+    def _primary(self):
+        self._ws()
+        for rx, mk in (
+            (_RX_AT, lambda m: ("regex", m.group("v"), m.group("pat"),
+                                m.group("flags") or "")),
+            (_BOUND_AT, lambda m: ("bound", m.group("v"))),
+            (_SFN_AT, lambda m: ("sfn", m.group("fn").upper(),
+                                 m.group("v"), _unquote(f'"{m.group("s")}"'))),
+            (_IN_AT, lambda m: ("in", m.group("v"), bool(m.group("neg")),
+                                _ATOM_ONLY.findall(m.group("items")))),
+            (_CMP_AT, lambda m: ("cmp", m.group("op"),
+                                 m.group("l"), m.group("r"))),
+        ):
+            m = rx.match(self.s, self.i)
+            if m:
+                self.i = m.end()
+                return mk(m)
+        if self.s.startswith("(", self.i):
+            self.i += 1
+            a = self._or()
+            if not self._lit(")"):
+                raise ValueError(f"unbalanced parens in FILTER: {self.s!r}")
+            return a
+        raise ValueError(
+            f"unsupported FILTER expression at {self.s[self.i:self.i+30]!r}"
+        )
+
+
+def _parse_filter_ast(expr: str):
+    return _FilterParser(expr).parse()
+
+
+def _atom_col(tok: str, bound: set[str]):
+    """Atom token → (kind, Column); kind ∈ var | num | str."""
+    if tok.startswith("?"):
+        if tok[1:] not in bound:
+            raise ValueError(f"FILTER var {tok} not bound")
+        return ("var", F.col(tok[1:]))
+    if _NUM.match(tok):
+        return ("num", F.lit(float(tok) if "." in tok else int(tok)))
+    if tok.startswith("<"):
+        return ("str", F.lit(tok[1:-1]))
+    return ("str", F.lit(_unquote(tok)))
+
+
+def _ast_condition(ast, bound: set[str]):
+    kind = ast[0]
+    if kind == "or":
+        return _ast_condition(ast[1], bound) | _ast_condition(ast[2], bound)
+    if kind == "and":
+        return _ast_condition(ast[1], bound) & _ast_condition(ast[2], bound)
+    if kind == "not":
+        return ~_ast_condition(ast[1], bound)
+    if kind == "regex":
+        _, v, pat, flags = ast
+        if v not in bound:
+            raise ValueError(f"FILTER var ?{v} not bound")
+        return F.col(v).rlike(("(?i)" if "i" in flags else "") + pat)
+    if kind == "bound":
+        if ast[1] not in bound:
+            raise ValueError(f"FILTER var ?{ast[1]} not bound")
+        return F.col(ast[1]).isNotNull()
+    if kind == "sfn":
+        _, fn, v, s = ast
+        if v not in bound:
+            raise ValueError(f"FILTER var ?{v} not bound")
+        c = F.col(v)
+        return {"STRSTARTS": c.startswith, "STRENDS": c.endswith,
+                "CONTAINS": c.contains}[fn](s)
+    if kind == "in":
+        _, v, neg, items = ast
+        if v not in bound:
+            raise ValueError(f"FILTER var ?{v} not bound")
+        numeric = all(_NUM.match(t) for t in items)
+        if numeric:
+            cond = F.col(v).cast("double").isin(
+                [float(t) for t in items])
+        else:
+            cond = F.col(v).isin(
+                [t[1:-1] if t.startswith("<") else _unquote(t)
+                 for t in items])
+        return ~cond if neg else cond
+    assert kind == "cmp", ast
+    _, op, l, r = ast
+    (lk, lc), (rk, rc) = _atom_col(l, bound), _atom_col(r, bound)
     if "num" in (lk, rk):  # SPARQL numeric order: coerce vars to double
         lc = lc.cast("double") if lk == "var" else lc
         rc = rc.cast("double") if rk == "var" else rc
-    op = m.group("op")
     return {
         "=": lc == rc, "!=": lc != rc, "<": lc < rc,
         "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
     }[op]
 
 
+def _filter_condition(expr: str, bound: set[str]):
+    """One FILTER body → a Catalyst boolean Column over bound variables."""
+    return _ast_condition(_parse_filter_ast(expr), bound)
+
+
+# --- BIND expressions ------------------------------------------------------
+
+_FUNC_AT = re.compile(r"(?P<fn>CONCAT|STR|UCASE|LCASE|STRLEN)\s*\(",
+                      re.IGNORECASE)
+_ARITH_AT = re.compile(
+    rf"(?P<l>{_ATOM_SRC})\s*(?P<op>[+\-*/])\s*(?P<r>{_ATOM_SRC})$"
+)
+
+
+def _split_args(s: str) -> list[str]:
+    """Split on top-level commas, respecting parens and quoted strings."""
+    args, depth, inq, cur, i = [], 0, False, [], 0
+    while i < len(s):
+        ch = s[i]
+        if inq:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 2
+                continue
+            if ch == '"':
+                inq = False
+        elif ch == '"':
+            inq = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _parse_expr(expr: str):
+    """BIND expression → tuple AST (validated at parse time)."""
+    expr = expr.strip()
+    m = _FUNC_AT.match(expr)
+    if m:
+        depth, j = 1, m.end()
+        while j < len(expr) and depth:
+            depth += {"(": 1, ")": -1}.get(expr[j], 0)
+            j += 1
+        if depth or expr[j:].strip():
+            raise ValueError(f"unsupported BIND expression: {expr!r}")
+        fn = m.group("fn").upper()
+        args = _split_args(expr[m.end(): j - 1])
+        if fn == "CONCAT":
+            if not args:
+                raise ValueError("CONCAT needs at least one argument")
+        elif len(args) != 1:
+            raise ValueError(f"{fn} takes exactly one argument: {expr!r}")
+        return ("fn", fn, [_parse_expr(a) for a in args])
+    am = _ARITH_AT.fullmatch(expr)
+    if am:
+        return ("arith", am.group("op"), am.group("l"), am.group("r"))
+    if _ATOM_ONLY.fullmatch(expr):
+        return ("atom", expr)
+    raise ValueError(f"unsupported BIND expression: {expr!r}")
+
+
+def _expr_col(ast, bound: set[str]):
+    kind = ast[0]
+    if kind == "atom":
+        return _atom_col(ast[1], bound)[1]
+    if kind == "arith":
+        _, op, l, r = ast
+        (lk, lc), (rk, rc) = _atom_col(l, bound), _atom_col(r, bound)
+        lc = lc.cast("double") if lk == "var" else lc
+        rc = rc.cast("double") if rk == "var" else rc
+        return {"+": lc + rc, "-": lc - rc,
+                "*": lc * rc, "/": lc / rc}[op]
+    assert kind == "fn", ast
+    _, fn, args = ast
+    cols = [_expr_col(a, bound) for a in args]
+    if fn == "CONCAT":
+        return F.concat(*[c.cast("string") for c in cols])
+    return {"STR": lambda c: c.cast("string"), "UCASE": F.upper,
+            "LCASE": F.lower, "STRLEN": F.length}[fn](cols[0])
+
+
+def _bind_expr(expr: str, bound: set[str]):
+    """One BIND expression body → a Catalyst Column over bound variables."""
+    return _expr_col(_parse_expr(expr), bound)
+
+
 # --- SPARQL 1.1 property-path algebra -------------------------------------
 #
 # alternative := sequence ( '|' sequence )*        (union)
 # sequence    := step ( '/' step )*                (join through a mid var)
-# step        := '^'? <uri> ('+' | '*')?           (inverse = swap src/dst;
-#                + = reachability closure; * = closure ∪ zero-length)
+# step        := ( '^'? <uri> | '!' <uri> | !(<a>|<b>…) ) ('+'|'*'|'?')?
+#                (inverse = swap src/dst; ! = negated property set, a
+#                NOT-IN predicate on pred; + = reachability closure;
+#                * = closure ∪ zero-length; ? = step ∪ zero-length)
 #
 # Zero-length semantics per the spec: ``?s <p>* ?o`` relates every graph
-# term to itself, so '*' unions the identity relation over all subjects
-# and objects — a distinct over the quads, itself a one-shuffle
+# term to itself, so '*' (and '?') union the identity relation over all
+# subjects and objects — a distinct over the quads, itself a one-shuffle
 # aggregation, NOT an all-pairs product.
 
-_PATH_STEP = re.compile(r"(?P<inv>\^)?<(?P<uri>[^<>\s]+)>(?P<quant>[+*])?")
+_PATH_STEP = re.compile(
+    r"(?P<neg>!)?(?P<inv>\^)?"
+    r"(?:<(?P<uri>[^<>\s]+)>|\((?P<set>\^?<[^<>\s]+>(?:\|\^?<[^<>\s]+>)*)\))"
+    r"(?P<quant>[+*?])?"
+)
 
 
 def _split_path(expr: str, sep: str) -> list[str]:
-    """Split on ``sep`` outside ``<…>`` (IRIs may contain '|' or '/')."""
-    parts, depth, cur = [], 0, []
+    """Split on ``sep`` outside ``<…>`` and outside ``!(…)`` property
+    sets (IRIs may contain '|' or '/'; sets contain '|')."""
+    parts, ang, par, cur = [], 0, 0, []
     for ch in expr:
-        depth += {"<": 1, ">": -1}.get(ch, 0)
-        if ch == sep and depth == 0:
+        ang += {"<": 1, ">": -1}.get(ch, 0)
+        if ang == 0 and ch in "()":
+            par += 1 if ch == "(" else -1
+        if ch == sep and ang == 0 and par == 0:
             parts.append("".join(cur))
             cur = []
         else:
             cur.append(ch)
     parts.append("".join(cur))
     return parts
+
+
+def _identity_pairs(quads: DataFrame) -> DataFrame:
+    """The zero-length-path relation: every graph term related to itself."""
+    nodes = (
+        quads.select(F.col("subj").alias("n"))
+        .unionByName(quads.select(F.col("obj").alias("n")))
+        .distinct()
+    )
+    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
 
 
 def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
@@ -427,23 +794,27 @@ def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
     m = _PATH_STEP.fullmatch(expr.strip())
     if not m:
         raise ValueError(f"unparseable path step: {expr!r}")
-    pairs = quads.filter(F.col("pred") == m.group("uri")).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
+    if m.group("neg"):
+        span = m.group("set") or f"<{m.group('uri')}>"
+        if "^" in span:
+            raise ValueError(
+                f"inverse steps inside a negated property set are "
+                f"unsupported: {expr!r}"
+            )
+        uris = re.findall(r"<([^<>\s]+)>", span)
+        pairs = quads.filter(~F.col("pred").isin(uris))
+    elif m.group("set") is not None:
+        raise ValueError(f"property sets require negation (!): {expr!r}")
+    else:
+        pairs = quads.filter(F.col("pred") == m.group("uri"))
+    pairs = pairs.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     if m.group("inv"):
         pairs = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     quant = m.group("quant")
     if quant in ("+", "*"):
         pairs = reachability(pairs)
-    if quant == "*":
-        nodes = (
-            quads.select(F.col("subj").alias("n"))
-            .unionByName(quads.select(F.col("obj").alias("n")))
-            .distinct()
-        )
-        pairs = pairs.unionByName(
-            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-        ).distinct()
+    if quant in ("*", "?"):
+        pairs = pairs.unionByName(_identity_pairs(quads)).distinct()
     return pairs
 
 
@@ -499,9 +870,10 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
         ).distinct()
         result = merge(result, F.broadcast(inline))
     assert result is not None  # parse guarantees triples or values
-    bound = set(result.columns)
-    for f in g.filters:
-        result = result.filter(_filter_condition(f, bound))
+    for var, expr in g.binds:
+        if var in result.columns:
+            raise ValueError(f"BIND would rebind ?{var}")
+        result = result.withColumn(var, _bind_expr(expr, set(result.columns)))
     for opt in g.optionals:
         odf = _compile_group(quads, opt)
         shared = [c for c in odf.columns if c in result.columns]
@@ -510,6 +882,30 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
                 "OPTIONAL group shares no variable with the required pattern"
             )
         result = result.join(odf, shared, "left")
+    # FILTER applies to the whole group result (after OPTIONAL joins), so
+    # BOUND/!BOUND can test optionally-bound variables; Catalyst still
+    # pushes null-safe predicates below the joins where legal.
+    bound = set(result.columns)
+    for f in g.filters:
+        result = result.filter(_filter_condition(f, bound))
+    for mg in g.minus:
+        mdf = _compile_group(quads, mg)
+        shared = [c for c in mdf.columns if c in result.columns]
+        # a MINUS group sharing no variable removes nothing (SPARQL algebra:
+        # disjoint-domain solutions are not compatible)
+        if shared:
+            result = result.join(mdf.select(*shared), shared, "left_anti")
+    for positive, eg in g.exists:
+        edf = _compile_group(quads, eg)
+        shared = [c for c in edf.columns if c in result.columns]
+        if not shared:
+            raise ValueError(
+                "FILTER [NOT] EXISTS group shares no variable with the "
+                "enclosing pattern (correlated-free EXISTS is unsupported)"
+            )
+        result = result.join(
+            edf.select(*shared), shared, "left_semi" if positive else "left_anti"
+        )
     return result
 
 
@@ -520,7 +916,22 @@ _AGG_FN = {
     "avg": lambda c, d: F.avg(c.cast("double")),
     "min": lambda c, d: F.min(c),
     "max": lambda c, d: F.max(c),
+    # SAMPLE may return any value of the group; MIN is a deterministic
+    # (and therefore testable) choice the spec permits.
+    "sample": lambda c, d: F.min(c),
 }
+
+
+def _agg_col(it: SelItem):
+    c = F.col(it.arg) if it.arg else None
+    if it.agg == "group_concat":
+        # deterministic rendering: SPARQL leaves group order undefined, so
+        # sort the collected values (DuckDB mirror: string_agg … ORDER BY)
+        vals = F.collect_set(c) if it.distinct else F.collect_list(c)
+        return F.array_join(
+            F.sort_array(vals), it.sep if it.sep is not None else " "
+        ).alias(it.name)
+    return _AGG_FN[it.agg](c, it.distinct).alias(it.name)
 
 
 def bgp_query(quads: DataFrame, query: str) -> DataFrame:
@@ -552,11 +963,7 @@ def bgp_query(quads: DataFrame, query: str) -> DataFrame:
         stray = [it.name for it in plain if it.name not in keys]
         if stray:
             raise ValueError(f"non-grouped SELECT vars {stray} need GROUP BY")
-        agg_cols = [
-            _AGG_FN[it.agg](F.col(it.arg) if it.arg else None, it.distinct)
-            .alias(it.name)
-            for it in aggs
-        ]
+        agg_cols = [_agg_col(it) for it in aggs]
         result = (result.groupBy(*keys).agg(*agg_cols) if keys
                   else result.agg(*agg_cols))
 
@@ -571,6 +978,8 @@ def bgp_query(quads: DataFrame, query: str) -> DataFrame:
             *[F.col(v).desc() if desc else F.col(v).asc()
               for v, desc in q.order_by]
         )
+    if q.offset:
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

@@ -2559,3 +2559,144 @@ ORACLES.update({
     "bgp_path_seq": ORACLE_BGP_PATH_SEQ,
     "bgp_path_alt": ORACLE_BGP_PATH_ALT,
 })
+
+
+# --------------------------------------------------------------------------
+# Extended-SPARQL round-2 gates (plans/bgp.py): MINUS / FILTER [NOT]
+# EXISTS / BIND / GROUP_CONCAT / OFFSET.
+#
+# bgp_minus        — labels MINUS geo pages: LEFT ANTI join on the shared
+#                    variable (set-minus of compatible solutions).
+# bgp_exists       — FILTER EXISTS over out-links: LEFT SEMI join probe.
+# bgp_bind         — BIND(CONCAT/UCASE/STRLEN) + CONTAINS filter over the
+#                    derived column; all Catalyst expressions.
+# bgp_group_concat — GROUP_CONCAT(DISTINCT … ; SEPARATOR) + ORDER BY +
+#                    LIMIT/OFFSET pagination (deterministic: sorted
+#                    values, total order on the key).
+# --------------------------------------------------------------------------
+
+def q_bgp_minus(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    quads = extract(_pages(spark, sf_dir),
+                    extractors=["labels", "geo_coordinates"])
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?l WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
+        f"MINUS {{ ?s <{S.GEO_LAT}> ?lat }} }}",
+    )
+
+
+ORACLE_BGP_MINUS = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+),
+g AS (
+  SELECT '{RES}' || title AS s
+  FROM pages WHERE {_REGULAR} AND doc_id % 4 = 1
+)
+SELECT s, l FROM lbl WHERE s NOT IN (SELECT s FROM g)
+"""
+
+
+def q_bgp_exists(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import bgp_query
+
+    quads = extract(_pages(spark, sf_dir), extractors=["labels", "page_links"])
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?l WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
+        f"FILTER EXISTS {{ ?s <{S.DBO_WIKI_LINK}> ?o }} }}",
+    )
+
+
+ORACLE_BGP_EXISTS = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+),
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS x
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(x, '|', 1)), ' ', '_') AS tgt FROM links
+),
+pl AS (
+  SELECT DISTINCT '{RES}' || title AS s
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+)
+SELECT s, l FROM lbl WHERE s IN (SELECT s FROM pl)
+"""
+
+
+def q_bgp_bind(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    return bgp_query(
+        quads,
+        f'SELECT ?s ?tag WHERE {{ ?s <{S.RDFS_LABEL}> ?l . '
+        f'BIND(CONCAT(UCASE(?l), "#", STRLEN(?l)) AS ?tag) . '
+        f'FILTER(CONTAINS(?tag, "DOC 1")) }}',
+    )
+
+
+ORACLE_BGP_BIND = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+)
+SELECT s, upper(l) || '#' || length(l) AS tag
+FROM lbl WHERE contains(upper(l) || '#' || length(l), 'DOC 1')
+"""
+
+
+def q_bgp_group_concat(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "article_categories")
+    return bgp_query(
+        quads,
+        f'SELECT ?s (GROUP_CONCAT(DISTINCT ?c ; SEPARATOR=",") AS ?cats) '
+        f"WHERE {{ ?s <{S.DCT_SUBJECT}> ?c }} "
+        f"GROUP BY ?s ORDER BY ?s LIMIT 40 OFFSET 10",
+    )
+
+
+ORACLE_BGP_GROUP_CONCAT = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS x
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(x, '|', 1)), ' ', '_') AS tgt FROM links
+),
+cats AS (
+  SELECT DISTINCT '{RES}' || title AS s, '{RES}' || tgt AS c
+  FROM t WHERE tgt LIKE 'Category:%'
+)
+SELECT s, string_agg(DISTINCT c, ',' ORDER BY c) AS cats
+FROM cats GROUP BY s
+ORDER BY s LIMIT 40 OFFSET 10
+"""
+
+QUERIES.update({
+    "bgp_minus": q_bgp_minus,
+    "bgp_exists": q_bgp_exists,
+    "bgp_bind": q_bgp_bind,
+    "bgp_group_concat": q_bgp_group_concat,
+})
+ORACLES.update({
+    "bgp_minus": ORACLE_BGP_MINUS,
+    "bgp_exists": ORACLE_BGP_EXISTS,
+    "bgp_bind": ORACLE_BGP_BIND,
+    "bgp_group_concat": ORACLE_BGP_GROUP_CONCAT,
+})

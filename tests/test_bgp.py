@@ -51,7 +51,7 @@ def test_parse_bgp_shapes():
     with pytest.raises(ValueError):
         parse_bgp('SELECT ?x WHERE { "lit" <p> ?x }')  # literal subject
     with pytest.raises(ValueError):
-        parse_bgp("SELECT ?x WHERE { ?x <p> ?v . FILTER(bound(?v)) }")
+        parse_bgp("SELECT ?x WHERE { ?x <p> ?v . FILTER(langMatches(?v)) }")
     with pytest.raises(ValueError):
         parse_bgp("nonsense")
 
@@ -360,3 +360,137 @@ def test_bad_path_raises(spark, quads):
     with pytest.raises(ValueError, match="unparseable path step"):
         from distributed_extraction_framework_spark.plans.bgp import _path_pairs
         _path_pairs(quads, "<a><b>")
+
+
+# ---------------------------------------------------------------------------
+# MINUS / FILTER [NOT] EXISTS / BIND / boolean filters / negated property
+# sets / ZeroOrOne / GROUP_CONCAT / SAMPLE / OFFSET
+# ---------------------------------------------------------------------------
+
+
+def test_minus_removes_compatible_solutions(spark, quads):
+    q = (f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+         f'MINUS {{ ?x <{SUBJ}> "Cat1" }} }}')
+    got = {r["x"] for r in bgp_query(quads, q).collect()}
+    assert got == {"b", "c"}  # a is in Cat1 → removed
+    # MINUS sharing no variable removes nothing (SPARQL algebra)
+    q2 = (f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+          f'MINUS {{ ?y <{SUBJ}> "Cat1" }} }}')
+    got = {r["x"] for r in bgp_query(quads, q2).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_filter_exists_and_not_exists(spark, quads):
+    q = (f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+         f"FILTER EXISTS {{ ?x <{SUBJ}> ?c }} }}")
+    got = {r["x"] for r in bgp_query(quads, q).collect()}
+    assert got == {"a", "b"}
+    q2 = (f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+          f"FILTER NOT EXISTS {{ ?x <{SUBJ}> ?c }} }}")
+    got = {r["x"] for r in bgp_query(quads, q2).collect()}
+    assert got == {"c"}
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_query(quads, f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+                         f"FILTER EXISTS {{ ?y <{SUBJ}> ?c }} }}")
+
+
+def test_bind_expressions(spark, quads):
+    q = (f'SELECT ?x ?tag WHERE {{ ?x <{TYPE}> ?t . '
+         f'BIND(CONCAT(?x, "-", LCASE(?t)) AS ?tag) }}')
+    got = {(r["x"], r["tag"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", "a-city"), ("b", "b-city"), ("c", "c-country")}
+    # arithmetic with numeric coercion of the lexical object column
+    df = spark.createDataFrame(
+        [("a", "score", "10", None), ("b", "score", "4", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    q2 = ("SELECT ?s ?double WHERE { ?s <score> ?v . "
+          "BIND(?v * 2 AS ?double) . FILTER(?double > 10) }")
+    got = {(r["s"], r["double"]) for r in bgp_query(df, q2).collect()}
+    assert got == {("a", 20.0)}
+    # STRLEN and rebind guard
+    q3 = (f"SELECT ?x ?n WHERE {{ ?x <{LABEL}> ?l . BIND(STRLEN(?l) AS ?n) }}")
+    got = {(r["x"], r["n"]) for r in bgp_query(quads, q3).collect()}
+    assert got == {("a", 5), ("a", 8), ("b", 4)}
+    with pytest.raises(ValueError, match="rebind"):
+        bgp_query(quads, f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+                         f"BIND(UCASE(?t) AS ?x) }}")
+
+
+def test_filter_boolean_combinators(spark, quads):
+    q = (f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . '
+         f'FILTER(STRSTARTS(?l, "Alpha") || ?l = "Beta") }}')
+    got = {r["x"] for r in bgp_query(quads, q).collect()}
+    assert got == {"a", "b"}
+    q2 = (f'SELECT ?l WHERE {{ ?x <{LABEL}> ?l . '
+          f'FILTER(CONTAINS(?l, "a") && !STRENDS(?l, "de")) }}')
+    got = {r["l"] for r in bgp_query(quads, q2).collect()}
+    assert got == {"Alpha", "Beta"}
+    q3 = (f'SELECT ?x WHERE {{ ?x <{TYPE}> ?t . '
+          f'FILTER(?t IN ("City", "Planet")) }}')
+    got = {r["x"] for r in bgp_query(quads, q3).collect()}
+    assert got == {"a", "b"}
+    q4 = (f'SELECT ?x WHERE {{ ?x <{TYPE}> ?t . '
+          f'FILTER(?t NOT IN ("City")) }}')
+    got = {r["x"] for r in bgp_query(quads, q4).collect()}
+    assert got == {"c"}
+
+
+def test_filter_bound_over_optional(spark, quads):
+    q = (f"SELECT ?x WHERE {{ ?x <{TYPE}> ?t . "
+         f"OPTIONAL {{ ?x <{SUBJ}> ?c }} FILTER(!BOUND(?c)) }}")
+    # BOUND applies to the group result: filters run after OPTIONAL join
+    got = {r["x"] for r in bgp_query(quads, q).collect()}
+    assert got == {"c"}
+
+
+def test_negated_property_set(spark, quads):
+    # !(<LABEL>|<TYPE>) relates x to neighbours via any OTHER predicate
+    got = {(r["x"], r["o"]) for r in bgp_query(
+        quads, f'SELECT ?x ?o WHERE {{ ?x !(<{LABEL}>|<{TYPE}>) ?o . '
+               f'FILTER(?x = "a") }}'
+    ).collect()}
+    assert got == {("a", "b"), ("a", "Cat1")}  # LINK and SUBJ edges only
+    # a parenthesized POSITIVE alternative is just an alternative (the
+    # tokenizer strips grouping parens); a bare property set reaching the
+    # path compiler without '!' is rejected
+    got = {(r["x"], r["o"]) for r in bgp_query(
+        quads, f'SELECT ?x ?o WHERE {{ ?x (<{LINK}>|<{TYPE}>) ?o . '
+               f'FILTER(?x = "b") }}'
+    ).collect()}
+    assert got == {("b", "c"), ("b", "City")}
+    from distributed_extraction_framework_spark.plans.bgp import _path_pairs
+    with pytest.raises(ValueError, match="require negation"):
+        _path_pairs(quads, "(<a>|<b>)")
+
+
+def test_path_zero_or_one(spark, quads):
+    got = {r["y"] for r in bgp_query(
+        quads, f'SELECT ?y WHERE {{ ?x <{LINK}>? ?y . FILTER(?x = "a") }}'
+    ).collect()}
+    assert got == {"a", "b"}  # zero-length (a) plus one step (b), NOT c
+
+
+def test_group_concat_and_sample(spark, quads):
+    q = (f'SELECT ?x (GROUP_CONCAT(?l ; SEPARATOR="|") AS ?labels) '
+         f"WHERE {{ ?x <{LABEL}> ?l }} GROUP BY ?x ORDER BY ?x")
+    rows = [(r["x"], r["labels"]) for r in bgp_query(quads, q).collect()]
+    assert rows == [("a", "Alpha|Alpha-de"), ("b", "Beta")]
+    q2 = (f"SELECT ?x (SAMPLE(?l) AS ?one) WHERE {{ ?x <{LABEL}> ?l }} "
+          f"GROUP BY ?x ORDER BY ?x")
+    rows = [(r["x"], r["one"]) for r in bgp_query(quads, q2).collect()]
+    assert rows == [("a", "Alpha"), ("b", "Beta")]  # SAMPLE = deterministic MIN
+    with pytest.raises(ValueError, match="SEPARATOR"):
+        bgp_query(quads, f'SELECT ?x (COUNT(?l ; SEPARATOR=",") AS ?n) '
+                         f"WHERE {{ ?x <{LABEL}> ?l }} GROUP BY ?x")
+
+
+def test_offset_pagination(spark, quads):
+    base = f"SELECT ?l WHERE {{ ?x <{LABEL}> ?l }} ORDER BY ?l"
+    assert [r["l"] for r in bgp_query(quads, base + " LIMIT 2 OFFSET 1").collect()] \
+        == ["Alpha-de", "Beta"]
+    # OFFSET-before-LIMIT order is equally valid SPARQL
+    assert [r["l"] for r in bgp_query(quads, base + " OFFSET 2 LIMIT 5").collect()] \
+        == ["Beta"]
+    assert [r["l"] for r in bgp_query(quads, base + " OFFSET 1").collect()] \
+        == ["Alpha-de", "Beta"]
