@@ -24,9 +24,11 @@ Supported grammar (deliberately the well-defined core):
     path  := pseq ( '|' pseq )* ; pseq := pstep ( '/' pstep )*
     pstep := ( '^'? <uri> | '!' <uri> | '!( <uri> ( '|' <uri> )* )' )
              ('+' | '*' | '?')?
-    flt   := bool over: atom cmp atom | regex(?v, "pat" [, "i"])
+    flt   := bool over: catom cmp catom | regex(?v, "pat" [, "i"])
              | ?v [NOT] IN ( const+ ) | BOUND(?v)
              | STRSTARTS/STRENDS/CONTAINS(?v, "s") ; bool := && | "||" | !
+    catom := atom | LANG(?v)   (lang tag of ?v's binding, "" if untagged;
+             ?v must be bound in object position in the same group)
     expr  := CONCAT(expr+) | STR/UCASE/LCASE/STRLEN(expr)
              | atom (+|-|*|/) atom | atom
     atom  := ?var | number | "string" | <uri> ; cmp := = | != | < | <= | > | >=
@@ -173,16 +175,6 @@ def _parse_term(tok: str) -> Term:
 
 
 _NUM = re.compile(r"^-?\d+(\.\d+)?$")
-_CMP = re.compile(
-    r'^\s*(?P<l>\?\w+|-?[\d.]+|"(?:[^"\\]|\\.)*")\s*'
-    r"(?P<op>=|!=|<=|>=|<|>)\s*"
-    r'(?P<r>\?\w+|-?[\d.]+|"(?:[^"\\]|\\.)*")\s*$'
-)
-_RX = re.compile(
-    r'^\s*regex\s*\(\s*\?(?P<v>\w+)\s*,\s*"(?P<pat>(?:[^"\\]|\\.)*)"'
-    r'\s*(?:,\s*"(?P<flags>[a-z]*)")?\s*\)\s*$',
-    re.IGNORECASE,
-)
 
 
 def _balanced(text: str, start: int) -> int:
@@ -456,8 +448,14 @@ def parse_bgp(query: str):
 # boolean Column at plan time.
 
 _ATOM_SRC = r'(?:\?\w+|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"|<[^<>\s]+>)'
+# comparisons additionally accept LANG(?v) atoms (the language tag of the
+# binding, "" for plain literals per SPARQL)
+_LANG_SRC = r"LANG\s*\(\s*\?\w+\s*\)"
+_CATOM_SRC = rf"(?:{_LANG_SRC}|{_ATOM_SRC})"
+_LANG_AT = re.compile(rf"^LANG\s*\(\s*\?(?P<v>\w+)\s*\)$", re.IGNORECASE)
 _CMP_AT = re.compile(
-    rf"(?P<l>{_ATOM_SRC})\s*(?P<op>=|!=|<=|>=|<|>)\s*(?P<r>{_ATOM_SRC})"
+    rf"(?P<l>{_CATOM_SRC})\s*(?P<op>=|!=|<=|>=|<|>)\s*(?P<r>{_CATOM_SRC})",
+    re.IGNORECASE,
 )
 _RX_AT = re.compile(
     r'regex\s*\(\s*\?(?P<v>\w+)\s*,\s*"(?P<pat>(?:[^"\\]|\\.)*)"'
@@ -558,8 +556,33 @@ def _parse_filter_ast(expr: str):
     return _FilterParser(expr).parse()
 
 
+def _collect_lang_vars(ast, out: set[str]) -> None:
+    """Variables whose LANG(...) appears in a filter AST (they need the
+    hidden ``<var>__lang`` column exported by their binding pattern)."""
+    kind = ast[0]
+    if kind in ("or", "and"):
+        _collect_lang_vars(ast[1], out)
+        _collect_lang_vars(ast[2], out)
+    elif kind == "not":
+        _collect_lang_vars(ast[1], out)
+    elif kind == "cmp":
+        for tok in (ast[2], ast[3]):
+            m = _LANG_AT.match(tok)
+            if m:
+                out.add(m.group("v"))
+
+
 def _atom_col(tok: str, bound: set[str]):
     """Atom token → (kind, Column); kind ∈ var | num | str."""
+    lm = _LANG_AT.match(tok)
+    if lm:
+        v = lm.group("v")
+        if f"{v}__lang" not in bound:
+            raise ValueError(
+                f"LANG(?{v}) requires ?{v} bound in object position of a "
+                f"triple pattern in the same group"
+            )
+        return ("str", F.coalesce(F.col(f"{v}__lang"), F.lit("")))
     if tok.startswith("?"):
         if tok[1:] not in bound:
             raise ValueError(f"FILTER var {tok} not bound")
@@ -818,8 +841,16 @@ def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
     return pairs
 
 
-def _pattern_df(quads: DataFrame, s: Term, p: Term, o: Term) -> DataFrame:
-    """One triple pattern → DataFrame whose columns are its variables."""
+def _pattern_df(
+    quads: DataFrame, s: Term, p: Term, o: Term,
+    lang_vars: frozenset = frozenset(),
+) -> DataFrame:
+    """One triple pattern → DataFrame whose columns are its variables.
+
+    An object variable named in ``lang_vars`` additionally exports the
+    hidden ``<var>__lang`` column (consumed by LANG() filters, dropped
+    at group exit). Path-produced pairs carry NULL lang (the binding
+    representation is lexical), which LANG() renders as ""."""
     if p.kind in ("path", "pathx"):
         expr = f"<{p.value}>+" if p.kind == "path" else p.value
         base = _path_pairs(quads, expr).select(
@@ -849,27 +880,58 @@ def _pattern_df(quads: DataFrame, s: Term, p: Term, o: Term) -> DataFrame:
             base = base.filter(F.col(col) == term.value)
             if term.kind == "lit" and term.lang is not None:
                 base = base.filter(F.col("_lang") == term.lang)
-    return base.select(*[F.col(c).alias(v) for c, v in rename.items()])
+    cols = [F.col(c).alias(v) for c, v in rename.items()]
+    if o.kind == "var" and o.value in lang_vars:
+        cols.append(F.col("_lang").alias(f"{o.value}__lang"))
+    return base.select(*cols)
 
 
 def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
-    """One group pattern → DataFrame of its variable bindings."""
-    result: DataFrame | None = None
+    """One group pattern → DataFrame of its variable bindings.
 
-    def merge(acc, df):
-        if acc is None:
-            return df
-        shared = [c for c in df.columns if c in acc.columns]
-        return acc.join(df, shared) if shared else acc.crossJoin(df)
+    Join order is chosen greedily by a selectivity proxy — patterns with
+    more constant terms first, then always a pattern sharing a variable
+    with what's already joined (classic BGP ordering, e.g. Stocker et
+    al., "SPARQL basic graph pattern optimization", WWW'08) — so a query
+    written in an unfortunate order never cross-joins when a connected
+    order exists. AQE still re-plans join strategies from runtime sizes.
+    """
+    lang_vars: set[str] = set()
+    for f in g.filters:
+        _collect_lang_vars(_parse_filter_ast(f), lang_vars)
 
+    relations: list[tuple[int, DataFrame]] = []  # (selectivity score, df)
     for s, p, o in g.triples:
-        result = merge(result, _pattern_df(quads, s, p, o))
+        score = sum(t.kind in ("uri", "lit") for t in (s, p, o))
+        relations.append(
+            (score, _pattern_df(quads, s, p, o, frozenset(lang_vars)))
+        )
     for var, terms in g.values:
         inline = quads.sparkSession.createDataFrame(
             [(t.value,) for t in terms], f"{var} string"
         ).distinct()
-        result = merge(result, F.broadcast(inline))
-    assert result is not None  # parse guarantees triples or values
+        relations.append((3, F.broadcast(inline)))  # inline = maximally selective
+    assert relations  # parse guarantees triples or values
+
+    order = sorted(range(len(relations)), key=lambda i: -relations[i][0])
+    first = order.pop(0)
+    result = relations[first][1]
+    while order:
+        nxt = next(
+            (i for i in order
+             if any(c in result.columns for c in relations[i][1].columns)),
+            order[0],  # disconnected component: cross join is unavoidable
+        )
+        order.remove(nxt)
+        df = relations[nxt][1]
+        shared = [c for c in df.columns if c in result.columns]
+        dup_lang = [c for c in shared if c.endswith("__lang")]
+        if dup_lang:
+            raise ValueError(
+                f"LANG() over a variable bound in object position by more "
+                f"than one pattern is ambiguous: {dup_lang}"
+            )
+        result = result.join(df, shared) if shared else result.crossJoin(df)
     for var, expr in g.binds:
         if var in result.columns:
             raise ValueError(f"BIND would rebind ?{var}")
@@ -906,7 +968,8 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
         result = result.join(
             edf.select(*shared), shared, "left_semi" if positive else "left_anti"
         )
-    return result
+    hidden = [c for c in result.columns if c.endswith("__lang")]
+    return result.drop(*hidden) if hidden else result
 
 
 _AGG_FN = {
@@ -937,10 +1000,10 @@ def _agg_col(it: SelItem):
 def bgp_query(quads: DataFrame, query: str) -> DataFrame:
     """Answer a SPARQL query over a quads DataFrame (subj/pred/obj/lang).
 
-    Join order is pattern order as written (selective patterns first is
-    the usual authoring convention); AQE re-plans sizes at runtime.
-    Patterns sharing no variable with the accumulated result cross-join —
-    legal SPARQL, and flagged to the author by the plan itself.
+    Join order is chosen by the compiler (most-constant patterns first,
+    connected-next; see :func:`_compile_group`); AQE re-plans join
+    strategies from runtime sizes. Patterns forming disconnected
+    variable components cross-join — legal SPARQL, visible in the plan.
     """
     q = parse_query(query)
     branches = [_compile_group(quads, g) for g in q.groups]

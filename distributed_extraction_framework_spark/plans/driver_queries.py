@@ -2700,3 +2700,31 @@ ORACLES.update({
     "bgp_bind": ORACLE_BGP_BIND,
     "bgp_group_concat": ORACLE_BGP_GROUP_CONCAT,
 })
+
+
+# --------------------------------------------------------------------------
+# bgp_lang gate: FILTER(LANG(?v)) over the infobox quads, whose objects
+# mix language-tagged strings (lang='en') with untagged numerics/links/
+# URLs (lang NULL → LANG() = ""). The pattern's hidden __lang column is
+# exercised end-to-end; oracle = the infobox oracle filtered on its lang
+# column.
+# --------------------------------------------------------------------------
+
+def q_bgp_lang(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "infobox_properties")
+    return bgp_query(
+        quads,
+        'SELECT DISTINCT ?s ?v WHERE { ?s ?p ?v . '
+        'FILTER(LANG(?v) = "en") }',
+    )
+
+
+ORACLE_BGP_LANG = f"""
+WITH ib AS ({ORACLE_X_INFOBOX})
+SELECT DISTINCT subj AS s, obj AS v FROM ib WHERE lang = 'en'
+"""
+
+QUERIES.update({"bgp_lang": q_bgp_lang})
+ORACLES.update({"bgp_lang": ORACLE_BGP_LANG})

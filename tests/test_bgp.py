@@ -485,6 +485,50 @@ def test_group_concat_and_sample(spark, quads):
                          f"WHERE {{ ?x <{LABEL}> ?l }} GROUP BY ?x")
 
 
+def test_join_order_heuristic_avoids_cross_join(spark, quads):
+    """Patterns written in a disconnected order still compile to a
+    connected join tree (greedy most-selective-connected-next), so no
+    CartesianProduct/BroadcastNestedLoopJoin appears in the plan."""
+    q = (f'SELECT ?x ?cat WHERE {{ ?mid <{SUBJ}> ?cat . '
+         f'?x <{TYPE}> "City" . ?x <{LINK}> ?mid }}')
+    df = bgp_query(quads, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["x"], r["cat"]) for r in df.collect()}
+    assert got == {("a", "Cat2")}
+
+
+def test_lang_filter(spark, quads):
+    q = (f'SELECT ?x ?l WHERE {{ ?x <{LABEL}> ?l . '
+         f'FILTER(LANG(?l) = "de") }}')
+    got = {(r["x"], r["l"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", "Alpha-de")}
+    # != keeps the other tags but NOT untagged? No: LANG of untagged is ""
+    # which also differs from "de" — both en labels and any untagged match
+    q2 = (f'SELECT ?x ?l WHERE {{ ?x <{LABEL}> ?l . '
+          f'FILTER(LANG(?l) != "de") }}')
+    got = {(r["x"], r["l"]) for r in bgp_query(quads, q2).collect()}
+    assert got == {("a", "Alpha"), ("b", "Beta")}
+    # untagged objects have LANG "" (TYPE objects carry no lang)
+    q3 = (f'SELECT ?x WHERE {{ ?x <{TYPE}> ?t . FILTER(LANG(?t) = "") }}')
+    got = {r["x"] for r in bgp_query(quads, q3).collect()}
+    assert got == {"a", "b", "c"}
+    # the hidden __lang column never leaks into the result schema
+    assert bgp_query(quads, q).columns == ["x", "l"]
+
+
+def test_lang_filter_errors(spark, quads):
+    # LANG of a subject-position-only variable
+    with pytest.raises(ValueError, match="object position"):
+        bgp_query(quads, f'SELECT ?x WHERE {{ ?x <{TYPE}> "City" . '
+                         f'FILTER(LANG(?x) = "en") }}')
+    # ambiguous: ?l bound in object position by two patterns
+    with pytest.raises(ValueError, match="ambiguous"):
+        bgp_query(quads, f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . '
+                         f'?x <{TYPE}> ?l . FILTER(LANG(?l) = "en") }}')
+
+
 def test_offset_pagination(spark, quads):
     base = f"SELECT ?l WHERE {{ ?x <{LABEL}> ?l }} ORDER BY ?l"
     assert [r["l"] for r in bgp_query(quads, base + " LIMIT 2 OFFSET 1").collect()] \
