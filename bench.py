@@ -182,6 +182,11 @@ def main() -> None:
     timed_extra("bgp_agg", lambda: _sink(Q.q_bgp_agg(spark, SF_DIR)))
     timed_extra("construct_types", lambda: _sink(Q.q_construct_types(spark, SF_DIR)))
     timed_extra("nt_roundtrip", lambda: _sink(Q.q_nt_roundtrip(spark, SF_DIR)))
+    timed_extra("bgp_minus", lambda: _sink(Q.q_bgp_minus(spark, SF_DIR)))
+    timed_extra(
+        "bgp_group_concat", lambda: _sink(Q.q_bgp_group_concat(spark, SF_DIR))
+    )
+    timed_extra("bgp_lang", lambda: _sink(Q.q_bgp_lang(spark, SF_DIR)))
     out = {
         "metric": "headline_suite_sec",
         "value": total,
