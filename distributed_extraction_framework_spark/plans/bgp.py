@@ -1130,6 +1130,64 @@ def construct_query(quads: DataFrame, query: str) -> DataFrame:
     return out.distinct()
 
 
+_DESCRIBE_HEAD = re.compile(
+    r"^\s*DESCRIBE\s+(?P<terms>(?:(?:<[^<>\s]+>|\?\w+)\s*)+)"
+    r"(?P<where>WHERE\s*(?=\{))?",
+    re.IGNORECASE,
+)
+
+
+def describe_query(quads: DataFrame, query: str) -> DataFrame:
+    """``DESCRIBE (<uri>|?v)+ [WHERE { … }]`` → the resources' triples.
+
+    DESCRIBE's result form is implementation-defined (SPARQL 1.1 §16.4);
+    this engine returns the subject-oriented description — every quad
+    whose subject is a described resource — the lexical equivalent of a
+    Concise Bounded Description in a store without blank nodes. With a
+    WHERE block, each listed variable's bindings are described; without
+    one, the listed constant IRIs are. Compiles to one semi-style
+    equi-join of the quads against the (deduplicated) resource set —
+    broadcast by Catalyst/AQE when small — never a per-resource loop.
+    """
+    m = _DESCRIBE_HEAD.match(query)
+    if not m:
+        raise ValueError(f"not a DESCRIBE query: {query!r}")
+    toks = m.group("terms").split()
+    uris = [t[1:-1] for t in toks if t.startswith("<")]
+    dvars = [t[1:] for t in toks if t.startswith("?")]
+
+    spark = quads.sparkSession
+    parts: list[DataFrame] = []
+    if uris:
+        parts.append(spark.createDataFrame([(u,) for u in uris], "r string"))
+    if m.group("where"):
+        groups, limit = _parse_where_tail(query, m.end())
+        if limit is not None:
+            raise ValueError("LIMIT is unsupported on DESCRIBE")
+        bindings = _compile_group(quads, groups[0])
+        for g in groups[1:]:
+            bindings = bindings.unionByName(
+                _compile_group(quads, g), allowMissingColumns=True
+            )
+        if not dvars:
+            raise ValueError("DESCRIBE … WHERE needs at least one ?var")
+        for v in dvars:
+            if v not in bindings.columns:
+                raise ValueError(f"DESCRIBE var ?{v} not bound in WHERE")
+            parts.append(
+                bindings.select(F.col(v).alias("r")).filter(F.col("r").isNotNull())
+            )
+    elif dvars:
+        raise ValueError("DESCRIBE ?var requires a WHERE block")
+
+    resources = parts[0]
+    for p in parts[1:]:
+        resources = resources.unionByName(p)
+    return quads.join(
+        resources.distinct(), quads["subj"] == F.col("r"), "left_semi"
+    ).select("subj", "pred", "obj", "lang").distinct()
+
+
 def ask_query(quads: DataFrame, query: str) -> DataFrame:
     """``ASK [WHERE] { … }`` → a 1-row DataFrame with boolean ``ask``.
 

@@ -2728,3 +2728,49 @@ SELECT DISTINCT subj AS s, obj AS v FROM ib WHERE lang = 'en'
 
 QUERIES.update({"bgp_lang": q_bgp_lang})
 ORACLES.update({"bgp_lang": ORACLE_BGP_LANG})
+
+
+# --------------------------------------------------------------------------
+# describe_docs gate: the DESCRIBE query form (subject-oriented
+# description) over two fixed resources — one semi-join of the quads
+# against the resource set; oracle = the labels + article-categories
+# CTEs filtered to the same subjects.
+# --------------------------------------------------------------------------
+
+_DESCRIBE_IDS = (5, 23)
+
+
+def q_describe_docs(spark, sf_dir):
+    from ..operators.extractors import extract
+    from .bgp import describe_query
+
+    quads = extract(_pages(spark, sf_dir),
+                    extractors=["labels", "article_categories"])
+    terms = " ".join(f"<{RES}Doc_{i}>" for i in _DESCRIBE_IDS)
+    return describe_query(quads, f"DESCRIBE {terms}")
+
+
+ORACLE_DESCRIBE_DOCS = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, doc_id,
+         unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS x
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, doc_id, replace(trim(split_part(x, '|', 1)), ' ', '_') AS tgt
+  FROM links
+),
+q AS (
+  SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
+         replace(title, '_', ' ') AS obj, 'en' AS lang, doc_id
+  FROM pages WHERE {_MAIN}
+  UNION
+  SELECT DISTINCT '{RES}' || title, '{S.DCT_SUBJECT}', '{RES}' || tgt,
+         CAST(NULL AS VARCHAR), doc_id
+  FROM t WHERE tgt LIKE 'Category:%'
+)
+SELECT DISTINCT subj, pred, obj, lang FROM q WHERE doc_id IN {_DESCRIBE_IDS}
+"""
+
+QUERIES.update({"describe_docs": q_describe_docs})
+ORACLES.update({"describe_docs": ORACLE_DESCRIBE_DOCS})

@@ -292,6 +292,33 @@ def test_construct_unbound_template_var_raises(spark, quads):
         )
 
 
+def test_describe_query(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import describe_query
+
+    got = {(r["subj"], r["pred"], r["obj"]) for r in describe_query(
+        quads, "DESCRIBE <c>"
+    ).collect()}
+    assert got == {("c", TYPE, "Country")}
+    # variable form: describe every binding from the WHERE block
+    got = {(r["subj"], r["pred"], r["obj"], r["lang"]) for r in describe_query(
+        quads, f'DESCRIBE ?x WHERE {{ ?x <{SUBJ}> "Cat1" }}'
+    ).collect()}
+    assert got == {
+        ("a", TYPE, "City", None), ("a", LINK, "b", None),
+        ("a", SUBJ, "Cat1", None),
+        ("a", LABEL, "Alpha", "en"), ("a", LABEL, "Alpha-de", "de"),
+    }
+    # mixed constants + variables, deduplicated resource set
+    got = {r["subj"] for r in describe_query(
+        quads, f'DESCRIBE <c> ?x WHERE {{ ?x <{SUBJ}> "Cat2" }}'
+    ).collect()}
+    assert got == {"b", "c"}
+    with pytest.raises(ValueError, match="WHERE"):
+        describe_query(quads, "DESCRIBE ?x")
+    with pytest.raises(ValueError, match="not bound"):
+        describe_query(quads, f'DESCRIBE ?zz WHERE {{ ?x <{SUBJ}> "Cat1" }}')
+
+
 def test_ask_query(spark, quads):
     from distributed_extraction_framework_spark.plans.bgp import ask_query
 
