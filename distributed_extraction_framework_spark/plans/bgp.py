@@ -17,7 +17,7 @@ Supported grammar (deliberately the well-defined core):
     AGG   := COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT
     group := ( tp . | flt | OPTIONAL { group } | MINUS { group }
                | FILTER [NOT] EXISTS { group } | BIND ( expr AS ?v )
-               | VALUES ?v { const+ } )+
+               | VALUES ?v { const+ } | { subSELECT } )+
     tp    := term term term
     term  := ?var | <uri> | "literal" | "literal"@lang
              | path                 (predicate position only)
@@ -157,6 +157,7 @@ class Group:
     minus: list = field(default_factory=list)       # list[Group]
     exists: list = field(default_factory=list)      # list[(positive, Group)]
     binds: list = field(default_factory=list)       # list[(var, expr_str)]
+    subselects: list = field(default_factory=list)  # list[ParsedQuery]
 
 
 def _parse_term(tok: str) -> Term:
@@ -228,6 +229,7 @@ _MINUS_OPEN = re.compile(r"\bMINUS\s*(\{)", re.IGNORECASE)
 _EXISTS_OPEN = re.compile(
     r"\bFILTER\s+(?P<neg>NOT\s+)?EXISTS\s*(\{)", re.IGNORECASE
 )
+_SUBSELECT_OPEN = re.compile(r"\{(?=\s*SELECT\b)", re.IGNORECASE)
 _BIND_OPEN = re.compile(r"\bBIND\s*\(", re.IGNORECASE)
 _BIND_AS = re.compile(
     r"^(?P<expr>.*\S)\s+AS\s+\?(?P<var>\w+)\s*$", re.IGNORECASE | re.DOTALL
@@ -283,6 +285,7 @@ def _extract_braced(body: str):
         ("exists", _EXISTS_OPEN),
         ("minus", _MINUS_OPEN),
         ("values", _VALUES_OPEN),
+        ("subselect", _SUBSELECT_OPEN),
     )
     out, blocks, i = [], [], 0
     while True:
@@ -312,6 +315,8 @@ def _parse_group(body: str) -> Group:
             g.exists.append((not m.group("neg"), _parse_group(inner)))
         elif kind == "minus":
             g.minus.append(_parse_group(inner))
+        elif kind == "subselect":
+            g.subselects.append(parse_query(inner))
         else:
             vals.append((m, inner))
     for m, inner in vals:
@@ -326,7 +331,7 @@ def _parse_group(body: str) -> Group:
     for f in g.filters:
         _parse_filter_ast(f)  # raise at parse time on unsupported filters
     g.triples = _parse_triples(body)
-    if not g.triples and not g.values:
+    if not g.triples and not g.values and not g.subselects:
         raise ValueError("empty group pattern")
     return g
 
@@ -334,7 +339,9 @@ def _parse_group(body: str) -> Group:
 def _parse_union(body: str) -> list[Group]:
     """``{ g } UNION { g' } …`` at the top level, else one plain group."""
     stripped = body.strip()
-    if not stripped.startswith("{"):
+    # a body opening with "{ SELECT" is a subquery inside a plain group,
+    # not a UNION branch list
+    if not stripped.startswith("{") or _SUBSELECT_OPEN.match(stripped):
         return [_parse_group(body)]
     groups, i = [], 0
     text = stripped
@@ -433,8 +440,8 @@ def parse_bgp(query: str):
     q = parse_query(query)
     g0 = q.groups[0]
     if (len(q.groups) != 1 or g0.optionals or g0.values or g0.minus
-            or g0.exists or g0.binds or q.group_by or q.order_by
-            or q.offset is not None
+            or g0.exists or g0.binds or g0.subselects
+            or q.group_by or q.order_by or q.offset is not None
             or any(it.agg for it in q.select)):
         raise ValueError("extended query: use parse_query()")
     g = q.groups[0]
@@ -911,7 +918,14 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
             [(t.value,) for t in terms], f"{var} string"
         ).distinct()
         relations.append((3, F.broadcast(inline)))  # inline = maximally selective
-    assert relations  # parse guarantees triples or values
+    for pq in g.subselects:
+        # SPARQL sub-SELECT: evaluated bottom-up, independently of the
+        # enclosing group; only its projected variables are visible.
+        # Joined on shared vars; a 0-shared-var scalar aggregate (the
+        # common "compare against a global MAX/COUNT" idiom) cross-joins
+        # its 1-row result — a broadcast, not a blow-up.
+        relations.append((1, _compile_parsed(quads, pq)))
+    assert relations  # parse guarantees triples, values, or a subselect
 
     order = sorted(range(len(relations)), key=lambda i: -relations[i][0])
     first = order.pop(0)
@@ -1005,7 +1019,11 @@ def bgp_query(quads: DataFrame, query: str) -> DataFrame:
     strategies from runtime sizes. Patterns forming disconnected
     variable components cross-join — legal SPARQL, visible in the plan.
     """
-    q = parse_query(query)
+    return _compile_parsed(quads, parse_query(query))
+
+
+def _compile_parsed(quads: DataFrame, q: ParsedQuery) -> DataFrame:
+    """A ParsedQuery (top-level or sub-SELECT) → its result DataFrame."""
     branches = [_compile_group(quads, g) for g in q.groups]
     result = branches[0]
     for b in branches[1:]:

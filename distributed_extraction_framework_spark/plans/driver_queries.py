@@ -2774,3 +2774,51 @@ SELECT DISTINCT subj, pred, obj, lang FROM q WHERE doc_id IN {_DESCRIBE_IDS}
 
 QUERIES.update({"describe_docs": q_describe_docs})
 ORACLES.update({"describe_docs": ORACLE_DESCRIBE_DOCS})
+
+
+# --------------------------------------------------------------------------
+# bgp_subquery gate: SPARQL 1.1 sub-SELECT — a grouped per-page link
+# count joined with a scalar MAX-of-counts aggregate (a subquery nested
+# inside a subquery, cross-joined as 1 row), compared through BIND
+# arithmetic: pages with at least half the maximum out-degree. Oracle =
+# the same counts in SQL.
+# --------------------------------------------------------------------------
+
+def q_bgp_subquery(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "page_links")
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?n WHERE {{ "
+        f"{{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{S.DBO_WIKI_LINK}> ?o }} "
+        f"GROUP BY ?s }} "
+        f"{{ SELECT (MAX(?m) AS ?mx) WHERE {{ "
+        f"{{ SELECT ?s2 (COUNT(?o2) AS ?m) WHERE {{ ?s2 <{S.DBO_WIKI_LINK}> ?o2 }} "
+        f"GROUP BY ?s2 }} }} }} "
+        f"BIND(?n * 2 AS ?scaled) . FILTER(?scaled >= ?mx) }}",
+    )
+
+
+ORACLE_BGP_SUBQUERY = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS x
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(x, '|', 1)), ' ', '_') AS tgt FROM links
+),
+pl AS (
+  SELECT DISTINCT '{RES}' || title AS s,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS o
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+),
+c AS (SELECT s, count(o) AS n FROM pl GROUP BY s),
+g AS (SELECT max(n) AS mx FROM c)
+SELECT c.s, c.n FROM c, g WHERE c.n * 2 >= g.mx
+"""
+
+QUERIES.update({"bgp_subquery": q_bgp_subquery})
+ORACLES.update({"bgp_subquery": ORACLE_BGP_SUBQUERY})

@@ -526,6 +526,45 @@ def test_join_order_heuristic_avoids_cross_join(spark, quads):
     assert got == {("a", "Cat2")}
 
 
+def test_subselect_grouped_join(spark, quads):
+    """Sub-SELECT with GROUP BY joined to the outer pattern on ?x."""
+    q = (f'SELECT ?x ?n WHERE {{ ?x <{TYPE}> "City" . '
+         f"{{ SELECT ?x (COUNT(?o) AS ?n) WHERE {{ ?x <{LINK}> ?o }} "
+         f"GROUP BY ?x }} }}")
+    got = {(r["x"], r["n"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", 1), ("b", 1)}
+
+
+def test_subselect_scalar_cross_join(spark, quads):
+    """A 0-shared-var scalar-aggregate subquery cross-joins its 1 row."""
+    q = (f"SELECT ?x ?total WHERE {{ ?x <{TYPE}> ?t . "
+         f"{{ SELECT (COUNT(?o) AS ?total) WHERE {{ ?s <{LINK}> ?o }} }} }}")
+    got = {(r["x"], r["total"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_subselect_first_in_body(spark, quads):
+    """A body OPENING with '{ SELECT' is a subquery, not a UNION list."""
+    q = (f"SELECT ?x ?n WHERE {{ "
+         f"{{ SELECT ?x (COUNT(?l) AS ?n) WHERE {{ ?x <{LABEL}> ?l }} "
+         f"GROUP BY ?x }} "
+         f'?x <{TYPE}> "City" }}')
+    got = {(r["x"], r["n"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", 2), ("b", 1)}
+
+
+def test_subselect_with_bind_and_filter(spark, quads):
+    """The scalar-compare idiom: per-key count vs a scaled global count."""
+    q = (f"SELECT ?x ?n WHERE {{ "
+         f"{{ SELECT ?x (COUNT(?l) AS ?n) WHERE {{ ?x <{LABEL}> ?l }} "
+         f"GROUP BY ?x }} "
+         f"{{ SELECT (COUNT(?l2) AS ?tot) WHERE {{ ?y <{LABEL}> ?l2 }} }} "
+         f"BIND(?n * 2 AS ?scaled) . FILTER(?scaled > ?tot) }}")
+    # labels: a has 2, b has 1, total 3 → only a (2*2=4 > 3)
+    got = {(r["x"], r["n"]) for r in bgp_query(quads, q).collect()}
+    assert got == {("a", 2)}
+
+
 def test_lang_filter(spark, quads):
     q = (f'SELECT ?x ?l WHERE {{ ?x <{LABEL}> ?l . '
          f'FILTER(LANG(?l) = "de") }}')
