@@ -1148,6 +1148,28 @@ def construct_query(quads: DataFrame, query: str) -> DataFrame:
     return out.distinct()
 
 
+_FORM = re.compile(r"\s*(?P<form>SELECT|CONSTRUCT|ASK|DESCRIBE)\b",
+                   re.IGNORECASE)
+
+
+def sparql(quads: DataFrame, query: str) -> DataFrame:
+    """Answer any supported SPARQL query form over a quads DataFrame.
+
+    Dispatches on the leading keyword: SELECT → :func:`bgp_query`,
+    CONSTRUCT → :func:`construct_query`, ASK → :func:`ask_query`,
+    DESCRIBE → :func:`describe_query`.
+    """
+    m = _FORM.match(query)
+    if not m:
+        raise ValueError(f"unrecognized SPARQL query form: {query[:40]!r}")
+    return {
+        "select": bgp_query,
+        "construct": construct_query,
+        "ask": ask_query,
+        "describe": describe_query,
+    }[m.group("form").lower()](quads, query)
+
+
 _DESCRIBE_HEAD = re.compile(
     r"^\s*DESCRIBE\s+(?P<terms>(?:(?:<[^<>\s]+>|\?\w+)\s*)+)"
     r"(?P<where>WHERE\s*(?=\{))?",

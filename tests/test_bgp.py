@@ -292,6 +292,22 @@ def test_construct_unbound_template_var_raises(spark, quads):
         )
 
 
+def test_sparql_form_dispatch(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import sparql
+
+    assert {r["x"] for r in sparql(
+        quads, f'SELECT ?x WHERE {{ ?x <{TYPE}> "City" }}'
+    ).collect()} == {"a", "b"}
+    assert sparql(quads, f'ASK {{ ?x <{TYPE}> "City" }}'
+                  ).collect()[0]["ask"] is True
+    assert sparql(quads, "DESCRIBE <c>").count() == 1
+    assert sparql(
+        quads, f"CONSTRUCT {{ ?x <t> ?t }} WHERE {{ ?x <{TYPE}> ?t }}"
+    ).count() == 3
+    with pytest.raises(ValueError, match="query form"):
+        sparql(quads, "INSERT DATA { }")
+
+
 def test_describe_query(spark, quads):
     from distributed_extraction_framework_spark.plans.bgp import describe_query
 

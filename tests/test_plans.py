@@ -187,3 +187,53 @@ def test_instance_types_transitive_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bgp_minus_exists_compile_to_anti_semi_joins(spark):
+    """MINUS and FILTER [NOT] EXISTS must compile to single anti/semi
+    hash-join probes — never a correlated per-row subquery or a
+    nested-loop join."""
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.plans.bgp import bgp_query
+
+    quads = spark.createDataFrame(
+        [("a", S.RDFS_LABEL, "A", None), ("a", S.DCT_SUBJECT, "c", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    minus_plan = _plan(bgp_query(
+        quads,
+        f"SELECT ?s WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
+        f"MINUS {{ ?s <{S.DCT_SUBJECT}> ?c }} }}",
+    ))
+    assert "LeftAnti" in minus_plan
+    assert "CartesianProduct" not in minus_plan
+
+    exists_plan = _plan(bgp_query(
+        quads,
+        f"SELECT ?s WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
+        f"FILTER EXISTS {{ ?s <{S.DCT_SUBJECT}> ?c }} }}",
+    ))
+    assert "LeftSemi" in exists_plan
+    assert "CartesianProduct" not in exists_plan
+
+
+def test_bgp_scalar_subquery_is_one_row_broadcast(spark):
+    """A 0-shared-var scalar-aggregate subquery must appear as a 1-row
+    broadcast nested-loop (the only sound plan for a join without keys),
+    NOT a shuffled product of two corpus-sized sides."""
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.plans.bgp import bgp_query
+
+    quads = spark.createDataFrame(
+        [("a", S.DBO_WIKI_LINK, "b", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    plan = _plan(bgp_query(
+        quads,
+        f"SELECT ?s ?tot WHERE {{ ?s <{S.DBO_WIKI_LINK}> ?o . "
+        f"{{ SELECT (COUNT(?o2) AS ?tot) WHERE {{ ?s2 <{S.DBO_WIKI_LINK}> ?o2 }} }} }}",
+    ))
+    # the 1-row aggregate side is broadcast; a CartesianProduct of two
+    # unaggregated scans would be the scale bug this test guards against
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final global agg
