@@ -12,7 +12,10 @@ delegated to the optimizer.
 Supported grammar (deliberately the well-defined core):
 
     SELECT [DISTINCT] item+ WHERE { group ( UNION { group' } )* }
-        [GROUP BY ?v+] [ORDER BY ord+] [LIMIT n] [OFFSET n]
+        [GROUP BY ?v+] [HAVING ( flt' )] [ORDER BY ord+] [LIMIT n] [OFFSET n]
+    flt'  := flt whose atoms may also be AGG(?v) calls or SELECT aliases
+             (each AGG call becomes an internal column of the SAME
+             groupBy — one aggregation pass, filtered after)
     item  := ?var | ( AGG ( [DISTINCT] ?var | * ) [; SEPARATOR="s"] AS ?alias )
     AGG   := COUNT | SUM | AVG | MIN | MAX | SAMPLE | GROUP_CONCAT
     group := ( tp . | flt | OPTIONAL { group } | MINUS { group }
@@ -398,6 +401,29 @@ class ParsedQuery:
     order_by: tuple        # (var, desc) pairs
     limit: int | None
     offset: int | None = None
+    having: str | None = None
+
+
+_HAVING_OPEN = re.compile(r"\bHAVING\s*\(", re.IGNORECASE)
+_HAGG = re.compile(
+    r"(?P<agg>COUNT|SUM|AVG|MIN|MAX|SAMPLE)\s*\(\s*(?P<dist>DISTINCT\s+)?"
+    r"(?:\?(?P<arg>\w+)|\*)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _extract_having(tail: str) -> tuple[str, str | None]:
+    """Strip one paren-balanced ``HAVING(…)`` clause out of the tail."""
+    m = _HAVING_OPEN.search(tail)
+    if not m:
+        return tail, None
+    depth, j = 1, m.end()
+    while j < len(tail) and depth:
+        depth += {"(": 1, ")": -1}.get(tail[j], 0)
+        j += 1
+    if depth:
+        raise ValueError(f"unbalanced HAVING parens in {tail!r}")
+    return tail[: m.start()] + " " + tail[j:], tail[m.end(): j - 1]
 
 
 def parse_query(query: str) -> ParsedQuery:
@@ -408,6 +434,7 @@ def parse_query(query: str) -> ParsedQuery:
     brace = query.index("{", m.end() - 1)
     end = _balanced(query, brace)
     body, tail = query[brace + 1: end - 1], query[end:]
+    tail, having = _extract_having(tail)
     t = _TAIL.match(tail)
     if not t:
         raise ValueError(f"unparseable query tail: {tail!r}")
@@ -427,6 +454,7 @@ def parse_query(query: str) -> ParsedQuery:
         order_by=order_by,
         limit=int(limit) if limit else None,
         offset=int(offset) if offset else None,
+        having=having,
     )
 
 
@@ -442,6 +470,7 @@ def parse_bgp(query: str):
     if (len(q.groups) != 1 or g0.optionals or g0.values or g0.minus
             or g0.exists or g0.binds or g0.subselects
             or q.group_by or q.order_by or q.offset is not None
+            or q.having is not None
             or any(it.agg for it in q.select)):
         raise ValueError("extended query: use parse_query()")
     g = q.groups[0]
@@ -1039,14 +1068,40 @@ def _compile_parsed(quads: DataFrame, q: ParsedQuery) -> DataFrame:
     if missing:
         raise ValueError(f"SELECT vars not bound by any pattern: {missing}")
 
+    if q.having and not (aggs or q.group_by):
+        raise ValueError("HAVING requires aggregation (GROUP BY or an "
+                         "aggregate in SELECT)")
     if aggs or q.group_by:
         keys = list(q.group_by) or [it.name for it in plain]
         stray = [it.name for it in plain if it.name not in keys]
         if stray:
             raise ValueError(f"non-grouped SELECT vars {stray} need GROUP BY")
         agg_cols = [_agg_col(it) for it in aggs]
+        # HAVING: aggregate calls inside the condition become internal
+        # agg columns (?__hN), computed in the same groupBy — one
+        # aggregation, filtered after (map-side partials included); the
+        # condition may also reference SELECT aliases directly.
+        having_items: list[SelItem] = []
+        having = q.having
+        if having:
+            counter = iter(range(64))
+
+            def _h_sub(m):
+                name = f"__h{next(counter)}"
+                having_items.append(SelItem(
+                    name, agg=m.group("agg").lower(), arg=m.group("arg"),
+                    distinct=bool(m.group("dist")),
+                ))
+                return f"?{name}"
+
+            having = _HAGG.sub(_h_sub, having)
+        agg_cols += [_agg_col(it) for it in having_items]
         result = (result.groupBy(*keys).agg(*agg_cols) if keys
                   else result.agg(*agg_cols))
+        if having:
+            result = result.filter(
+                _filter_condition(having, set(result.columns))
+            )
 
     out = result.select(*[it.name for it in q.select])
     if q.distinct:

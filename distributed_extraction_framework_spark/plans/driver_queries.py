@@ -2822,3 +2822,42 @@ SELECT c.s, c.n FROM c, g WHERE c.n * 2 >= g.mx
 
 QUERIES.update({"bgp_subquery": q_bgp_subquery})
 ORACLES.update({"bgp_subquery": ORACLE_BGP_SUBQUERY})
+
+
+# --------------------------------------------------------------------------
+# bgp_having gate: HAVING over a grouped aggregation — the COUNT call in
+# the condition becomes an internal column of the same groupBy (one
+# aggregation pass, filtered after). Oracle = SQL HAVING.
+# --------------------------------------------------------------------------
+
+def q_bgp_having(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "page_links")
+    return bgp_query(
+        quads,
+        f"SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{S.DBO_WIKI_LINK}> ?o }} "
+        f"GROUP BY ?s HAVING(COUNT(?o) >= 3)",
+    )
+
+
+ORACLE_BGP_HAVING = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS x
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(x, '|', 1)), ' ', '_') AS tgt FROM links
+),
+pl AS (
+  SELECT DISTINCT '{RES}' || title AS s,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS o
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+)
+SELECT s, count(o) AS n FROM pl GROUP BY s HAVING count(o) >= 3
+"""
+
+QUERIES.update({"bgp_having": q_bgp_having})
+ORACLES.update({"bgp_having": ORACLE_BGP_HAVING})

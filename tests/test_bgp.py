@@ -611,6 +611,24 @@ def test_lang_filter_errors(spark, quads):
                          f'?x <{TYPE}> ?l . FILTER(LANG(?l) = "en") }}')
 
 
+def test_having(spark, quads):
+    # direct aggregate form: the COUNT becomes an internal agg column
+    q = (f"SELECT ?x WHERE {{ ?x <{LABEL}> ?l }} "
+         f"GROUP BY ?x HAVING(COUNT(?l) >= 2)")
+    got = {r["x"] for r in bgp_query(quads, q).collect()}
+    assert got == {"a"}
+    # alias form referencing the SELECT aggregate
+    q2 = (f"SELECT ?x (COUNT(?l) AS ?n) WHERE {{ ?x <{LABEL}> ?l }} "
+          f"GROUP BY ?x HAVING(?n < 2) ORDER BY ?x")
+    rows = [(r["x"], r["n"]) for r in bgp_query(quads, q2).collect()]
+    assert rows == [("b", 1)]
+    # internal columns never leak; HAVING without aggregation rejected
+    assert bgp_query(quads, q).columns == ["x"]
+    with pytest.raises(ValueError, match="HAVING requires aggregation"):
+        bgp_query(quads, f'SELECT ?x WHERE {{ ?x <{TYPE}> "City" }} '
+                         f"HAVING(?x = 1)")
+
+
 def test_offset_pagination(spark, quads):
     base = f"SELECT ?l WHERE {{ ?x <{LABEL}> ?l }} ORDER BY ?l"
     assert [r["l"] for r in bgp_query(quads, base + " LIMIT 2 OFFSET 1").collect()] \
