@@ -1175,10 +1175,19 @@ def construct_query(quads: DataFrame, query: str) -> DataFrame:
     if limit is not None:
         bindings = bindings.limit(limit)
 
+    return _instantiate(bindings, template)
+
+
+def _instantiate(bindings: DataFrame, template) -> DataFrame:
+    """Instantiate template triples once per solution → distinct quads.
+
+    Instantiations with an unbound (NULL) variable are skipped per the
+    SPARQL spec. A variable in object position carries no language tag
+    (the binding representation is lexical), so ``lang`` is non-NULL only
+    for constant ``"lit"@lang`` template objects.
+    """
     def term_col(t: Term):
         if t.kind == "var":
-            if t.value not in bindings.columns:
-                raise ValueError(f"template var ?{t.value} not bound in WHERE")
             return F.col(t.value)
         return F.lit(t.value)
 
@@ -1302,3 +1311,160 @@ def ask_query(quads: DataFrame, query: str) -> DataFrame:
             _compile_group(quads, g), allowMissingColumns=True
         )
     return result.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 UPDATE forms — functional: each returns the NEW quads
+# DataFrame (the input is never mutated; persist it with the sinks).
+#
+# INSERT DATA { const-triples }           → anti-join the constants
+#   against the store (set semantics for the inserted rows — re-running
+#   the update is a no-op) then union.
+# DELETE DATA { const-triples }           → null-safe anti-join.
+# DELETE WHERE { pattern }                → the pattern is its own
+#   template (the spec's shorthand).
+# DELETE { tpl } INSERT { tpl } WHERE { g } (either template optional)
+#   → compile the WHERE bindings ONCE; instantiate both templates from
+#   them (the spec's order: both evaluated against the pre-update
+#   store); apply delete as an anti-join, then insert.
+#
+# Deletes compare lang null-safely (constant triples without @lang match
+# only untagged quads, matching the module's lexical representation).
+# Scale shape: every step is an equi-join or union on (subj,pred,obj)
+# — the delta side is usually tiny and broadcast by AQE; no collect.
+# ---------------------------------------------------------------------------
+
+_INSERT_DATA_HEAD = re.compile(r"^\s*INSERT\s+DATA\s*(?=\{)", re.IGNORECASE)
+_DELETE_DATA_HEAD = re.compile(r"^\s*DELETE\s+DATA\s*(?=\{)", re.IGNORECASE)
+_DELETE_WHERE_HEAD = re.compile(r"^\s*DELETE\s+WHERE\s*(?=\{)", re.IGNORECASE)
+_DELETE_HEAD = re.compile(r"^\s*DELETE\s*(?=\{)", re.IGNORECASE)
+_INSERT_KW = re.compile(r"\s*INSERT\s*(?=\{)", re.IGNORECASE)
+
+
+def _const_quads(spark, triples) -> DataFrame:
+    rows = []
+    for s, p, o in triples:
+        if any(t.kind == "var" for t in (s, p, o)):
+            raise ValueError("INSERT/DELETE DATA allows no variables")
+        rows.append((s.value, p.value, o.value,
+                     o.lang if o.kind == "lit" else None))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, lang string"
+    ).distinct()
+
+
+def _remove(quads: DataFrame, gone: DataFrame) -> DataFrame:
+    g = gone.select(
+        F.col("subj").alias("_ds"), F.col("pred").alias("_dp"),
+        F.col("obj").alias("_do"), F.col("lang").alias("_dl"),
+    )
+    return quads.join(
+        g,
+        (quads["subj"] == g["_ds"]) & (quads["pred"] == g["_dp"])
+        & (quads["obj"] == g["_do"]) & quads["lang"].eqNullSafe(g["_dl"]),
+        "left_anti",
+    )
+
+
+def _remove_template(quads: DataFrame, bindings: DataFrame,
+                     template) -> DataFrame:
+    """Delete the quads a DELETE template matches, one anti-join per
+    template triple.
+
+    The binding representation is lexical, so a VARIABLE in object
+    position deletes every language variant of the bound lexical form
+    (it is the form the WHERE pattern matched); a constant literal
+    respects its explicit @lang null-safely (no @lang → untagged only).
+    """
+    out = quads
+    for s, p, o in template:
+        inst = _instantiate(bindings, [(s, p, o)]).select(
+            F.col("subj").alias("_ds"), F.col("pred").alias("_dp"),
+            F.col("obj").alias("_do"),
+        )
+        cond = ((out["subj"] == inst["_ds"]) & (out["pred"] == inst["_dp"])
+                & (out["obj"] == inst["_do"]))
+        if o.kind == "lit":
+            cond = cond & out["lang"].eqNullSafe(F.lit(o.lang))
+        out = out.join(inst, cond, "left_anti")
+    return out
+
+
+def _add(quads: DataFrame, new: DataFrame) -> DataFrame:
+    new = new.select("subj", "pred", "obj", "lang")
+    g = quads.select(
+        F.col("subj").alias("_ds"), F.col("pred").alias("_dp"),
+        F.col("obj").alias("_do"), F.col("lang").alias("_dl"),
+    )
+    fresh = new.join(
+        g,
+        (new["subj"] == g["_ds"]) & (new["pred"] == g["_dp"])
+        & (new["obj"] == g["_do"]) & new["lang"].eqNullSafe(g["_dl"]),
+        "left_anti",
+    )
+    return quads.select("subj", "pred", "obj", "lang").unionByName(fresh)
+
+
+def _template_block(query: str, pos: int):
+    start = query.index("{", pos)
+    end = _balanced(query, start)
+    return _parse_triples(query[start + 1: end - 1]), end
+
+
+def sparql_update(quads: DataFrame, update: str) -> DataFrame:
+    """Apply one SPARQL UPDATE operation; return the updated quads."""
+    m = _INSERT_DATA_HEAD.match(update) or _DELETE_DATA_HEAD.match(update)
+    if m:
+        triples, end = _template_block(update, m.end())
+        if update[end:].strip():
+            raise ValueError(f"trailing content after DATA block: "
+                             f"{update[end:].strip()[:30]!r}")
+        delta = _const_quads(quads.sparkSession, triples)
+        if _INSERT_DATA_HEAD.match(update):
+            return _add(quads, delta)
+        return _remove(quads, delta)
+
+    m = _DELETE_WHERE_HEAD.match(update)
+    if m:
+        groups, limit = _parse_where_tail(update, m.end())
+        if limit is not None:
+            raise ValueError("LIMIT is unsupported on DELETE WHERE")
+        out = quads
+        for g in groups:
+            out = _remove_template(out, _compile_group(quads, g), g.triples)
+        return out
+
+    m = _DELETE_HEAD.match(update)
+    ins_tpl = None
+    if m:
+        del_tpl, pos = _template_block(update, m.end())
+        im = _INSERT_KW.match(update, pos)
+        if im:
+            ins_tpl, pos = _template_block(update, im.end())
+    else:
+        im = _INSERT_KW.match(update)
+        if not im:
+            raise ValueError(f"unrecognized SPARQL update form: "
+                             f"{update[:40]!r}")
+        del_tpl = None
+        ins_tpl, pos = _template_block(update, im.end())
+    w = _WHERE_KW.match(update, pos)
+    if not w:
+        raise ValueError("DELETE/INSERT needs a WHERE block")
+    groups, limit = _parse_where_tail(update, w.end())
+    if limit is not None:
+        raise ValueError("LIMIT is unsupported on DELETE/INSERT")
+    bindings = _compile_group(quads, groups[0])
+    for g in groups[1:]:
+        bindings = bindings.unionByName(
+            _compile_group(quads, g), allowMissingColumns=True
+        )
+    # both templates instantiate against the PRE-update bindings (spec
+    # evaluation order), then delete applies before insert
+    new = _instantiate(bindings, ins_tpl) if ins_tpl else None
+    out = quads
+    if del_tpl:
+        out = _remove_template(out, bindings, del_tpl)
+    if new is not None:
+        out = _add(out, new)
+    return out

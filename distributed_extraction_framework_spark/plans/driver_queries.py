@@ -2861,3 +2861,48 @@ SELECT s, count(o) AS n FROM pl GROUP BY s HAVING count(o) >= 3
 
 QUERIES.update({"bgp_having": q_bgp_having})
 ORACLES.update({"bgp_having": ORACLE_BGP_HAVING})
+
+
+# --------------------------------------------------------------------------
+# update_rewrite gate: SPARQL 1.1 UPDATE (DELETE {} INSERT {} WHERE {})
+# applied functionally to the labels quads — rows matching the filter get
+# their predicate rewritten to a deprecation property (and, per the
+# module's lexical binding representation, a NULL lang); everything else
+# is untouched. Both templates instantiate against the pre-update store.
+# Oracle = a CASE projection over the labels CTE.
+# --------------------------------------------------------------------------
+
+_DEPRECATED_LABEL = "http://kg.example.org/ontology/deprecatedLabel"
+
+
+def q_update_rewrite(spark, sf_dir):
+    from .bgp import sparql_update
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels").select(
+        "subj", "pred", "obj", "lang"
+    )
+    return sparql_update(
+        quads,
+        f"DELETE {{ ?s <{S.RDFS_LABEL}> ?l }} "
+        f"INSERT {{ ?s <{_DEPRECATED_LABEL}> ?l }} "
+        f'WHERE {{ ?s <{S.RDFS_LABEL}> ?l . FILTER(regex(?l, "^Doc 1")) }}',
+    )
+
+
+ORACLE_UPDATE_REWRITE = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+)
+SELECT s AS subj,
+       CASE WHEN regexp_matches(l, '^Doc 1') THEN '{_DEPRECATED_LABEL}'
+            ELSE '{S.RDFS_LABEL}' END AS pred,
+       l AS obj,
+       CASE WHEN regexp_matches(l, '^Doc 1') THEN CAST(NULL AS VARCHAR)
+            ELSE 'en' END AS lang
+FROM lbl
+"""
+
+QUERIES.update({"update_rewrite": q_update_rewrite})
+ORACLES.update({"update_rewrite": ORACLE_UPDATE_REWRITE})

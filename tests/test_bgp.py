@@ -581,6 +581,72 @@ def test_subselect_with_bind_and_filter(spark, quads):
     assert got == {("a", 2)}
 
 
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 UPDATE forms
+# ---------------------------------------------------------------------------
+
+
+def _rows(df):
+    return {(r["subj"], r["pred"], r["obj"], r["lang"]) for r in df.collect()}
+
+
+def test_insert_data_is_idempotent(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import sparql_update
+
+    up = (f'INSERT DATA {{ <d> <{TYPE}> "City" . <d> <{LABEL}> "Delta"@en . '
+          f'<a> <{TYPE}> "City" }}')  # a/City already present → no dup
+    out = sparql_update(quads, up)
+    assert out.count() == quads.count() + 2
+    assert ("d", TYPE, "City", None) in _rows(out)
+    assert ("d", LABEL, "Delta", "en") in _rows(out)
+    # reapplying changes nothing (set semantics for inserted rows)
+    assert sparql_update(out, up).count() == out.count()
+    with pytest.raises(ValueError, match="no variables"):
+        sparql_update(quads, "INSERT DATA { ?x <p> \"v\" }")
+
+
+def test_delete_data_nullsafe_lang(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import sparql_update
+
+    # no @lang → matches only the untagged quad, not "Alpha"@en
+    out = sparql_update(quads, f'DELETE DATA {{ <a> <{TYPE}> "City" }}')
+    assert ("a", TYPE, "City", None) not in _rows(out)
+    assert ("a", LABEL, "Alpha", "en") in _rows(out)
+    # @lang-tagged delete removes exactly the tagged row
+    out2 = sparql_update(quads, f'DELETE DATA {{ <a> <{LABEL}> "Alpha"@en }}')
+    rows = _rows(out2)
+    assert ("a", LABEL, "Alpha", "en") not in rows
+    assert ("a", LABEL, "Alpha-de", "de") in rows
+
+
+def test_delete_where_shorthand(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import sparql_update
+
+    out = sparql_update(quads, f"DELETE WHERE {{ ?s <{LINK}> ?o }}")
+    rows = _rows(out)
+    assert not any(p == LINK for _, p, _, _ in rows)
+    assert out.count() == quads.count() - 2
+
+
+def test_delete_insert_where(spark, quads):
+    from distributed_extraction_framework_spark.plans.bgp import sparql_update
+
+    up = (f"DELETE {{ ?s <{TYPE}> ?t }} INSERT {{ ?s <kind> ?t }} "
+          f'WHERE {{ ?s <{TYPE}> ?t . FILTER(?t = "City") }}')
+    rows = _rows(sparql_update(quads, up))
+    assert ("a", "kind", "City", None) in rows
+    assert ("b", "kind", "City", None) in rows
+    assert ("a", TYPE, "City", None) not in rows
+    assert ("c", TYPE, "Country", None) in rows  # untouched
+    # INSERT-only form
+    rows = _rows(sparql_update(
+        quads, f"INSERT {{ ?s <t2> ?t }} WHERE {{ ?s <{TYPE}> ?t }}"
+    ))
+    assert ("c", "t2", "Country", None) in rows and ("c", TYPE, "Country", None) in rows
+    with pytest.raises(ValueError, match="WHERE"):
+        sparql_update(quads, "DELETE { ?s <p> ?o }")
+
+
 def test_lang_filter(spark, quads):
     q = (f'SELECT ?x ?l WHERE {{ ?x <{LABEL}> ?l . '
          f'FILTER(LANG(?l) = "de") }}')
