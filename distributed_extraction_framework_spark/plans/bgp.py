@@ -30,9 +30,14 @@ Supported grammar (deliberately the well-defined core):
     flt   := bool over: catom cmp catom | regex(?v, "pat" [, "i"])
              | ?v [NOT] IN ( const+ ) | BOUND(?v)
              | STRSTARTS/STRENDS/CONTAINS(?v, "s") ; bool := && | "||" | !
-    catom := atom | LANG(?v)   (lang tag of ?v's binding, "" if untagged;
-             ?v must be bound in object position in the same group)
-    expr  := CONCAT(expr+) | STR/UCASE/LCASE/STRLEN(expr)
+    catom := atom | LANG(?v) | fncall   (fncall = any expr function with
+             atom args, e.g. STRLEN(?v) > 4; LANG(?v) = lang tag of ?v's
+             binding, "" if untagged; ?v must be bound in object
+             position in the same group)
+    expr  := CONCAT/COALESCE(expr+) | STR/UCASE/LCASE/STRLEN(expr)
+             | ABS/ROUND/CEIL/FLOOR(expr) | SUBSTR(expr, expr [, expr])
+             | REPLACE(expr, expr, expr) | STRBEFORE/STRAFTER(expr, "s")
+             | IF(flt, expr, expr)
              | atom (+|-|*|/) atom | atom
     atom  := ?var | number | "string" | <uri> ; cmp := = | != | < | <= | > | >=
     ord   := ?var | ASC(?var) | DESC(?var)
@@ -64,8 +69,13 @@ How each construct maps to the DataFrame algebra:
   LEFT ANTI join on the shared variables. Both compile to one
   hash-join probe, never a correlated subquery per row.
 * ``BIND(expr AS ?v)`` — ``withColumn`` with a Catalyst expression
-  (CONCAT/STR/UCASE/LCASE/STRLEN, binary arithmetic with SPARQL numeric
-  coercion); applied after the group's patterns, before its FILTERs.
+  (string/numeric function library + binary arithmetic with SPARQL
+  numeric coercion, IF/COALESCE conditionals); applied after the
+  group's patterns, before its FILTERs. The same function library is
+  usable inside FILTER comparisons (``FILTER(STRLEN(?l) > 4)``).
+  SPARQL-spec deviations, both shared with the DuckDB oracle: ROUND
+  ties go away-from-zero (HALF_UP) rather than toward +inf, and
+  STRBEFORE/STRAFTER require a literal separator.
 * negated property sets ``!<p>`` / ``!(<a>|<b>)`` — a NOT-IN predicate
   on the pred column, same single scan as a forward step.
 * aggregates + ``GROUP BY`` — ``df.groupBy(keys).agg(…)``; map-side
@@ -485,9 +495,13 @@ def parse_bgp(query: str):
 
 _ATOM_SRC = r'(?:\?\w+|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"|<[^<>\s]+>)'
 # comparisons additionally accept LANG(?v) atoms (the language tag of the
-# binding, "" for plain literals per SPARQL)
+# binding, "" for plain literals per SPARQL) and single-level function
+# calls from the BIND expression library (STRLEN(?v), UCASE(?l), …) —
+# single-level because a regex can't balance nested parens; nested calls
+# belong in a BIND
 _LANG_SRC = r"LANG\s*\(\s*\?\w+\s*\)"
-_CATOM_SRC = rf"(?:{_LANG_SRC}|{_ATOM_SRC})"
+_CALL_SRC = r'[A-Za-z]+\s*\((?:[^()"]|"(?:[^"\\]|\\.)*")*\)'
+_CATOM_SRC = rf"(?:{_LANG_SRC}|{_CALL_SRC}|{_ATOM_SRC})"
 _LANG_AT = re.compile(rf"^LANG\s*\(\s*\?(?P<v>\w+)\s*\)$", re.IGNORECASE)
 _CMP_AT = re.compile(
     rf"(?P<l>{_CATOM_SRC})\s*(?P<op>=|!=|<=|>=|<|>)\s*(?P<r>{_CATOM_SRC})",
@@ -608,6 +622,12 @@ def _collect_lang_vars(ast, out: set[str]) -> None:
                 out.add(m.group("v"))
 
 
+_CALL_AT = re.compile(rf"{_CALL_SRC}$")
+# expr functions whose result is numeric (so comparisons against them
+# coerce the other side per SPARQL numeric order)
+_NUMERIC_FNS = {"STRLEN", "ABS", "ROUND", "CEIL", "FLOOR"}
+
+
 def _atom_col(tok: str, bound: set[str]):
     """Atom token → (kind, Column); kind ∈ var | num | str."""
     lm = _LANG_AT.match(tok)
@@ -619,6 +639,11 @@ def _atom_col(tok: str, bound: set[str]):
                 f"triple pattern in the same group"
             )
         return ("str", F.coalesce(F.col(f"{v}__lang"), F.lit("")))
+    if _CALL_AT.fullmatch(tok):
+        ast = _parse_expr(tok)
+        fn = ast[1] if ast[0] == "fn" else None
+        kind = "num" if fn in _NUMERIC_FNS else "str"
+        return (kind, _expr_col(ast, bound))
     if tok.startswith("?"):
         if tok[1:] not in bound:
             raise ValueError(f"FILTER var {tok} not bound")
@@ -686,8 +711,21 @@ def _filter_condition(expr: str, bound: set[str]):
 
 # --- BIND expressions ------------------------------------------------------
 
-_FUNC_AT = re.compile(r"(?P<fn>CONCAT|STR|UCASE|LCASE|STRLEN)\s*\(",
-                      re.IGNORECASE)
+# (min_args, max_args); None = unbounded. Longest names first so the
+# alternation can't stop at a prefix (STRBEFORE vs STR).
+_EXPR_FNS = {
+    "CONCAT": (1, None), "COALESCE": (1, None),
+    "SUBSTR": (2, 3), "REPLACE": (3, 3),
+    "STRBEFORE": (2, 2), "STRAFTER": (2, 2),
+    "STRLEN": (1, 1), "STR": (1, 1), "UCASE": (1, 1), "LCASE": (1, 1),
+    "ABS": (1, 1), "ROUND": (1, 1), "CEIL": (1, 1), "FLOOR": (1, 1),
+    "IF": (3, 3),
+}
+_FUNC_AT = re.compile(
+    r"(?P<fn>CONCAT|COALESCE|SUBSTR|REPLACE|STRBEFORE|STRAFTER|STRLEN"
+    r"|STR|UCASE|LCASE|ABS|ROUND|CEIL|FLOOR|IF)\s*\(",
+    re.IGNORECASE,
+)
 _ARITH_AT = re.compile(
     rf"(?P<l>{_ATOM_SRC})\s*(?P<op>[+\-*/])\s*(?P<r>{_ATOM_SRC})$"
 )
@@ -740,12 +778,23 @@ def _parse_expr(expr: str):
             raise ValueError(f"unsupported BIND expression: {expr!r}")
         fn = m.group("fn").upper()
         args = _split_args(expr[m.end(): j - 1])
-        if fn == "CONCAT":
-            if not args:
-                raise ValueError("CONCAT needs at least one argument")
-        elif len(args) != 1:
-            raise ValueError(f"{fn} takes exactly one argument: {expr!r}")
-        return ("fn", fn, [_parse_expr(a) for a in args])
+        lo, hi = _EXPR_FNS[fn]
+        if len(args) < lo or (hi is not None and len(args) > hi):
+            arity = str(lo) if hi == lo else f"{lo}..{hi or 'n'}"
+            raise ValueError(
+                f"{fn} takes {arity} argument(s), got {len(args)}: {expr!r}"
+            )
+        if fn == "IF":
+            # the condition reuses the FILTER boolean grammar
+            return ("if", _parse_filter_ast(args[0]),
+                    _parse_expr(args[1]), _parse_expr(args[2]))
+        parsed = [_parse_expr(a) for a in args]
+        if fn in ("STRBEFORE", "STRAFTER"):
+            sep = parsed[1]
+            if sep[0] != "atom" or not sep[1].startswith('"'):
+                raise ValueError(
+                    f"{fn} separator must be a string literal: {expr!r}")
+        return ("fn", fn, parsed)
     am = _ARITH_AT.fullmatch(expr)
     if am:
         return ("arith", am.group("op"), am.group("l"), am.group("r"))
@@ -765,13 +814,44 @@ def _expr_col(ast, bound: set[str]):
         rc = rc.cast("double") if rk == "var" else rc
         return {"+": lc + rc, "-": lc - rc,
                 "*": lc * rc, "/": lc / rc}[op]
+    if kind == "if":
+        _, cond, then_a, else_a = ast
+        return F.when(_ast_condition(cond, bound),
+                      _expr_col(then_a, bound)) \
+                .otherwise(_expr_col(else_a, bound))
     assert kind == "fn", ast
     _, fn, args = ast
     cols = [_expr_col(a, bound) for a in args]
     if fn == "CONCAT":
         return F.concat(*[c.cast("string") for c in cols])
+    if fn == "COALESCE":
+        return F.coalesce(*cols)
+    if fn == "SUBSTR":  # SPARQL/SQL 1-based positions
+        c = cols[0].cast("string")
+        length = cols[2].cast("int") if len(cols) == 3 else F.length(c)
+        return c.substr(cols[1].cast("int"), length)
+    if fn == "REPLACE":  # regex replace, per the SPARQL fn:replace base
+        return F.regexp_replace(cols[0].cast("string"), cols[1], cols[2])
+    if fn in ("STRBEFORE", "STRAFTER"):
+        sep = _unquote(args[1][1])  # literal, enforced at parse time
+        c = cols[0].cast("string")
+        pos = F.instr(c, sep)
+        hit = (F.substring_index(c, sep, 1) if fn == "STRBEFORE"
+               else c.substr(pos + len(sep), F.length(c)))
+        return F.when(pos > 0, hit).otherwise(F.lit(""))  # "" on no match
+    if fn in ("ABS", "ROUND", "CEIL", "FLOOR"):
+        num = cols[0].cast("double")
+        # ceil/floor back to double: the binding representation is
+        # lexical, xsd:double in → double out (and the DuckDB oracle's
+        # ceil/floor return DOUBLE)
+        return {"ABS": lambda: F.abs(num),
+                "ROUND": lambda: F.round(num, 0),
+                "CEIL": lambda: F.ceil(num).cast("double"),
+                "FLOOR": lambda: F.floor(num).cast("double")}[fn]()
+    # STRLEN as long: xsd:integer, and the oracle's length() is BIGINT
     return {"STR": lambda c: c.cast("string"), "UCASE": F.upper,
-            "LCASE": F.lower, "STRLEN": F.length}[fn](cols[0])
+            "LCASE": F.lower,
+            "STRLEN": lambda c: F.length(c).cast("long")}[fn](cols[0])
 
 
 def _bind_expr(expr: str, bound: set[str]):
@@ -975,10 +1055,19 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
                 f"than one pattern is ambiguous: {dup_lang}"
             )
         result = result.join(df, shared) if shared else result.crossJoin(df)
+    # BINDs whose variables are all bound by the required patterns apply
+    # now (so the group's FILTERs and joins can use them); a BIND
+    # referencing a variable only an OPTIONAL provides (the COALESCE-over-
+    # left-join idiom) is deferred until after the OPTIONAL joins.
+    deferred_binds: list[tuple[str, str]] = []
     for var, expr in g.binds:
         if var in result.columns:
             raise ValueError(f"BIND would rebind ?{var}")
-        result = result.withColumn(var, _bind_expr(expr, set(result.columns)))
+        try:
+            result = result.withColumn(
+                var, _bind_expr(expr, set(result.columns)))
+        except ValueError:
+            deferred_binds.append((var, expr))
     for opt in g.optionals:
         odf = _compile_group(quads, opt)
         shared = [c for c in odf.columns if c in result.columns]
@@ -987,6 +1076,10 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
                 "OPTIONAL group shares no variable with the required pattern"
             )
         result = result.join(odf, shared, "left")
+    for var, expr in deferred_binds:
+        if var in result.columns:
+            raise ValueError(f"BIND would rebind ?{var}")
+        result = result.withColumn(var, _bind_expr(expr, set(result.columns)))
     # FILTER applies to the whole group result (after OPTIONAL joins), so
     # BOUND/!BOUND can test optionally-bound variables; Catalyst still
     # pushes null-safe predicates below the joins where legal.

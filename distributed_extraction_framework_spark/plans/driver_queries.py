@@ -2906,3 +2906,45 @@ FROM lbl
 
 QUERIES.update({"update_rewrite": q_update_rewrite})
 ORACLES.update({"update_rewrite": ORACLE_UPDATE_REWRITE})
+
+
+# --------------------------------------------------------------------------
+# bgp_functions gate: the SPARQL expression-function library (UCASE,
+# STRLEN, STRAFTER, SUBSTR-in-FILTER, IF) end-to-end over the labels
+# quads. Everything compiles to Catalyst string expressions — one scan,
+# zero shuffles. Oracle mirrors each function in DuckDB SQL.
+# --------------------------------------------------------------------------
+
+
+def q_bgp_functions(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    return bgp_query(
+        quads,
+        f"SELECT ?s ?u ?n ?tail ?kind WHERE {{ "
+        f"?s <{S.RDFS_LABEL}> ?l . "
+        f"BIND(UCASE(?l) AS ?u) "
+        f"BIND(STRLEN(?l) AS ?n) "
+        f'BIND(STRAFTER(?l, " ") AS ?tail) '
+        f'BIND(IF(STRLEN(?l) >= 6, "long", "short") AS ?kind) '
+        f'FILTER(SUBSTR(?l, 1, 3) = "Doc") }}',
+    )
+
+
+ORACLE_BGP_FUNCTIONS = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+)
+SELECT s, upper(l) AS u, length(l) AS n,
+       CASE WHEN position(' ' IN l) > 0
+            THEN substr(l, position(' ' IN l) + 1) ELSE '' END AS tail,
+       CASE WHEN length(l) >= 6 THEN 'long' ELSE 'short' END AS kind
+FROM lbl
+WHERE substr(l, 1, 3) = 'Doc'
+"""
+
+QUERIES.update({"bgp_functions": q_bgp_functions})
+ORACLES.update({"bgp_functions": ORACLE_BGP_FUNCTIONS})

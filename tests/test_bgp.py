@@ -704,3 +704,67 @@ def test_offset_pagination(spark, quads):
         == ["Beta"]
     assert [r["l"] for r in bgp_query(quads, base + " OFFSET 1").collect()] \
         == ["Alpha-de", "Beta"]
+
+
+# ---------------------------------------------------------------------------
+# Expression function library (SUBSTR/REPLACE/COALESCE/IF/…)
+# ---------------------------------------------------------------------------
+
+
+def test_string_function_binds(spark, quads):
+    q = (f"SELECT ?x ?sub ?rep ?pre ?post WHERE {{ ?x <{LABEL}> ?l . "
+         f'FILTER(LANG(?l) = "en") '
+         f"BIND(SUBSTR(?l, 2, 3) AS ?sub) "
+         f'BIND(REPLACE(?l, "[aeiou]", "_") AS ?rep) '
+         f'BIND(STRBEFORE(?l, "lph") AS ?pre) '
+         f'BIND(STRAFTER(?l, "lph") AS ?post) }}')
+    got = {tuple(r) for r in bgp_query(quads, q).collect()}
+    assert got == {
+        # [aeiou] is lowercase-only, so the leading "A" survives
+        ("a", "lph", "Alph_", "A", "a"),
+        # "Beta" has no "lph" → STRBEFORE/STRAFTER return "" per spec
+        ("b", "eta", "B_t_", "", ""),
+    }
+    # SUBSTR without length runs to end of string
+    q2 = (f"SELECT ?s2 WHERE {{ ?x <{LABEL}> ?l . "
+          f'FILTER(?l = "Beta") BIND(SUBSTR(?l, 3) AS ?s2) }}')
+    assert [r["s2"] for r in bgp_query(quads, q2).collect()] == ["ta"]
+    with pytest.raises(ValueError, match="separator must be a string"):
+        bgp_query(quads, f"SELECT ?p WHERE {{ ?x <{LABEL}> ?l . "
+                         f"BIND(STRBEFORE(?l, ?l) AS ?p) }}")
+    with pytest.raises(ValueError, match="argument"):
+        bgp_query(quads, f"SELECT ?p WHERE {{ ?x <{LABEL}> ?l . "
+                         f"BIND(SUBSTR(?l) AS ?p) }}")
+
+
+def test_numeric_functions_and_coalesce_if(spark, quads):
+    rows = spark.createDataFrame(
+        [("a", "v", "-2.5", None), ("b", "v", "1.2", None)],
+        "subj string, pred string, obj string, lang string",
+    )
+    q = ("SELECT ?x ?a ?r ?c ?f WHERE { ?x <v> ?n . "
+         "BIND(ABS(?n) AS ?a) BIND(ROUND(?n) AS ?r) "
+         "BIND(CEIL(?n) AS ?c) BIND(FLOOR(?n) AS ?f) }")
+    got = {tuple(r) for r in bgp_query(rows, q).collect()}
+    assert got == {("a", 2.5, -3.0, -2.0, -3.0),  # HALF_UP ties
+                   ("b", 1.2, 1.0, 2.0, 1.0)}
+    # IF over the filter grammar + COALESCE over an OPTIONAL null
+    q2 = (f'SELECT ?x ?kind ?lbl WHERE {{ ?x <{TYPE}> ?t . '
+          f'BIND(IF(?t = "City" && BOUND(?t), "c", "other") AS ?kind) '
+          f'OPTIONAL {{ ?x <{SUBJ}> ?cat }} '
+          f'BIND(COALESCE(?cat, "none") AS ?lbl) }}')
+    got2 = {tuple(r) for r in bgp_query(quads, q2).collect()}
+    assert got2 == {("a", "c", "Cat1"), ("b", "c", "Cat2"),
+                    ("c", "other", "none")}
+
+
+def test_function_calls_in_filter_comparisons(spark, quads):
+    q = (f"SELECT ?x WHERE {{ ?x <{LABEL}> ?l . "
+         f"FILTER(STRLEN(?l) > 4 && LANG(?l) = \"en\") }}")
+    assert {r["x"] for r in bgp_query(quads, q).collect()} == {"a"}
+    q2 = (f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . '
+          f'FILTER(UCASE(?l) = "BETA") }}')
+    assert {r["x"] for r in bgp_query(quads, q2).collect()} == {"b"}
+    q3 = (f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . '
+          f'FILTER(STRBEFORE(?l, "-") = "Alpha") }}')
+    assert {r["x"] for r in bgp_query(quads, q3).collect()} == {"a"}
