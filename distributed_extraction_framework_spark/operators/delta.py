@@ -1,0 +1,127 @@
+"""Snapshot diff + incremental (delta) extraction.
+
+The reference regenerates every dataset from a full dump each release and
+the DBpedia ecosystem publishes release-to-release diffs; at Common-Crawl
+scale a monthly crawl touches a few percent of pages, so recomputing
+100 TB to learn a 2 TB delta is the wrong plan. Two operators:
+
+* :func:`quad_diff` — set-reconciles two quad snapshots in ONE shuffle
+  (union with a side tag → groupBy the quad key → keep one-sided rows),
+  instead of the naive pair of anti-joins (which shuffles each input
+  twice). NULL ``lang`` groups as a value (Spark groupBy NULL semantics),
+  so untagged literals diff correctly.
+* :func:`delta_extract` — given an old and a new pages snapshot, finds
+  the touched page set (added / removed / revision-changed) with one
+  full-outer join on the page key, runs the extractor suite ONLY over
+  touched pages on each side, and quad-diffs the two small results.
+  Extraction cost scales with the delta, not the corpus; per-page
+  extraction is deterministic, so untouched pages can't contribute
+  diff rows (asserted by tests/test_delta.py against a full recompute).
+
+Scale shape: the full-outer change-detection join and the diff groupBy
+are the only shuffles, both on high-cardinality keys (url / quad tuple)
+with no skew; AQE coalesces the post-delta partitions since the touched
+set is usually tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUAD_KEY = ("subj", "pred", "obj", "lang")
+# full identity of an extracted quad (QUAD_COLS minus context, which
+# carries per-run provenance fragments)
+EXTRACT_KEY = ("dataset", "subj", "pred", "obj", "lang", "datatype")
+
+
+def quad_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str] = QUAD_KEY,
+) -> DataFrame:
+    """Set difference of two snapshots → ``(change, *key)`` rows.
+
+    ``change`` is ``'added'`` (in new only) or ``'removed'`` (in old
+    only); rows present in both snapshots are absent from the result. A
+    modified quad appears as one removed + one added row, matching the
+    DBpedia release-diff convention. Duplicates within a snapshot are
+    collapsed (set semantics).
+    """
+    cols = list(key)
+    tagged = (
+        old.select(*cols).withColumn("_side", F.lit(1))
+        .unionByName(new.select(*cols).withColumn("_side", F.lit(2)))
+    )
+    presence = tagged.groupBy(*cols).agg(
+        F.max(F.col("_side") == 1).alias("_in_old"),
+        F.max(F.col("_side") == 2).alias("_in_new"),
+    )
+    return presence.filter(F.col("_in_old") != F.col("_in_new")).select(
+        F.when(F.col("_in_new"), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+        *cols,
+    )
+
+
+def touched_pages(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    page_key: str = "url",
+    change_col: str = "text",
+) -> DataFrame:
+    """Page keys whose content differs between snapshots.
+
+    One full-outer join on ``page_key`` comparing ``change_col``
+    null-safely → ``(page_key, status)`` with status ∈ added | removed |
+    changed. With a revision column available, pass ``change_col=
+    "rev_id"`` to avoid comparing page bodies (the reference's dumps
+    carry revision ids for exactly this purpose; SURVEY.md §2.1 R2).
+    """
+    o = old_pages.select(
+        F.col(page_key).alias("_k"), F.col(change_col).alias("_old_v")
+    ).withColumn("_has_old", F.lit(True))
+    n = new_pages.select(
+        F.col(page_key).alias("_k"), F.col(change_col).alias("_new_v")
+    ).withColumn("_has_new", F.lit(True))
+    j = o.join(n, "_k", "full_outer")
+    status = (
+        F.when(F.col("_has_old").isNull(), F.lit("added"))
+        .when(F.col("_has_new").isNull(), F.lit("removed"))
+        .when(~F.col("_old_v").eqNullSafe(F.col("_new_v")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("_k").alias(page_key), "status")
+    )
+
+
+def delta_extract(
+    old_pages: DataFrame,
+    new_pages: DataFrame,
+    extractors: Sequence[str] | None = None,
+    page_key: str = "url",
+    change_col: str = "text",
+    key: Sequence[str] = EXTRACT_KEY,
+) -> DataFrame:
+    """Incremental extraction: quad-level diff at delta cost.
+
+    Equivalent by construction to
+    ``quad_diff(extract(old_pages), extract(new_pages))`` — per-page
+    extraction is pure, so only touched pages can change the quad sets —
+    but only extracts the touched pages. The touched set is re-joined to
+    each snapshot with a left-semi join (broadcast when small, which is
+    the expected regime).
+    """
+    from .extractors import extract
+
+    touched = touched_pages(old_pages, new_pages, page_key, change_col)
+    tk = touched.select(page_key)
+    old_hit = old_pages.join(tk, page_key, "left_semi")
+    new_hit = new_pages.join(tk, page_key, "left_semi")
+    kwargs = {"extractors": extractors} if extractors is not None else {}
+    return quad_diff(extract(old_hit, **kwargs), extract(new_hit, **kwargs), key)

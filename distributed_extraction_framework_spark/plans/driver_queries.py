@@ -2948,3 +2948,145 @@ WHERE substr(l, 1, 3) = 'Doc'
 
 QUERIES.update({"bgp_functions": q_bgp_functions})
 ORACLES.update({"bgp_functions": ORACLE_BGP_FUNCTIONS})
+
+
+# --------------------------------------------------------------------------
+# quad_diff gate: release-to-release snapshot diff (operators/delta.py).
+# Old snapshot = labels quads; new snapshot = a deterministic perturbation
+# (drop 'Doc 1…' labels, uppercase 'Doc 2…' labels) expressed identically
+# in DataFrame ops and oracle SQL. quad_diff reconciles the two in ONE
+# shuffle (union+groupBy); the oracle uses the textbook double-EXCEPT.
+# --------------------------------------------------------------------------
+
+
+def q_quad_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.delta import quad_diff
+
+    old = extractor_df(_pages(spark, sf_dir), "labels").select(
+        "subj", "pred", "obj", "lang"
+    )
+    new = old.filter(~F.col("obj").like("Doc 1%")).withColumn(
+        "obj",
+        F.when(F.col("obj").like("Doc 2%"), F.upper(F.col("obj")))
+        .otherwise(F.col("obj")),
+    )
+    return quad_diff(old, new)
+
+
+ORACLE_QUAD_DIFF = f"""
+{_oracle_pages()},
+lbl AS (
+  SELECT '{RES}' || title AS s, replace(title, '_', ' ') AS l
+  FROM pages WHERE {_MAIN}
+),
+old AS (
+  SELECT s AS subj, '{S.RDFS_LABEL}' AS pred, l AS obj, 'en' AS lang
+  FROM lbl
+),
+new AS (
+  SELECT subj, pred,
+         CASE WHEN obj LIKE 'Doc 2%' THEN upper(obj) ELSE obj END AS obj,
+         lang
+  FROM old WHERE obj NOT LIKE 'Doc 1%'
+)
+SELECT 'removed' AS change, subj, pred, obj, lang FROM
+  (SELECT subj, pred, obj, lang FROM old
+   EXCEPT SELECT subj, pred, obj, lang FROM new)
+UNION ALL
+SELECT 'added' AS change, subj, pred, obj, lang FROM
+  (SELECT subj, pred, obj, lang FROM new
+   EXCEPT SELECT subj, pred, obj, lang FROM old)
+"""
+
+QUERIES.update({"quad_diff": q_quad_diff})
+ORACLES.update({"quad_diff": ORACLE_QUAD_DIFF})
+
+
+# --------------------------------------------------------------------------
+# delta_extract gate: incremental extraction (operators/delta.py).
+# New snapshot = old minus every 13th page, plus an appended wiki-link on
+# every 11th page. delta_extract finds the touched pages with one
+# full-outer join, extracts ONLY those on each side, and set-reconciles —
+# extraction cost scales with the delta, not the corpus. The oracle
+# recomputes both snapshots' labels+page_links in full and double-EXCEPTs
+# (the definitionally-equivalent full recompute).
+# --------------------------------------------------------------------------
+
+
+def q_delta_extract(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.delta import QUAD_KEY, delta_extract
+
+    old = _pages(spark, sf_dir)
+    new = old.filter(F.col("doc_id") % 13 != 4).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 5,
+            F.concat(F.col("text"), F.lit(" See [[Delta_Target]].")),
+        ).otherwise(F.col("text")),
+    )
+    return delta_extract(
+        old, new, extractors=["labels", "page_links"], key=QUAD_KEY
+    )
+
+
+_DELTA_LNK_CTE = """
+links_{n} AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM {src} WHERE {nonredir}
+), t_{n} AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt
+  FROM links_{n}
+), lnk_{n} AS (
+  SELECT DISTINCT '{res}' || title AS subj, '{pred}' AS pred,
+         '{res}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS obj,
+         CAST(NULL AS VARCHAR) AS lang
+  FROM t_{n}
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+)
+"""
+
+ORACLE_DELTA_EXTRACT = (
+    _oracle_pages() + f""",
+newp AS (
+  SELECT doc_id, title,
+         text || CASE WHEN doc_id % 11 = 5
+                      THEN ' See [[Delta_Target]].' ELSE '' END AS text,
+         lang
+  FROM pages WHERE doc_id % 13 <> 4
+),
+lbl_old AS (
+  SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
+         replace(title, '_', ' ') AS obj, lang
+  FROM pages WHERE {_MAIN}
+),
+lbl_new AS (
+  SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
+         replace(title, '_', ' ') AS obj, lang
+  FROM newp WHERE {_MAIN}
+),
+"""
+    + _DELTA_LNK_CTE.format(n="old", src="pages", nonredir=_NONREDIR,
+                            res=RES, pred=S.DBO_WIKI_LINK).strip().rstrip()
+    + ",\n"
+    + _DELTA_LNK_CTE.format(n="new", src="newp", nonredir=_NONREDIR,
+                            res=RES, pred=S.DBO_WIKI_LINK).strip()
+    + """,
+old_q AS (SELECT * FROM lbl_old UNION ALL SELECT * FROM lnk_old),
+new_q AS (SELECT * FROM lbl_new UNION ALL SELECT * FROM lnk_new)
+SELECT 'removed' AS change, subj, pred, obj, lang FROM
+  (SELECT subj, pred, obj, lang FROM old_q
+   EXCEPT SELECT subj, pred, obj, lang FROM new_q)
+UNION ALL
+SELECT 'added' AS change, subj, pred, obj, lang FROM
+  (SELECT subj, pred, obj, lang FROM new_q
+   EXCEPT SELECT subj, pred, obj, lang FROM old_q)
+"""
+)
+
+QUERIES.update({"delta_extract": q_delta_extract})
+ORACLES.update({"delta_extract": ORACLE_DELTA_EXTRACT})
