@@ -219,3 +219,98 @@ def top_hubs(edges: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.desc("in_deg"), F.asc("uri"))
         .limit(k)
     )
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: ``(u, v)`` with ``u < v``, self-loops
+    dropped, parallel/reverse duplicates collapsed."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle ``(x, y, z)`` with ``x < y < z``, once.
+
+    Compact-forward enumeration (Latapy, TCS 2008; the MapReduce form is
+    Suri & Vassilvitskii's "node-iterator++", WWW'11): over the
+    canonical u<v edge set, join wedges u→v→w and close them against the
+    edge u→w. The lexicographic orientation makes each triangle appear
+    exactly once (u<v<w), so no post-hoc dedup of 3!-fold copies — the
+    wedge join IS the shuffle, and AQE broadcast-joins the closing edge
+    probe when the graph is small.
+
+    Scale note: wedge count is Σ_v deg_out(v)², bounded here by the
+    lexicographic orientation; for adversarially skewed graphs orient by
+    (degree, id) instead — same output, O(m^1.5) wedges — by swapping the
+    orientation key. Web-link KGs canonicalized to u<v stay far from the
+    bound, and the oracle (a 3-way self-join in ANSI SQL) mirrors the
+    lexicographic form exactly.
+    """
+    und = undirected_edges(edges)
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    return e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation ``(uri, triangles)`` — the local
+    clustering building block; vertices in no triangle are absent."""
+    return (
+        triangles(edges)
+        .select(F.explode(F.array("x", "y", "z")).alias("uri"))
+        .groupBy("uri")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | list[str],
+    max_iter: int = 10,
+) -> DataFrame:
+    """Unweighted shortest-path distance from a source set → ``(uri,
+    dist)`` rows for every vertex within ``max_iter`` hops (sources at 0).
+
+    Level-synchronous frontier BFS: each round joins the CURRENT frontier
+    (only the just-discovered vertices, not the whole visited set) against
+    the out-edges, anti-joins the visited set, and checkpoints. One
+    equi-join + one anti-join per level, frontier-sized — not
+    visited-sized — shuffle; convergence (empty frontier) is read from an
+    ``observe()`` on the checkpoint job itself, the same fused pattern as
+    :func:`reachability`. Directed semantics; pass a symmetrized edge set
+    for undirected distance.
+    """
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    if isinstance(sources, list):
+        sources = spark.createDataFrame([(s,) for s in sources], "uri string")
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("uri"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for level in range(1, max_iter + 1):
+        obs = Observation()
+        frontier = (
+            frontier.join(e, frontier["uri"] == e["src"])
+            .select(F.col("dst").alias("uri"))
+            .distinct()
+            .join(visited.select("uri"), "uri", "left_anti")
+            .withColumn("dist", F.lit(level))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .localCheckpoint(eager=True)
+        )
+        if int(obs.get["rows"] or 0) == 0:
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited

@@ -3090,3 +3090,87 @@ SELECT 'added' AS change, subj, pred, obj, lang FROM
 
 QUERIES.update({"delta_extract": q_delta_extract})
 ORACLES.update({"delta_extract": ORACLE_DELTA_EXTRACT})
+
+
+# --------------------------------------------------------------------------
+# triangle_counts gate: compact-forward triangle enumeration over the
+# wiki-link graph (operators/graph.py). Lexicographic u<v orientation →
+# each triangle joined into existence exactly once; oracle = the same
+# 3-way self-join in ANSI SQL over the canonical undirected edge set.
+# bfs_distances gate: level-synchronous frontier BFS from one source vs
+# a DuckDB recursive-CTE walk enumeration with min(dist) per vertex.
+# --------------------------------------------------------------------------
+
+_PL_EDGES_CTE = f"""
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+), pl AS (
+  SELECT DISTINCT '{RES}' || title AS s,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS o
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+)
+"""
+
+
+def _pl_edges(spark, sf_dir):
+    links = extractor_df(_pages(spark, sf_dir), "page_links")
+    return links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+
+def q_triangle_counts(spark, sf_dir):
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(_pl_edges(spark, sf_dir))
+
+
+ORACLE_TRIANGLE_COUNTS = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+und AS (
+  SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v FROM pl WHERE s <> o
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM und a
+  JOIN und b ON a.v = b.u
+  JOIN und c ON c.u = a.u AND c.v = b.v
+)
+SELECT node AS uri, count(*) AS triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+"""
+
+
+def q_bfs_distances(spark, sf_dir):
+    from ..operators.graph import bfs_distances
+
+    return bfs_distances(
+        _pl_edges(spark, sf_dir), [f"{RES}Doc_2"], max_iter=10
+    )
+
+
+ORACLE_BFS_DISTANCES = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+bfs AS (
+  SELECT '{RES}Doc_2' AS uri, 0 AS dist
+  UNION ALL
+  SELECT pl.o, bfs.dist + 1 FROM bfs JOIN pl ON bfs.uri = pl.s
+  WHERE bfs.dist < 10
+)
+SELECT uri, min(dist) AS dist FROM bfs GROUP BY uri
+"""
+
+QUERIES.update({
+    "triangle_counts": q_triangle_counts,
+    "bfs_distances": q_bfs_distances,
+})
+ORACLES.update({
+    "triangle_counts": ORACLE_TRIANGLE_COUNTS,
+    "bfs_distances": ORACLE_BFS_DISTANCES,
+})

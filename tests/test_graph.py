@@ -137,3 +137,46 @@ def test_reachability_broadcast_and_shuffle_tiers_agree(spark):
           for r in reachability(edges, broadcast_rows=0).collect()}
     assert bc == sh
     assert len(bc) == 17 * 18 // 2  # every (i<j) pair of an 18-node chain
+
+
+# ---------------------------------------------------------------------------
+# Triangles + BFS
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangles_lexicographic_once(spark):
+    # K4 on {a,b,c,d} = 4 triangles; edges given in mixed directions with
+    # duplicates and a self-loop
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("d", "a"),
+             ("b", "c"), ("b", "d"), ("a", "a"), ("a", "b")]
+    from distributed_extraction_framework_spark.operators.graph import (
+        triangle_counts,
+        triangles,
+    )
+    tri = {tuple(r) for r in triangles(_edges(spark, pairs)).collect()}
+    assert tri == {("a", "b", "c"), ("a", "b", "d"),
+                   ("a", "c", "d"), ("b", "c", "d")}
+    counts = {r["uri"]: r["triangles"]
+              for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert counts == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # triangle-free graph → empty
+    assert triangles(_edges(spark, [("a", "b"), ("b", "c")])).count() == 0
+
+
+def test_bfs_distances_levels_and_unreachable(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        bfs_distances,
+    )
+    # chain a→b→c→d, shortcut a→c, island x→y, cycle back d→a
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+                       ("x", "y"), ("d", "a")])
+    got = {(r["uri"], r["dist"]) for r in bfs_distances(e, ["a"]).collect()}
+    assert got == {("a", 0), ("b", 1), ("c", 1), ("d", 2)}  # x,y unreachable
+    # multi-source: min distance wins; max_iter truncates
+    got2 = {(r["uri"], r["dist"])
+            for r in bfs_distances(e, ["a", "x"], max_iter=1).collect()}
+    assert got2 == {("a", 0), ("x", 0), ("b", 1), ("c", 1), ("y", 1)}
