@@ -187,6 +187,12 @@ def main() -> None:
         "bgp_group_concat", lambda: _sink(Q.q_bgp_group_concat(spark, SF_DIR))
     )
     timed_extra("bgp_lang", lambda: _sink(Q.q_bgp_lang(spark, SF_DIR)))
+    timed_extra("bgp_functions", lambda: _sink(Q.q_bgp_functions(spark, SF_DIR)))
+    timed_extra("update_rewrite", lambda: _sink(Q.q_update_rewrite(spark, SF_DIR)))
+    timed_extra("quad_diff", lambda: _sink(Q.q_quad_diff(spark, SF_DIR)))
+    timed_extra("delta_extract", lambda: _sink(Q.q_delta_extract(spark, SF_DIR)))
+    timed_extra("triangle_counts", lambda: _sink(Q.q_triangle_counts(spark, SF_DIR)))
+    timed_extra("bfs_distances", lambda: _sink(Q.q_bfs_distances(spark, SF_DIR)))
     out = {
         "metric": "headline_suite_sec",
         "value": total,
