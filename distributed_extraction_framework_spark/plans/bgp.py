@@ -41,6 +41,12 @@ Supported grammar (deliberately the well-defined core):
              | atom (+|-|*|/) atom | atom
     atom  := ?var | number | "string" | <uri> ; cmp := = | != | < | <= | > | >=
     ord   := ?var | ASC(?var) | DESC(?var)
+    graph := GRAPH (?var | <uri>) { triples [FILTER/BIND/VALUES] }
+             (named-graph scoping over the quads' provenance ``context``
+             column: <uri> = an equi-filter pushed below the block's join
+             tree; ?var = context exported as a binding, so patterns in
+             the block equi-join on the graph name — per-graph evaluation
+             with no per-graph loop)
 
 How each construct maps to the DataFrame algebra:
 
@@ -171,6 +177,7 @@ class Group:
     exists: list = field(default_factory=list)      # list[(positive, Group)]
     binds: list = field(default_factory=list)       # list[(var, expr_str)]
     subselects: list = field(default_factory=list)  # list[ParsedQuery]
+    graphs: list = field(default_factory=list)      # list[(Term, Group)]
 
 
 def _parse_term(tok: str) -> Term:
@@ -237,6 +244,9 @@ def _extract_blocks(body: str, opener: re.Pattern) -> tuple[str, list]:
 
 
 _OPTIONAL_OPEN = re.compile(r"\bOPTIONAL\s*(\{)", re.IGNORECASE)
+_GRAPH_OPEN = re.compile(
+    r"\bGRAPH\s+(?P<g>\?\w+|<[^<>\s]+>)\s*(\{)", re.IGNORECASE
+)
 _VALUES_OPEN = re.compile(r"\bVALUES\s+\?(?P<var>\w+)\s*(\{)", re.IGNORECASE)
 _MINUS_OPEN = re.compile(r"\bMINUS\s*(\{)", re.IGNORECASE)
 _EXISTS_OPEN = re.compile(
@@ -298,6 +308,7 @@ def _extract_braced(body: str):
         ("exists", _EXISTS_OPEN),
         ("minus", _MINUS_OPEN),
         ("values", _VALUES_OPEN),
+        ("graph", _GRAPH_OPEN),
         ("subselect", _SUBSELECT_OPEN),
     )
     out, blocks, i = [], [], 0
@@ -328,6 +339,8 @@ def _parse_group(body: str) -> Group:
             g.exists.append((not m.group("neg"), _parse_group(inner)))
         elif kind == "minus":
             g.minus.append(_parse_group(inner))
+        elif kind == "graph":
+            g.graphs.append((_parse_term(m.group("g")), _parse_group(inner)))
         elif kind == "subselect":
             g.subselects.append(parse_query(inner))
         else:
@@ -344,7 +357,8 @@ def _parse_group(body: str) -> Group:
     for f in g.filters:
         _parse_filter_ast(f)  # raise at parse time on unsupported filters
     g.triples = _parse_triples(body)
-    if not g.triples and not g.values and not g.subselects:
+    if (not g.triples and not g.values and not g.subselects
+            and not g.graphs):
         raise ValueError("empty group pattern")
     return g
 
@@ -960,14 +974,24 @@ def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
 def _pattern_df(
     quads: DataFrame, s: Term, p: Term, o: Term,
     lang_vars: frozenset = frozenset(),
+    graph_var: str | None = None,
 ) -> DataFrame:
     """One triple pattern → DataFrame whose columns are its variables.
 
     An object variable named in ``lang_vars`` additionally exports the
     hidden ``<var>__lang`` column (consumed by LANG() filters, dropped
     at group exit). Path-produced pairs carry NULL lang (the binding
-    representation is lexical), which LANG() renders as ""."""
+    representation is lexical), which LANG() renders as "". With
+    ``graph_var`` set (GRAPH ?g blocks), the quads' ``context`` column is
+    exported as that variable, so every pattern in the block equi-joins
+    on the graph binding — the SPARQL per-named-graph evaluation, with
+    no per-graph loop."""
     if p.kind in ("path", "pathx"):
+        if graph_var is not None:
+            raise ValueError(
+                "property paths inside GRAPH ?var are unsupported (a "
+                "closure spans graphs); use a constant GRAPH <uri>"
+            )
         expr = f"<{p.value}>+" if p.kind == "path" else p.value
         base = _path_pairs(quads, expr).select(
             F.col("src").alias("_s"),
@@ -976,13 +1000,22 @@ def _pattern_df(
         )
         bind = {"_s": s, "_o": o}
     else:
-        base = quads.select(
+        cols = [
             F.col("subj").alias("_s"),
             F.col("pred").alias("_p"),
             F.col("obj").alias("_o"),
             F.col("lang").alias("_lang"),
-        )
+        ]
+        if graph_var is not None:
+            if "context" not in quads.columns:
+                raise ValueError(
+                    "GRAPH requires a 'context' column on the quads"
+                )
+            cols.append(F.col("context").alias("_g"))
+        base = quads.select(*cols)
         bind = {"_s": s, "_p": p, "_o": o}
+        if graph_var is not None:
+            bind["_g"] = Term("var", graph_var)
 
     rename: dict[str, str] = {}
     for col, term in bind.items():
@@ -1002,7 +1035,9 @@ def _pattern_df(
     return base.select(*cols)
 
 
-def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
+def _compile_group(
+    quads: DataFrame, g: Group, graph_var: str | None = None
+) -> DataFrame:
     """One group pattern → DataFrame of its variable bindings.
 
     Join order is chosen greedily by a selectivity proxy — patterns with
@@ -1020,8 +1055,34 @@ def _compile_group(quads: DataFrame, g: Group) -> DataFrame:
     for s, p, o in g.triples:
         score = sum(t.kind in ("uri", "lit") for t in (s, p, o))
         relations.append(
-            (score, _pattern_df(quads, s, p, o, frozenset(lang_vars)))
+            (score,
+             _pattern_df(quads, s, p, o, frozenset(lang_vars), graph_var))
         )
+    for gterm, inner in g.graphs:
+        if graph_var is not None:
+            raise ValueError("nested GRAPH blocks are unsupported")
+        if gterm.kind == "uri":
+            # constant graph: a context equi-filter pushed below the
+            # block's whole join tree (partition-prunable when the store
+            # is laid out by graph)
+            if "context" not in quads.columns:
+                raise ValueError(
+                    "GRAPH requires a 'context' column on the quads"
+                )
+            rel = _compile_group(
+                quads.filter(F.col("context") == gterm.value), inner
+            )
+            relations.append((2, rel))
+        else:
+            if (inner.optionals or inner.minus or inner.exists
+                    or inner.subselects or inner.graphs):
+                raise ValueError(
+                    "GRAPH ?var supports triple patterns, FILTER, BIND "
+                    "and VALUES in its block (no nested group algebra)"
+                )
+            relations.append(
+                (1, _compile_group(quads, inner, graph_var=gterm.value))
+            )
     for var, terms in g.values:
         inline = quads.sparkSession.createDataFrame(
             [(t.value,) for t in terms], f"{var} string"

@@ -3174,3 +3174,34 @@ ORACLES.update({
     "triangle_counts": ORACLE_TRIANGLE_COUNTS,
     "bfs_distances": ORACLE_BFS_DISTANCES,
 })
+
+
+# --------------------------------------------------------------------------
+# bgp_graph gate: SPARQL named-graph scoping (GRAPH ?g) over the quads'
+# provenance context column — ?g binds each label's source-page context
+# IRI (url#ts=…) with the pattern evaluated per graph (no per-graph
+# loop: context is just another join column). Oracle reconstructs the
+# context IRI from the page url and the constant crawl timestamp.
+# --------------------------------------------------------------------------
+
+
+def q_bgp_graph(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "labels")
+    return bgp_query(
+        quads,
+        f"SELECT ?g ?s WHERE {{ GRAPH ?g {{ "
+        f'?s <{S.RDFS_LABEL}> ?l . FILTER(CONTAINS(?l, "Doc 1")) }} }}',
+    )
+
+
+ORACLE_BGP_GRAPH = f"""
+{_oracle_pages()}
+SELECT url || '#ts=2024-01-01T00:00:00' AS g, '{RES}' || title AS s
+FROM pages
+WHERE {_MAIN} AND replace(title, '_', ' ') LIKE '%Doc 1%'
+"""
+
+QUERIES.update({"bgp_graph": q_bgp_graph})
+ORACLES.update({"bgp_graph": ORACLE_BGP_GRAPH})

@@ -768,3 +768,54 @@ def test_function_calls_in_filter_comparisons(spark, quads):
     q3 = (f'SELECT ?x WHERE {{ ?x <{LABEL}> ?l . '
           f'FILTER(STRBEFORE(?l, "-") = "Alpha") }}')
     assert {r["x"] for r in bgp_query(quads, q3).collect()} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# GRAPH (named graphs over the provenance context column)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gquads(spark):
+    rows = [
+        # (subj, pred, obj, lang, context)
+        ("a", TYPE, "City", None, "g1"),
+        ("a", LABEL, "Alpha", "en", "g1"),
+        ("b", TYPE, "City", None, "g2"),
+        ("b", LABEL, "Beta", "en", "g2"),
+        ("c", TYPE, "Country", None, "g2"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, lang string, context string",
+    ).cache()
+
+
+def test_graph_constant_scopes_block(spark, gquads):
+    q = f'SELECT ?x WHERE {{ GRAPH <g2> {{ ?x <{TYPE}> "City" }} }}'
+    assert {r["x"] for r in bgp_query(gquads, q).collect()} == {"b"}
+
+
+def test_graph_var_binds_and_joins_within_graph(spark, gquads):
+    q = (f"SELECT ?g ?x ?l WHERE {{ GRAPH ?g {{ "
+         f'?x <{TYPE}> "City" . ?x <{LABEL}> ?l }} }}')
+    got = {tuple(r) for r in bgp_query(gquads, q).collect()}
+    # both patterns must match in the SAME graph
+    assert got == {("g1", "a", "Alpha"), ("g2", "b", "Beta")}
+    # a pattern outside the block joins across graphs on shared vars
+    q2 = (f"SELECT ?g ?x WHERE {{ ?x <{TYPE}> ?t . "
+          f"GRAPH ?g {{ ?x <{LABEL}> ?l }} }}")
+    got2 = {tuple(r) for r in bgp_query(gquads, q2).collect()}
+    assert got2 == {("g1", "a"), ("g2", "b")}
+
+
+def test_graph_error_cases(spark, gquads, quads):
+    with pytest.raises(ValueError, match="context"):
+        bgp_query(quads, "SELECT ?g WHERE { GRAPH ?g { ?x <p> ?o } }")
+    with pytest.raises(ValueError, match="paths inside GRAPH"):
+        bgp_query(gquads,
+                  f"SELECT ?g WHERE {{ GRAPH ?g {{ ?x <{LINK}>+ ?y }} }}")
+    # nested GRAPH is rejected (as unsupported group algebra in the block)
+    with pytest.raises(ValueError, match="GRAPH"):
+        bgp_query(gquads, "SELECT ?g WHERE { GRAPH ?g { GRAPH ?h "
+                          "{ ?x <p> ?o } } }")
