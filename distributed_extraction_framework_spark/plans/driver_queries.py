@@ -3205,3 +3205,97 @@ WHERE {_MAIN} AND replace(title, '_', ' ') LIKE '%Doc 1%'
 
 QUERIES.update({"bgp_graph": q_bgp_graph})
 ORACLES.update({"bgp_graph": ORACLE_BGP_GRAPH})
+
+
+# --------------------------------------------------------------------------
+# bm25_search gate: Okapi BM25 keyword retrieval over the documents table
+# (operators/retrieval.py) — query-term filter pushed below the tf/df
+# aggregations, corpus scalars joined as a broadcast 1-row aggregate.
+# Oracle recomputes the full formula in DuckDB (same tokenizer regex,
+# same Robertson +1-smoothed idf), round(4) both sides.
+# deterministic_sample / train_split gates: md5-bucket sampling + split
+# labels (operators/sampling.py) — pure filters, bit-identical across
+# engines by construction.
+# --------------------------------------------------------------------------
+
+_BM25_QUERY = "spark join window"
+
+
+def q_bm25_search(spark, sf_dir):
+    from ..operators.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, _BM25_QUERY)
+
+
+ORACLE_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ('join', 'spark', 'window')
+  GROUP BY doc_id, token
+),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+SELECT tf.doc_id,
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       ), 4) AS score
+FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+GROUP BY tf.doc_id
+"""
+
+
+def q_deterministic_sample(spark, sf_dir):
+    from ..operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_sample(docs, "doc_id", 0.2).select("doc_id")
+
+
+ORACLE_DETERMINISTIC_SAMPLE = """
+SELECT doc_id FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 < 0.2
+"""
+
+
+def q_train_split(spark, sf_dir):
+    from ..operators.sampling import train_val_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_TRAIN_SPLIT = """
+WITH u AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         / 4294967296.0 AS b
+  FROM documents
+)
+SELECT CASE WHEN b < 0.8 THEN 'train'
+            WHEN b < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM u GROUP BY 1
+"""
+
+QUERIES.update({
+    "bm25_search": q_bm25_search,
+    "deterministic_sample": q_deterministic_sample,
+    "train_split": q_train_split,
+})
+ORACLES.update({
+    "bm25_search": ORACLE_BM25_SEARCH,
+    "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
+    "train_split": ORACLE_TRAIN_SPLIT,
+})

@@ -1,0 +1,105 @@
+"""BM25/TF-IDF retrieval + deterministic sampling/splits, validated
+against hand-computed scores and the portability/stability contracts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators.retrieval import (
+    bm25_scores,
+    term_stats,
+    tfidf_vectors,
+    tokenize,
+)
+from distributed_extraction_framework_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
+)
+
+DOCS = [
+    (1, "spark join join planner"),
+    (2, "duckdb oracle spark"),
+    (3, "window functions, WINDOW frames!"),
+    (4, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_tokenize_and_term_stats(spark, docs):
+    toks = tokenize(docs)
+    got = {(r["doc_id"], r["token"]) for r in toks.collect()}
+    assert (3, "window") in got and (4,) not in {(r[0],) for r in []}
+    assert toks.filter("doc_id = 4").count() == 0  # empty doc → no rows
+    # punctuation/case folding: "WINDOW frames!" tokenizes to window×2
+    tf, df = term_stats(toks)
+    tf_map = {(r["doc_id"], r["token"]): (r["tf"], r["dl"]) for r in tf.collect()}
+    assert tf_map[(3, "window")] == (2, 4)
+    assert tf_map[(1, "join")] == (2, 4)
+    df_map = {r["token"]: r["df"] for r in df.collect()}
+    assert df_map["spark"] == 2 and df_map["window"] == 1
+
+
+def _bm25_ref(tf, df, dl, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_formula(spark, docs):
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(docs, "spark join").collect()}
+    # corpus: N=3 docs with tokens (doc 4 is empty but still counted? no —
+    # dl aggregation only sees docs with ≥1 token), avgdl = (4+3+4)/3
+    n, avgdl = 3, 11 / 3
+    exp1 = _bm25_ref(1, 2, 4, n, avgdl) + _bm25_ref(2, 1, 4, n, avgdl)
+    exp2 = _bm25_ref(1, 2, 3, n, avgdl)
+    assert got.keys() == {1, 2}
+    assert got[1] == pytest.approx(round(exp1, 4), abs=1e-4)
+    assert got[2] == pytest.approx(round(exp2, 4), abs=1e-4)
+    with pytest.raises(ValueError, match="no"):
+        bm25_scores(docs, "!!!")
+
+
+def test_tfidf_weights(spark, docs):
+    w = {(r["doc_id"], r["token"]): r["weight"]
+         for r in tfidf_vectors(docs).collect()}
+    assert w[(3, "window")] == pytest.approx(2 * math.log(3 / 1))
+    assert w[(1, "spark")] == pytest.approx(math.log(3 / 2))
+
+
+def test_deterministic_sample_stability(spark):
+    df = spark.range(0, 2000).withColumn("k", F.col("id").cast("string"))
+    s1 = {r["id"] for r in deterministic_sample(df, "k", 0.2).collect()}
+    # same keys survive under different partitioning and a fresh plan
+    s2 = {r["id"] for r in
+          deterministic_sample(df.repartition(13), "k", 0.2).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25  # md5 is uniform
+    # nesting: a 10% sample is a subset of the 20% sample (same salt)
+    s3 = {r["id"] for r in deterministic_sample(df, "k", 0.1).collect()}
+    assert s3 < s1
+    # different salt draws an (almost surely) different sample
+    s4 = {r["id"] for r in
+          deterministic_sample(df, "k", 0.2, salt="v2").collect()}
+    assert s4 != s1
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(df, "k", 1.5)
+
+
+def test_train_val_test_split_partition_of_keys(spark):
+    df = spark.range(0, 3000).withColumn("k", F.col("id").cast("string"))
+    out = train_val_test_split(df, "k")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == 3000  # exhaustive + disjoint by CASE
+    # key-stability: the same key gets the same split in a different table
+    other = spark.range(0, 100).withColumn("k", F.col("id").cast("string"))
+    a = {r["k"]: r["split"] for r in train_val_test_split(other, "k").collect()}
+    b = {r["k"]: r["split"] for r in out.filter("id < 100").collect()}
+    assert a == b
