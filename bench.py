@@ -193,6 +193,13 @@ def main() -> None:
     timed_extra("delta_extract", lambda: _sink(Q.q_delta_extract(spark, SF_DIR)))
     timed_extra("triangle_counts", lambda: _sink(Q.q_triangle_counts(spark, SF_DIR)))
     timed_extra("bfs_distances", lambda: _sink(Q.q_bfs_distances(spark, SF_DIR)))
+    timed_extra("bm25_search", lambda: _sink(Q.q_bm25_search(spark, SF_DIR)))
+    timed_extra(
+        "decontamination", lambda: _sink(Q.q_decontamination(spark, SF_DIR))
+    )
+    timed_extra(
+        "repetition_stats", lambda: _sink(Q.q_repetition_stats(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

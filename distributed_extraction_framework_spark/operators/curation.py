@@ -1,0 +1,130 @@
+"""Corpus curation: benchmark decontamination + repetition diagnostics.
+
+Two standard pre-training hygiene passes, both pure Catalyst (no Python
+in the hot path):
+
+* :func:`ngram_collisions` — n-gram overlap between the training corpus
+  and a benchmark/eval set ("decontamination": the GPT-3 appendix-C /
+  PaLM method — flag a training document if any word n-gram also occurs
+  in an eval document). The eval side is tiny by construction, so its
+  distinct shingles broadcast and the whole pass is ONE corpus scan +
+  a broadcast semi-ish join; per-doc collision counts reuse the doc key.
+* :func:`repetition_stats` — per-document repetition diagnostics in the
+  style of the Gopher quality rules (Rae et al. 2021 §A1.1): distinct
+  token ratio, most-frequent-token fraction, most-frequent-bigram
+  fraction. Excessively repetitious documents are generation-loop junk.
+
+Shingling itself is an array expression (``transform`` over a
+``sequence`` of offsets on the tokenized array) — stays in whole-stage
+codegen, no explode until the shingles are needed as rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .retrieval import TOKEN_RE
+
+
+def _token_array(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(f"({TOKEN_RE})"), 1)
+
+
+def shingle_array(text: Column, n: int) -> Column:
+    """Word n-gram strings of ``text`` as an array Column (empty when the
+    document has fewer than ``n`` tokens — short docs can't collide)."""
+    toks = _token_array(text)
+    offsets = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(offsets, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_df(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct ``(id_col, shingle)`` rows."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
+    ).distinct()
+
+
+def ngram_collisions(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contaminated corpus documents → ``(id_col, n_collisions)``.
+
+    ``n_collisions`` counts the DISTINCT corpus-doc shingles that also
+    appear anywhere in ``probes`` (the benchmark set). Clean documents
+    are absent — downstream either drops flagged docs or routes them to
+    review. The probe shingle set is broadcast (eval sets are MBs, the
+    corpus is the 100 TB side); the corpus is scanned once.
+    """
+    c = shingle_df(corpus, n, id_col, text_col)
+    p = shingle_df(probes, n, id_col, text_col).select("shingle").distinct()
+    return (
+        c.join(F.broadcast(p), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document repetition diagnostics → ``(id_col, n_tokens,
+    distinct_ratio, top_token_frac, top_bigram_frac)``.
+
+    All four metrics come out of two aggregations (token counts, bigram
+    counts) re-aggregated per document — the groupBy keys share the doc
+    prefix, so the second aggregation reuses the first's partitioning.
+    Documents with no tokens are absent (nothing to diagnose).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_token_array(F.col(text_col))).alias("token"),
+    )
+    tok_stats = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), 2)).alias("bigram"),
+    )
+    bi_stats = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_c"))
+    )
+    r = F.round
+    out = tok_stats.join(bi_stats, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        r(F.col("n_distinct") / F.col("n_tokens"), round_to)
+        .alias("distinct_ratio"),
+        r(F.col("top_c") / F.col("n_tokens"), round_to)
+        .alias("top_token_frac"),
+        # a 1-token document has no bigrams: frac 0.0 (nothing repeats)
+        F.coalesce(
+            r(F.col("top_bi_c") / F.col("n_bigrams"), round_to), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+    return out

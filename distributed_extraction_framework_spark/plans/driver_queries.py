@@ -3299,3 +3299,87 @@ ORACLES.update({
     "deterministic_sample": ORACLE_DETERMINISTIC_SAMPLE,
     "train_split": ORACLE_TRAIN_SPLIT,
 })
+
+
+# --------------------------------------------------------------------------
+# decontamination / repetition_stats gates (operators/curation.py):
+# benchmark n-gram decontamination (GPT-3 appendix-C style: flag corpus
+# docs sharing any word 8-gram with the eval set — probe shingles
+# broadcast, corpus scanned once) and Gopher-style per-document
+# repetition diagnostics. Oracles rebuild the same word shingles in
+# DuckDB via list slicing over the identical [a-z0-9]+ tokenizer.
+# --------------------------------------------------------------------------
+
+
+def q_decontamination(spark, sf_dir):
+    from ..operators.curation import ngram_collisions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_collisions(docs, probes, n=8)
+
+
+ORACLE_DECONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS g(i)
+  WHERE len(t) >= 8
+),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+SELECT doc_id, count(*) AS n_collisions
+FROM sh JOIN probe USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    from ..operators.curation import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+ORACLE_REPETITION_STATS = """
+WITH ta AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS token FROM ta)
+  GROUP BY doc_id, token
+),
+ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct, max(c) AS top_c
+  FROM tc GROUP BY doc_id
+),
+bt AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM ta, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bt GROUP BY doc_id, bigram),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bi_c
+  FROM bc GROUP BY doc_id
+)
+SELECT ts.doc_id, n_tokens,
+       round(n_distinct / n_tokens, 4) AS distinct_ratio,
+       round(top_c / n_tokens, 4) AS top_token_frac,
+       coalesce(round(top_bi_c / n_bigrams, 4), 0.0) AS top_bigram_frac
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+"""
+
+QUERIES.update({
+    "decontamination": q_decontamination,
+    "repetition_stats": q_repetition_stats,
+})
+ORACLES.update({
+    "decontamination": ORACLE_DECONTAMINATION,
+    "repetition_stats": ORACLE_REPETITION_STATS,
+})
