@@ -200,6 +200,15 @@ def main() -> None:
     timed_extra(
         "repetition_stats", lambda: _sink(Q.q_repetition_stats(spark, SF_DIR))
     )
+    timed_extra("domain_cap", lambda: _sink(Q.q_domain_cap(spark, SF_DIR)))
+    timed_extra(
+        "link_cooccurrence",
+        lambda: _sink(Q.q_link_cooccurrence(spark, SF_DIR)),
+    )
+    timed_extra(
+        "kg_negative_samples",
+        lambda: _sink(Q.q_kg_negative_samples(spark, SF_DIR)),
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

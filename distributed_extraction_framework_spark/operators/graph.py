@@ -314,3 +314,73 @@ def bfs_distances(
             break
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return visited
+
+
+def cocitation_pmi(
+    edges: DataFrame,
+    max_out_degree: int = 1000,
+    min_count: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Entity co-occurrence with PMI over the link graph →
+    ``(e1, e2, n_common, pmi)`` for unordered target pairs cited by the
+    same source page at least ``min_count`` times.
+
+    The standard co-citation statistic for KG enrichment (relatedness
+    edges DBpedia itself ships as "page links"-derived datasets):
+    ``pmi = ln(n_common · n_pages / (c1 · c2))`` with per-target
+    citation counts ``c`` and ``n_pages`` the number of distinct citing
+    pages.
+
+    Scale shape: the pair generator is a self-equi-join on ``src`` —
+    both sides carry the SAME groupBy partitioning, so Catalyst reuses
+    one exchange; the quadratic per-page blowup is bounded by dropping
+    pages with out-degree > ``max_out_degree`` (link-farm hubs, the same
+    df-cap guard as ``dedup.ngram_jaccard_pairs`` — at the default 1000
+    a capped page contributes ≤ ~500k pairs, and real hub pages carry
+    little co-citation signal anyway). The marginals join is two
+    equi-joins on entity keys; ``n_pages`` is a 1-row broadcast.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    kept = (
+        e.join(deg.where(F.col("d") <= max_out_degree), "src")
+        .select("src", "dst")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cij = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(
+            F.col("a.dst").alias("e1"), F.col("b.dst").alias("e2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_count)
+    )
+    ci = kept.groupBy("dst").agg(F.count(F.lit(1)).alias("c"))
+    n_pages = kept.select(F.countDistinct("src").alias("n_pages"))
+    return (
+        cij.join(ci.select(F.col("dst").alias("e1"), F.col("c").alias("c1")), "e1")
+        .join(ci.select(F.col("dst").alias("e2"), F.col("c").alias("c2")), "e2")
+        .crossJoin(F.broadcast(n_pages))
+        .select(
+            "e1",
+            "e2",
+            "n_common",
+            F.round(
+                F.log(
+                    F.col("n_common")
+                    * F.col("n_pages")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )

@@ -85,3 +85,134 @@ def train_val_test_split(
     return df.withColumn(
         out_col, split_column(F.col(key_col), weights, salt)
     )
+
+
+def per_key_cap(
+    df: DataFrame, key_col: str, n: int, id_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep at most ``n`` rows per ``key_col``, chosen deterministically:
+    the ``n`` rows whose ``md5(salt ‖ id)`` sorts lowest (a per-key
+    uniform sample, stable across runs/engines/partitionings).
+
+    The standard per-domain cap of web-corpus curation (no host may
+    dominate the training mix). The ``row_number() <= n`` predicate is
+    rank-limit-pushed below the exchange by Catalyst (WindowGroupLimit,
+    plan-asserted in tests) — each map task forwards at most ``n`` rows
+    per key it sees, so the shuffle carries O(tasks · n) rows per key
+    instead of the key's full population; a 100M-page domain capped at
+    10k ships 10k rows per upstream task, not 100M.
+    """
+    if n < 1:
+        raise ValueError(f"cap must be >= 1: {n}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def dense_index(df: DataFrame, col: str, partitions: int = 64) -> DataFrame:
+    """Contiguous 0-based index over the distinct values of ``col``,
+    ordered lexicographically → ``(col, idx)``.
+
+    Equivalent to ``row_number() OVER (ORDER BY col) - 1`` but WITHOUT
+    the global single-reducer window: range-repartition by the value,
+    number rows inside each range partition (the window key is the
+    partition id, so the P reducers run in parallel), and add per-
+    partition prefix-sum offsets (a P-row driver payload). Result is
+    bit-identical to the global window because range partitions tile
+    the value order.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(F.col(col)).distinct().repartitionByRange(partitions, col)
+    with_pid = vals.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("__pid")]
+    w = Window.partitionBy("__pid").orderBy(col)
+    return (
+        with_pid.withColumn(
+            "idx", (F.row_number().over(w) - 1 + off_col).cast("long")
+        )
+        .drop("__pid")
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+    salt: str = "",
+    s_col: str = "src",
+    o_col: str = "dst",
+    index_partitions: int = 64,
+) -> DataFrame:
+    """Deterministic corrupted-tail negatives for KG-embedding training
+    (the TransE/"filtered setting" protocol) → ``(src, dst, neg_i,
+    neg_dst)``: for each positive edge and draw ``i < k``, replace the
+    tail with the entity whose dense index is
+    ``md5(salt ‖ src|dst|i) mod n_entities``, then drop draws that
+    collide with a true edge (the filtered setting).
+
+    Everything is key-determined (same negatives on any engine/cluster/
+    run — md5 arithmetic identical to the DuckDB oracle). Scale shape:
+    the entity vocabulary gets a :func:`dense_index` (parallel, no
+    global window); negatives materialize via one equi-join index →
+    entity and one left-anti join against the positive edge set; the
+    k-way fan-out is a ``sequence``+``explode``, no Python.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    ents = dense_index(
+        triples.select(F.col(s_col).alias("u"))
+        .union(triples.select(F.col(o_col).alias("u")))
+        .distinct(),
+        "u",
+        partitions=index_partitions,
+    )
+    n_ents = ents.count()
+    parts = [F.col(s_col), F.col(o_col), F.col("neg_i").cast("string")]
+    if salt:
+        parts.insert(0, F.lit(salt))
+    draw_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10
+    ).cast("long")
+    drawn = (
+        triples.select(s_col, o_col)
+        .distinct()
+        .withColumn(
+            "neg_i",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(k - 1).cast("long")
+                )
+            ),
+        )
+        .withColumn("__ni", draw_hash % F.lit(n_ents))
+    )
+    with_neg = (
+        drawn.join(ents, drawn["__ni"] == ents["idx"])
+        .select(s_col, o_col, "neg_i", F.col("u").alias("neg_dst"))
+    )
+    pos = triples.select(
+        F.col(s_col).alias("__ps"), F.col(o_col).alias("__po")
+    ).distinct()
+    return with_neg.join(
+        pos,
+        (F.col(s_col) == F.col("__ps")) & (F.col("neg_dst") == F.col("__po")),
+        "left_anti",
+    )

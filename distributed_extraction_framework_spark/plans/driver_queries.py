@@ -3383,3 +3383,116 @@ ORACLES.update({
     "decontamination": ORACLE_DECONTAMINATION,
     "repetition_stats": ORACLE_REPETITION_STATS,
 })
+
+
+# --------------------------------------------------------------------------
+# domain_cap gate: deterministic per-domain cap (operators/sampling.py,
+# per_key_cap) — the standard "no host dominates the mix" curation step;
+# rank-limit pushed below the exchange (WindowGroupLimit, plan-asserted
+# in tests). Oracle = the same md5-ordered row_number window in DuckDB.
+# link_cooccurrence gate: co-citation PMI over the page-links graph
+# (operators/graph.py, cocitation_pmi) — oracle recomputes pairs,
+# marginals, and ln() from the same distinct edge set.
+# --------------------------------------------------------------------------
+
+
+def q_domain_cap(spark, sf_dir):
+    from ..operators.sampling import per_key_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return per_key_cap(docs, "source", 10, "doc_id").select("doc_id", "source")
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def q_link_cooccurrence(spark, sf_dir):
+    from ..operators.graph import cocitation_pmi
+
+    return cocitation_pmi(_pl_edges(spark, sf_dir), min_count=2)
+
+
+ORACLE_LINK_COOCCURRENCE = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+e AS (SELECT DISTINCT s, o FROM pl WHERE s <> o),
+deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+kept AS (SELECT e.s, e.o FROM e JOIN deg USING (s) WHERE d <= 1000),
+cij AS (
+  SELECT a.o AS e1, b.o AS e2, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.o < b.o
+  GROUP BY a.o, b.o
+  HAVING count(*) >= 2
+),
+ci AS (SELECT o, count(*) AS c FROM kept GROUP BY o),
+np AS (SELECT count(DISTINCT s) AS n_pages FROM kept)
+SELECT e1, e2, n_common,
+       round(ln(n_common * n_pages / (c1.c * c2.c)), 4) AS pmi
+FROM cij
+JOIN ci c1 ON cij.e1 = c1.o
+JOIN ci c2 ON cij.e2 = c2.o
+CROSS JOIN np
+"""
+
+QUERIES.update({
+    "domain_cap": q_domain_cap,
+    "link_cooccurrence": q_link_cooccurrence,
+})
+ORACLES.update({
+    "domain_cap": ORACLE_DOMAIN_CAP,
+    "link_cooccurrence": ORACLE_LINK_COOCCURRENCE,
+})
+
+
+# --------------------------------------------------------------------------
+# kg_negative_samples gate: deterministic corrupted-tail negatives for
+# KG-embedding training (operators/sampling.negative_samples) over the
+# page-links graph — filtered setting (draws colliding with a true edge
+# are dropped). Oracle mirrors the dense entity index (row_number over
+# the sorted vocabulary — the Spark side computes the identical index
+# WITHOUT a global window, via range-partitioned prefix sums) and the
+# md5-mod-n draw arithmetic.
+# --------------------------------------------------------------------------
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    from ..operators.sampling import negative_samples
+
+    return negative_samples(_pl_edges(spark, sf_dir), k=2)
+
+
+ORACLE_KG_NEGATIVE_SAMPLES = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+ents AS (
+  SELECT DISTINCT u FROM (SELECT s AS u FROM pl UNION SELECT o AS u FROM pl)
+),
+eidx AS (SELECT u, row_number() OVER (ORDER BY u) - 1 AS idx FROM ents),
+nn AS (SELECT count(*) AS n FROM ents),
+pos AS (SELECT DISTINCT s, o FROM pl),
+drawn AS (
+  SELECT s, o, gi AS neg_i,
+         CAST('0x' || substr(
+           md5(s || '|' || o || '|' || CAST(gi AS VARCHAR)), 1, 8
+         ) AS BIGINT) % n AS ni
+  FROM pos CROSS JOIN nn
+  CROSS JOIN LATERAL unnest(generate_series(0, 1)) AS g(gi)
+)
+SELECT drawn.s AS src, drawn.o AS dst, neg_i, eidx.u AS neg_dst
+FROM drawn JOIN eidx ON drawn.ni = eidx.idx
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p WHERE p.s = drawn.s AND p.o = eidx.u
+)
+"""
+
+QUERIES.update({"kg_negative_samples": q_kg_negative_samples})
+ORACLES.update({"kg_negative_samples": ORACLE_KG_NEGATIVE_SAMPLES})

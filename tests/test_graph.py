@@ -180,3 +180,37 @@ def test_bfs_distances_levels_and_unreachable(spark):
     got2 = {(r["uri"], r["dist"])
             for r in bfs_distances(e, ["a", "x"], max_iter=1).collect()}
     assert got2 == {("a", 0), ("x", 0), ("b", 1), ("c", 1), ("y", 1)}
+
+
+def test_cocitation_pmi_formula(spark):
+    import math
+
+    from distributed_extraction_framework_spark.operators.graph import cocitation_pmi
+
+    # p1,p2,p3 cite {A,B}; p4 cites {A,C}; so (A,B) co-cited 3x, (A,C) 1x
+    edges = spark.createDataFrame(
+        [("p1", "A"), ("p1", "B"), ("p2", "A"), ("p2", "B"),
+         ("p3", "A"), ("p3", "B"), ("p4", "A"), ("p4", "C"),
+         ("p4", "A")],  # duplicate edge: must not double-count
+        "src string, dst string",
+    )
+    got = {(r["e1"], r["e2"]): r for r in cocitation_pmi(edges, min_count=1).collect()}
+    assert set(got) == {("A", "B"), ("A", "C")}
+    assert got[("A", "B")]["n_common"] == 3
+    # c_A=4, c_B=3, n_pages=4 -> pmi = ln(3*4/(4*3)) = 0
+    assert got[("A", "B")]["pmi"] == 0.0
+    assert got[("A", "C")]["pmi"] == round(math.log(1 * 4 / (4 * 1)), 4)
+    # min_count=2 drops the singleton pair
+    assert cocitation_pmi(edges, min_count=2).count() == 1
+
+
+def test_cocitation_pmi_hub_cap(spark):
+    from distributed_extraction_framework_spark.operators.graph import cocitation_pmi
+
+    edges = [("hub", f"T{i}") for i in range(20)] + [
+        ("p1", "T0"), ("p1", "T1"), ("p2", "T0"), ("p2", "T1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["e1"], r["e2"]) for r in
+           cocitation_pmi(df, max_out_degree=10, min_count=1).collect()}
+    # the 20-out-degree hub is dropped entirely; only p1/p2 pairs remain
+    assert out == {("T0", "T1")}

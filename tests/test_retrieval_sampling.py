@@ -103,3 +103,80 @@ def test_train_val_test_split_partition_of_keys(spark):
     a = {r["k"]: r["split"] for r in train_val_test_split(other, "k").collect()}
     b = {r["k"]: r["split"] for r in out.filter("id < 100").collect()}
     assert a == b
+
+
+def test_per_key_cap_deterministic_and_pushed(spark):
+    from distributed_extraction_framework_spark.operators.sampling import per_key_cap
+
+    rows = [(i, f"host{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    capped = per_key_cap(df, "host", 5, "doc_id")
+    got = sorted((r["host"], r["doc_id"]) for r in capped.collect())
+    assert len(got) == 15
+    per_host = {}
+    for h, d in got:
+        per_host.setdefault(h, []).append(d)
+    assert all(len(v) == 5 for v in per_host.values())
+    # stable under repartitioning (key-determined, not order-determined)
+    again = sorted(
+        (r["host"], r["doc_id"])
+        for r in per_key_cap(df.repartition(7), "host", 5, "doc_id").collect()
+    )
+    assert again == got
+    # a different salt draws a different per-key sample
+    other = sorted(
+        (r["host"], r["doc_id"])
+        for r in per_key_cap(df, "host", 5, "doc_id", salt="x").collect()
+    )
+    assert other != got
+    # the rank limit is pushed below the exchange
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_per_key_cap_small_keys_untouched(spark):
+    from distributed_extraction_framework_spark.operators.sampling import per_key_cap
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, host string")
+    assert per_key_cap(df, "host", 10, "doc_id").count() == 3
+
+
+def test_dense_index_matches_global_window(spark):
+    from distributed_extraction_framework_spark.operators.sampling import dense_index
+
+    vals = [f"v{i:03d}" for i in range(200)]
+    import random
+    shuffled = vals[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame([(v,) for v in shuffled], "u string")
+    got = {r["u"]: r["idx"] for r in dense_index(df, "u", partitions=5).collect()}
+    assert got == {v: i for i, v in enumerate(vals)}
+    # duplicates collapse; single-partition degenerate case works too
+    dup = spark.createDataFrame([("b",), ("a",), ("b",)], "u string")
+    assert {r["u"]: r["idx"] for r in dense_index(dup, "u", partitions=1).collect()} \
+        == {"a": 0, "b": 1}
+
+
+def test_negative_samples_deterministic_and_filtered(spark):
+    from distributed_extraction_framework_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    out = negative_samples(edges, k=3).collect()
+    ents = {"a", "b", "c", "d"}
+    pos = {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")}
+    assert 0 < len(out) <= 4 * 3
+    for r in out:
+        assert r["neg_dst"] in ents
+        # filtered setting: a corrupted tail never recreates a true edge
+        assert (r["src"], r["neg_dst"]) not in pos
+    # key-determined: identical on re-run and under repartitioning
+    again = negative_samples(edges.repartition(5), k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # salt draws a different set
+    salted = negative_samples(edges, k=3, salt="x").collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, out))
