@@ -209,6 +209,11 @@ def main() -> None:
         "kg_negative_samples",
         lambda: _sink(Q.q_kg_negative_samples(spark, SF_DIR)),
     )
+    timed_extra("hits_scores", lambda: _sink(Q.q_hits_scores(spark, SF_DIR)))
+    timed_extra("kcore", lambda: _sink(Q.q_kcore(spark, SF_DIR)))
+    timed_extra(
+        "shacl_validate", lambda: _sink(Q.q_shacl_validate(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

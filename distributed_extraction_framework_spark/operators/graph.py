@@ -384,3 +384,121 @@ def cocitation_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) → ``(uri, hub, auth)``,
+    fixed-iteration power method with L1 normalization each half-step.
+
+    Same scale shape as :func:`pagerank`: per half-step one groupBy
+    shuffle over the edge list (irreducible), the normalizer is a 1-row
+    broadcast aggregate (never a driver action), lineage checkpointed.
+    Init hub = 1/n so the whole trajectory is scale-determined and an
+    unrolled-SQL oracle reproduces it bit-for-bit (modulo FP summation
+    order — gated at 6 dp like pagerank).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("src").alias("uri"))
+        .union(e.select(F.col("dst").alias("uri")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("hub", F.lit(0.0)).withColumn(
+            "auth", F.lit(0.0)
+        )
+    hub = verts.select("uri", F.lit(1.0 / n).alias("s"))
+
+    def half_step(scores: DataFrame, join_on: str, group_to: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[join_on] == scores["uri"])
+            .groupBy(group_to)
+            .agg(F.sum("s").alias("raw"))
+        )
+        z = F.broadcast(raw.agg(F.sum("raw").alias("z")))
+        return (
+            verts.join(
+                raw.withColumnRenamed(group_to, "uri"), "uri", "left"
+            )
+            .crossJoin(z)
+            .select(
+                "uri",
+                (
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("z")
+                ).alias("s"),
+            )
+        )
+
+    auth = None
+    for it in range(iterations):
+        auth = half_step(hub, "src", "dst")
+        hub = half_step(auth, "dst", "src")
+        if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return (
+        hub.select("uri", F.col("s").alias("hub"))
+        .join(auth.select("uri", F.col("s").alias("auth")), "uri")
+    )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Vertices of the undirected ``k``-core → ``(uri, core_deg)``:
+    iteratively peel vertices with degree < k until fixpoint;
+    ``core_deg`` is the vertex's degree inside the surviving subgraph
+    (≥ k by definition).
+
+    Per round: one degree groupBy + two semi-joins on the surviving
+    vertex set; convergence is read from an ``observe()`` edge count
+    fused into the round's checkpoint (ONE action per round, the
+    transitive_closure idiom — no second count job). Rounds needed =
+    peeling depth, typically ≪ 20 on web graphs.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Observation
+
+    cur = undirected_edges(edges).localCheckpoint(eager=True)
+    prev_m = cur.count()
+
+    def deg_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col("u").alias("x"))
+            .unionAll(df.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    for _ in range(max_iter):
+        if prev_m == 0:
+            break
+        keep = deg_of(cur).where(F.col("d") >= k).select("x")
+        obs = Observation()
+        nxt = (
+            cur.join(keep.select(F.col("x").alias("u")), "u", "semi")
+            .join(keep.select(F.col("x").alias("v")), "v", "semi")
+            .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get["m"] or 0
+        cur = nxt
+        if m == prev_m:
+            break
+        prev_m = m
+    return (
+        deg_of(cur)
+        .where(F.col("d") >= k)
+        .select(F.col("x").alias("uri"), F.col("d").alias("core_deg"))
+    )

@@ -1,0 +1,141 @@
+"""KG shape validation — a SHACL-core subset over the quad table.
+
+The reference emits triples and stops; production KG construction needs
+a validation pass before publishing (DBpedia runs exactly this as its
+post-release quality reports). Implemented as declarative constraint
+shapes compiled to Catalyst plans — no Python in the hot path:
+
+* cardinality (sh:minCount / sh:maxCount) over a target subject set
+  (sh:targetSubjectsOf) — one groupBy per shape, an anti-ish left join
+  for the missing-property case;
+* datatype (sh:datatype) — a filtered scan;
+* pattern (sh:pattern) — a filtered scan with JVM regex;
+* nodeKind (sh:nodeKind IRI/Literal) — a filtered scan (an IRI object
+  in this quad model is exactly ``datatype IS NULL AND lang IS NULL``).
+
+Each shape compiles to an independent branch unioned into one
+violations DataFrame; with the quad table partitioned by ``dataset``
+(plans/materialize.py) the per-predicate filters prune partitions, so a
+shape touches only its predicate's slice of a 100 TB store. Violations,
+not conformance, are materialized — the output is error-sized, never
+corpus-sized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Shape:
+    """One property shape: constraints on quads with predicate ``pred``.
+
+    ``target_pred`` picks the focus-node set for cardinality checks
+    (every subject bearing ``target_pred`` — sh:targetSubjectsOf); it
+    defaults to ``pred`` itself, which makes ``min_count`` vacuous but
+    keeps ``max_count`` meaningful.
+    """
+
+    name: str
+    pred: str
+    target_pred: str | None = None
+    min_count: int | None = None
+    max_count: int | None = None
+    datatype: str | None = None
+    pattern: str | None = None
+    node_kind: str | None = None  # "IRI" | "Literal"
+
+
+def _is_iri(df: DataFrame):
+    return F.col("datatype").isNull() & F.col("lang").isNull()
+
+
+def validate_shapes(quads: DataFrame, shapes: list[Shape]) -> DataFrame:
+    """Violation rows ``(shape, rule, subj, detail)`` for every
+    constraint breach; conforming data produces nothing."""
+    if not shapes:
+        raise ValueError("no shapes given")
+    out: DataFrame | None = None
+
+    def emit(df: DataFrame) -> None:
+        nonlocal out
+        out = df if out is None else out.unionByName(df)
+
+    for sh in shapes:
+        prop = quads.where(F.col("pred") == sh.pred)
+        if sh.min_count is not None or sh.max_count is not None:
+            target_pred = sh.target_pred or sh.pred
+            targets = (
+                quads.where(F.col("pred") == target_pred)
+                .select("subj")
+                .distinct()
+            )
+            counts = prop.groupBy("subj").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            with_c = targets.join(counts, "subj", "left").select(
+                "subj", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+            )
+            if sh.min_count is not None:
+                emit(
+                    with_c.where(F.col("c") < sh.min_count).select(
+                        F.lit(sh.name).alias("shape"),
+                        F.lit("minCount").alias("rule"),
+                        "subj",
+                        F.col("c").cast("string").alias("detail"),
+                    )
+                )
+            if sh.max_count is not None:
+                emit(
+                    with_c.where(F.col("c") > sh.max_count).select(
+                        F.lit(sh.name).alias("shape"),
+                        F.lit("maxCount").alias("rule"),
+                        "subj",
+                        F.col("c").cast("string").alias("detail"),
+                    )
+                )
+        if sh.datatype is not None:
+            emit(
+                prop.where(
+                    F.coalesce(F.col("datatype"), F.lit(""))
+                    != sh.datatype
+                ).select(
+                    F.lit(sh.name).alias("shape"),
+                    F.lit("datatype").alias("rule"),
+                    "subj",
+                    F.coalesce(F.col("datatype"), F.lit("")).alias(
+                        "detail"
+                    ),
+                )
+            )
+        if sh.pattern is not None:
+            emit(
+                prop.where(~F.col("obj").rlike(sh.pattern)).select(
+                    F.lit(sh.name).alias("shape"),
+                    F.lit("pattern").alias("rule"),
+                    "subj",
+                    F.col("obj").alias("detail"),
+                )
+            )
+        if sh.node_kind is not None:
+            if sh.node_kind not in ("IRI", "Literal"):
+                raise ValueError(f"bad node_kind: {sh.node_kind}")
+            bad = (
+                ~_is_iri(prop)
+                if sh.node_kind == "IRI"
+                else _is_iri(prop)
+            )
+            emit(
+                prop.where(bad).select(
+                    F.lit(sh.name).alias("shape"),
+                    F.lit("nodeKind").alias("rule"),
+                    "subj",
+                    F.col("obj").alias("detail"),
+                )
+            )
+    if out is None:
+        raise ValueError("shapes declare no constraints")
+    return out

@@ -3496,3 +3496,175 @@ WHERE NOT EXISTS (
 
 QUERIES.update({"kg_negative_samples": q_kg_negative_samples})
 ORACLES.update({"kg_negative_samples": ORACLE_KG_NEGATIVE_SAMPLES})
+
+
+# --------------------------------------------------------------------------
+# hits_scores gate: HITS hubs/authorities (operators/graph.hits, L1-
+# normalized power method) vs an unrolled-SQL oracle — same trick as
+# pagerank (DuckDB recursive CTEs can't aggregate over the recursive
+# relation), everything DOUBLE, 6 dp.
+# kcore gate: undirected 2-core via iterative peeling (observe()-fused
+# convergence, one action/round) vs an unrolled peel in SQL (24 rounds,
+# safely past the fixpoint for this graph).
+# --------------------------------------------------------------------------
+
+
+def q_hits_scores(spark, sf_dir):
+    from ..operators.graph import hits
+
+    h = hits(_pl_edges(spark, sf_dir), iterations=5)
+    return h.select(
+        "uri", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+
+def _hits_oracle_sql(iterations: int = 5) -> str:
+    header = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+e AS (SELECT DISTINCT s AS src, o AS dst FROM pl WHERE s <> o),
+verts AS (SELECT DISTINCT uri FROM (SELECT src AS uri FROM e UNION SELECT dst FROM e)),
+nv AS (SELECT count(*) AS n FROM verts),
+h0 AS (SELECT uri, CAST(1.0 AS DOUBLE) / n AS s FROM verts CROSS JOIN nv)
+"""
+    parts = [header.strip()]
+    for t in range(1, iterations + 1):
+        parts.append(f""",
+a{t}r AS MATERIALIZED (
+  SELECT e.dst AS uri, sum(h.s) AS raw FROM e JOIN h{t-1} h ON e.src = h.uri
+  GROUP BY e.dst
+),
+a{t}z AS (SELECT sum(raw) AS z FROM a{t}r),
+a{t} AS MATERIALIZED (
+  SELECT v.uri, CAST(coalesce(r.raw, 0) / z AS DOUBLE) AS s
+  FROM verts v LEFT JOIN a{t}r r ON v.uri = r.uri CROSS JOIN a{t}z
+),
+h{t}r AS MATERIALIZED (
+  SELECT e.src AS uri, sum(a.s) AS raw FROM e JOIN a{t} a ON e.dst = a.uri
+  GROUP BY e.src
+),
+h{t}z AS (SELECT sum(raw) AS z FROM h{t}r),
+h{t} AS MATERIALIZED (
+  SELECT v.uri, CAST(coalesce(r.raw, 0) / z AS DOUBLE) AS s
+  FROM verts v LEFT JOIN h{t}r r ON v.uri = r.uri CROSS JOIN h{t}z
+)""")
+    parts.append(f"""
+SELECT h.uri, round(h.s, 6) AS hub, round(a.s, 6) AS auth
+FROM h{iterations} h JOIN a{iterations} a ON h.uri = a.uri
+""")
+    return "".join(parts)
+
+
+ORACLE_HITS_SCORES = _hits_oracle_sql(5)
+
+_KCORE_K = 2
+
+
+def q_kcore(spark, sf_dir):
+    from ..operators.graph import kcore
+
+    return kcore(_pl_edges(spark, sf_dir), k=_KCORE_K)
+
+
+def _kcore_oracle_sql(k: int, rounds: int = 24) -> str:
+    header = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+e0 AS (SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v FROM pl WHERE s <> o)
+"""
+    parts = [header.strip()]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t-1} AS MATERIALIZED (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM e{t-1} UNION ALL SELECT v FROM e{t-1})
+  GROUP BY x
+),
+e{t} AS MATERIALIZED (
+  SELECT u, v FROM e{t-1}
+  WHERE u IN (SELECT x FROM d{t-1} WHERE d >= {k})
+    AND v IN (SELECT x FROM d{t-1} WHERE d >= {k})
+)""")
+    parts.append(f""",
+df AS (
+  SELECT x, count(*) AS d
+  FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+  GROUP BY x
+)
+SELECT x AS uri, d AS core_deg FROM df WHERE d >= {k}
+""")
+    return "".join(parts)
+
+
+ORACLE_KCORE = _kcore_oracle_sql(_KCORE_K)
+
+QUERIES.update({"hits_scores": q_hits_scores, "kcore": q_kcore})
+ORACLES.update({"hits_scores": ORACLE_HITS_SCORES, "kcore": ORACLE_KCORE})
+
+
+# --------------------------------------------------------------------------
+# shacl_validate gate: SHACL-core subset (operators/validation.py) over
+# the labels+page_ids quad slice — cardinality (every identified page
+# must carry exactly one label; category pages have ids but no labels →
+# real minCount violations), pattern (9-digit cap flags the ~77% of
+# md5-derived ids ≥ 10^9), and a datatype check that conforms (exercises
+# the zero-violation branch). Oracle mirrors each constraint in SQL.
+# --------------------------------------------------------------------------
+
+
+def q_shacl_validate(spark, sf_dir):
+    from ..operators.validation import Shape, validate_shapes
+
+    pages = _pages(spark, sf_dir)
+    quads = extractor_df(pages, "labels").unionByName(
+        extractor_df(pages, "page_ids")
+    )
+    return validate_shapes(quads, [
+        Shape(
+            "label-card",
+            pred=S.RDFS_LABEL,
+            target_pred=S.DBO_WIKI_PAGE_ID,
+            min_count=1,
+            max_count=1,
+        ),
+        Shape(
+            "pageid-value",
+            pred=S.DBO_WIKI_PAGE_ID,
+            datatype=S.XSD_INTEGER,
+            pattern="^[0-9]{1,9}$",
+        ),
+    ])
+
+
+ORACLE_SHACL_VALIDATE = f"""
+{_oracle_pages()},
+lab AS (
+  SELECT '{RES}' || title AS subj FROM pages WHERE doc_id % 17 <> 3
+),
+pid AS (
+  SELECT '{RES}' || title AS subj,
+         cast(cast('0x' || substr(md5(url), 1, 8) as bigint) as varchar) AS obj
+  FROM pages
+),
+counts AS (
+  SELECT pid.subj, count(lab.subj) AS c
+  FROM (SELECT DISTINCT subj FROM pid) pid
+  LEFT JOIN lab ON pid.subj = lab.subj
+  GROUP BY pid.subj
+)
+SELECT 'label-card' AS shape, 'minCount' AS rule, subj,
+       CAST(c AS VARCHAR) AS detail
+FROM counts WHERE c < 1
+UNION ALL
+SELECT 'label-card', 'maxCount', subj, CAST(c AS VARCHAR)
+FROM counts WHERE c > 1
+UNION ALL
+SELECT 'pageid-value', 'datatype', subj, ''
+FROM pid WHERE FALSE
+UNION ALL
+SELECT 'pageid-value', 'pattern', subj, obj
+FROM pid WHERE NOT regexp_matches(obj, '^[0-9]{{1,9}}$')
+"""
+
+QUERIES.update({"shacl_validate": q_shacl_validate})
+ORACLES.update({"shacl_validate": ORACLE_SHACL_VALIDATE})

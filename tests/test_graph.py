@@ -214,3 +214,38 @@ def test_cocitation_pmi_hub_cap(spark):
            cocitation_pmi(df, max_out_degree=10, min_count=1).collect()}
     # the 20-out-degree hub is dropped entirely; only p1/p2 pairs remain
     assert out == {("T0", "T1")}
+
+
+def test_hits_star_graph(spark):
+    from distributed_extraction_framework_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string"
+    )
+    got = {r["uri"]: (r["hub"], r["auth"]) for r in hits(edges, iterations=3).collect()}
+    assert got["b"] == (0.0, 1.0)
+    assert got["a"] == (0.5, 0.0) and got["c"] == (0.5, 0.0)
+    # L1 invariants hold on a less symmetric graph too
+    edges2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    rows = hits(edges2, iterations=4).collect()
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9
+
+
+def test_kcore_peels_pendants(spark):
+    from distributed_extraction_framework_spark.operators.graph import kcore
+
+    # triangle a-b-c plus a pendant chain c-d-e: 2-core = the triangle
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r["uri"]: r["core_deg"] for r in kcore(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # k=1 keeps everything (no isolated vertices in an edge list)
+    assert kcore(edges, k=1).count() == 5
+    # k=3 empties the graph
+    assert kcore(edges, k=3).count() == 0

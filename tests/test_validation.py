@@ -1,0 +1,61 @@
+"""SHACL-lite shape validation over the quad table."""
+
+import pytest
+
+from distributed_extraction_framework_spark.operators.validation import (
+    Shape,
+    validate_shapes,
+)
+
+COLS = "dataset string, subj string, pred string, obj string, lang string, datatype string, context string"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _quads(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+@pytest.fixture()
+def kg(spark):
+    return _quads(spark, [
+        ("d", "s1", "p:id", "42", None, XSD_INT, "c"),
+        ("d", "s1", "p:label", "One", "en", None, "c"),
+        ("d", "s2", "p:id", "notanum", None, None, "c"),   # bad dt, bad pattern
+        ("d", "s2", "p:label", "Two", "en", None, "c"),
+        ("d", "s2", "p:label", "Zwei", "de", None, "c"),   # maxCount 1 breach
+        ("d", "s3", "p:id", "7", None, XSD_INT, "c"),      # no label: minCount
+        ("d", "s1", "p:link", "http://x.org/a", None, None, "c"),
+        ("d", "s3", "p:link", "lit", "en", None, "c"),     # nodeKind IRI breach
+    ])
+
+
+def test_cardinality_shapes(spark, kg):
+    v = validate_shapes(kg, [Shape(
+        "label-card", pred="p:label", target_pred="p:id",
+        min_count=1, max_count=1,
+    )])
+    got = {(r["rule"], r["subj"], r["detail"]) for r in v.collect()}
+    assert got == {("minCount", "s3", "0"), ("maxCount", "s2", "2")}
+
+
+def test_value_shapes(spark, kg):
+    v = validate_shapes(kg, [
+        Shape("id-dt", pred="p:id", datatype=XSD_INT, pattern="^[0-9]+$"),
+        Shape("link-iri", pred="p:link", node_kind="IRI"),
+    ])
+    got = {(r["shape"], r["rule"], r["subj"]) for r in v.collect()}
+    assert got == {
+        ("id-dt", "datatype", "s2"),
+        ("id-dt", "pattern", "s2"),
+        ("link-iri", "nodeKind", "s3"),
+    }
+
+
+def test_conforming_kg_is_silent(spark, kg):
+    assert validate_shapes(kg, [
+        Shape("id-present", pred="p:id", target_pred="p:id", max_count=5),
+    ]).count() == 0
+    with pytest.raises(ValueError):
+        validate_shapes(kg, [])
+    with pytest.raises(ValueError):
+        validate_shapes(kg, [Shape("empty", pred="p:id")])
