@@ -3668,3 +3668,87 @@ FROM pid WHERE NOT regexp_matches(obj, '^[0-9]{{1,9}}$')
 
 QUERIES.update({"shacl_validate": q_shacl_validate})
 ORACLES.update({"shacl_validate": ORACLE_SHACL_VALIDATE})
+
+
+# --------------------------------------------------------------------------
+# void_stats gate: per-dataset VoID descriptor statistics (plans/
+# materialize.void_stats — the void:triples/distinctSubjects/
+# distinctObjects/properties numbers DBpedia publishes per release)
+# over the labels+page_ids+page_links slice.
+# property_pivot gate: EAV→wide consumption shape (plans/materialize.
+# pivot_properties) — static conditional aggregation, no values-
+# discovery job; oracle = the same min(case when) pivot in SQL.
+# --------------------------------------------------------------------------
+
+
+def _lpp_quads(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    return (
+        extractor_df(pages, "labels")
+        .unionByName(extractor_df(pages, "page_ids"))
+        .unionByName(extractor_df(pages, "page_links"))
+    )
+
+
+_LPP_CTE = f"""
+lpp AS (
+  SELECT 'labels' AS dataset, '{RES}' || title AS subj,
+         '{S.RDFS_LABEL}' AS pred, replace(title, '_', ' ') AS obj
+  FROM pages WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT 'page_ids', '{RES}' || title, '{S.DBO_WIKI_PAGE_ID}',
+         cast(cast('0x' || substr(md5(url), 1, 8) as bigint) as varchar)
+  FROM pages
+  UNION ALL
+  SELECT 'page_links', s, '{S.DBO_WIKI_LINK}', o FROM pl
+)
+"""
+
+
+def q_void_stats(spark, sf_dir):
+    from .materialize import void_stats
+
+    return void_stats(_lpp_quads(spark, sf_dir))
+
+
+ORACLE_VOID_STATS = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+{_LPP_CTE.strip()}
+SELECT dataset, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_distinct_subjects,
+       count(DISTINCT obj) AS n_distinct_objects,
+       count(DISTINCT pred) AS n_predicates
+FROM lpp GROUP BY dataset
+"""
+
+
+def q_property_pivot(spark, sf_dir):
+    from .materialize import pivot_properties
+
+    return pivot_properties(_lpp_quads(spark, sf_dir), {
+        "label": S.RDFS_LABEL,
+        "page_id": S.DBO_WIKI_PAGE_ID,
+        "first_link": S.DBO_WIKI_LINK,
+    })
+
+
+ORACLE_PROPERTY_PIVOT = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+{_LPP_CTE.strip()}
+SELECT subj,
+       min(CASE WHEN pred = '{S.RDFS_LABEL}' THEN obj END) AS label,
+       min(CASE WHEN pred = '{S.DBO_WIKI_PAGE_ID}' THEN obj END) AS page_id,
+       min(CASE WHEN pred = '{S.DBO_WIKI_LINK}' THEN obj END) AS first_link
+FROM lpp GROUP BY subj
+"""
+
+QUERIES.update({
+    "void_stats": q_void_stats,
+    "property_pivot": q_property_pivot,
+})
+ORACLES.update({
+    "void_stats": ORACLE_VOID_STATS,
+    "property_pivot": ORACLE_PROPERTY_PIVOT,
+})

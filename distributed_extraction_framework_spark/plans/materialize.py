@@ -465,3 +465,49 @@ def write_graph_tables(
         else:
             counts[name] = spark.read.parquet(f"{warehouse}/{name}").count()
     return counts
+
+
+def void_stats(quads: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-dataset VoID descriptor statistics → ``(dataset, n_triples,
+    n_distinct_subjects, n_distinct_objects, n_predicates)``.
+
+    DBpedia publishes exactly these alongside each release (void:triples
+    / void:distinctSubjects / void:distinctObjects / void:properties).
+    One groupBy; the three COUNT DISTINCTs share a single Expand-based
+    pass (Catalyst's distinct-aggregate rewrite). At 10^12 triples pass
+    ``approx=True``: HyperLogLog++ sketches (``approx_count_distinct``)
+    drop the Expand blow-up and make the pass mergeable map-side.
+    """
+    cd = F.approx_count_distinct if approx else F.countDistinct
+    return quads.groupBy("dataset").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        cd("subj").alias("n_distinct_subjects"),
+        cd("obj").alias("n_distinct_objects"),
+        cd("pred").alias("n_predicates"),
+    )
+
+
+def pivot_properties(
+    quads: DataFrame, preds: dict[str, str]
+) -> DataFrame:
+    """Entity-attribute-value → wide: one row per ``subj`` with a column
+    per requested predicate (``{out_col: predicate_iri}``), value =
+    lexicographic MIN among that subject's objects (deterministic under
+    any partitioning; multi-valued predicates need the quad form, this
+    is the consumption shape).
+
+    One filtered scan + one groupBy — the predicate list is static, so
+    this is conditional aggregation (`min(when(pred=...))`), NOT the
+    RelationalGroupedDataset.pivot path (which runs a values-discovery
+    job first). The pred filter prunes dataset partitions.
+    """
+    if not preds:
+        raise ValueError("no predicates requested")
+    wanted = list(preds.items())
+    rows = quads.where(
+        F.col("pred").isin([iri for _, iri in wanted])
+    )
+    return rows.groupBy("subj").agg(*[
+        F.min(F.when(F.col("pred") == iri, F.col("obj"))).alias(name)
+        for name, iri in wanted
+    ])
