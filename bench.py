@@ -214,6 +214,9 @@ def main() -> None:
     timed_extra(
         "shacl_validate", lambda: _sink(Q.q_shacl_validate(spark, SF_DIR))
     )
+    timed_extra(
+        "pack_documents", lambda: _sink(Q.q_pack_documents(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

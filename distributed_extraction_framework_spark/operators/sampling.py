@@ -216,3 +216,93 @@ def negative_samples(
         (F.col(s_col) == F.col("__ps")) & (F.col("neg_dst") == F.col("__po")),
         "left_anti",
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling — the training-mixture step
+    ("webtext 0.8, wiki 1.0, code 0.5"): keep a row iff its hash bucket
+    falls below its group's fraction. Groups absent from ``fractions``
+    get ``default_fraction`` (0 = drop).
+
+    One Catalyst filter (the fraction map folds to a CASE expression) —
+    pushed into the scan, no shuffle, key-stable like
+    :func:`deterministic_sample`.
+    """
+    for g, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {g!r} must be in [0, 1]: {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1]")
+    frac = F.lit(float(default_fraction))
+    expr = None
+    for g, f in sorted(fractions.items()):
+        cond = F.col(group_col) == g
+        expr = (
+            F.when(cond, F.lit(float(f)))
+            if expr is None
+            else expr.when(cond, F.lit(float(f)))
+        )
+    frac = frac if expr is None else expr.otherwise(frac)
+    return df.filter(hash_bucket(F.col(key_col), salt) < frac)
+
+
+def pack_documents(
+    docs: DataFrame,
+    capacity: int,
+    key_col: str = "doc_id",
+    size_col: str = "n_tokens",
+    buckets: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batcher): lay documents end to end and cut every ``capacity``
+    tokens → ``(key, bucket, bin_id, offset)`` where ``offset`` is the
+    document's start position inside its bin.
+
+    A single global concatenation order would be one reducer; instead
+    documents are first hash-assigned to ``buckets`` streams (key-
+    deterministic md5 bucket, same arithmetic as
+    :func:`deterministic_sample`), and the running-sum window runs PER
+    BUCKET — 1024 independent reducers, each seeing corpus/1024 rows.
+    Within a bucket the order is (md5(key), key): stable, engine-
+    independent, and oracle-reproducible. Bins are
+    ``floor(preceding_tokens / capacity)`` — documents straddling a cut
+    belong to the bin their first token lands in (the consumer splits
+    them, as concat-packing always does).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(buckets)
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return (
+        docs.select(
+            key_col,
+            size_col,
+            bucket.alias("bucket"),
+            h.alias("__h"),
+        )
+        .withColumn("__pre", preceding)
+        .select(
+            key_col,
+            "bucket",
+            F.floor(F.col("__pre") / capacity).alias("bin_id"),
+            (F.col("__pre") % capacity).alias("offset"),
+        )
+    )

@@ -3752,3 +3752,67 @@ ORACLES.update({
     "void_stats": ORACLE_VOID_STATS,
     "property_pivot": ORACLE_PROPERTY_PIVOT,
 })
+
+
+# --------------------------------------------------------------------------
+# mixture_sample gate: per-source training-mixture rates folded to one
+# CASE filter (operators/sampling.mixture_sample) — scan-pushed, no
+# shuffle. pack_documents gate: concat-and-chunk sequence packing with
+# md5-bucketed parallel streams (no global window); oracle = the same
+# per-bucket running-sum window in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def q_mixture_sample(spark, sf_dir):
+    from ..operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id", default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
+ORACLE_MIXTURE_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      / 4294967296.0 <
+      CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+"""
+
+
+def q_pack_documents(spark, sf_dir):
+    from ..operators.sampling import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs, 2048, size_col="n_chars", buckets=8)
+
+
+ORACLE_PACK_DOCUMENTS = """
+WITH b AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 8 AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY bucket ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS pre
+  FROM b
+)
+SELECT doc_id, bucket, pre // 2048 AS bin_id, pre % 2048 AS "offset"
+FROM c
+"""
+
+QUERIES.update({
+    "mixture_sample": q_mixture_sample,
+    "pack_documents": q_pack_documents,
+})
+ORACLES.update({
+    "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+    "pack_documents": ORACLE_PACK_DOCUMENTS,
+})

@@ -180,3 +180,51 @@ def test_negative_samples_deterministic_and_filtered(spark):
     # salt draws a different set
     salted = negative_samples(edges, k=3, salt="x").collect()
     assert sorted(map(tuple, salted)) != sorted(map(tuple, out))
+
+
+def test_mixture_sample_per_group_rates(spark):
+    from distributed_extraction_framework_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_sample(df, "src", {"a": 1.0, "b": 0.1}, "doc_id")
+    by = {r["src"]: r["n"] for r in
+          out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["a"] == 1000                 # fraction 1.0 keeps everything
+    assert 40 <= by.get("b", 0) <= 200     # ~10% of 1000
+    # unlisted groups drop by default
+    df2 = df.withColumn("src", F.lit("zzz"))
+    assert mixture_sample(df2, "src", {"a": 1.0}, "doc_id").count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mixture_sample(df, "src", {"a": 1.5}, "doc_id")
+
+
+def test_pack_documents_bins_and_offsets(spark):
+    from distributed_extraction_framework_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 300) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    # one bucket -> one stream: 300-token docs into 1024-token bins
+    out = sorted(
+        pack_documents(docs, 1024, buckets=1).collect(),
+        key=lambda r: (r["bin_id"], r["offset"]),
+    )
+    assert all(r["bucket"] == 0 for r in out)
+    # cumulative starts: 0,300,...,2700; bin = floor(start/1024)
+    starts = [i * 300 for i in range(10)]
+    assert [r["bin_id"] for r in out] == [s // 1024 for s in starts]
+    assert [r["offset"] for r in out] == [s % 1024 for s in starts]
+    # deterministic under repartition
+    again = sorted(
+        pack_documents(docs.repartition(4), 1024, buckets=1).collect(),
+        key=lambda r: (r["bin_id"], r["offset"]),
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    # multiple buckets: every doc appears exactly once
+    assert pack_documents(docs, 1024, buckets=4).count() == 10
