@@ -128,3 +128,41 @@ def repetition_stats(
         ).alias("top_bigram_frac"),
     )
     return out
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """The composite keep/drop decision a curation pipeline actually
+    runs (Gopher §A1.1-style rules over :func:`repetition_stats`) →
+    ``(id_col, verdict)`` with verdict ∈ {keep, too_short, too_long,
+    low_diversity, repetitive} — FIRST failing rule wins, in that order.
+
+    Every input document gets a row (token-less documents are
+    ``too_short``, via a left join against the stats — they are absent
+    from the aggregation). Same plan shape as repetition_stats plus one
+    broadcast-sized left join back to the id column; the verdict itself
+    is a CASE expression, no extra pass.
+    """
+    stats = repetition_stats(docs, id_col, text_col)
+    verdict = (
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) < min_tokens,
+            "too_short",
+        )
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("distinct_ratio") < min_distinct_ratio, "low_diversity")
+        .when(F.col("top_bigram_frac") > max_top_bigram_frac, "repetitive")
+        .otherwise("keep")
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(id_col, verdict.alias("verdict"))
+    )

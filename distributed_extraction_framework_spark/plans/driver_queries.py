@@ -3816,3 +3816,66 @@ ORACLES.update({
     "mixture_sample": ORACLE_MIXTURE_SAMPLE,
     "pack_documents": ORACLE_PACK_DOCUMENTS,
 })
+
+
+# --------------------------------------------------------------------------
+# gopher_filter gate: the composite keep/drop curation decision
+# (operators/curation.gopher_filter) — first-failing-rule verdict over
+# the repetition diagnostics, thresholds chosen to split the synthetic
+# corpus across all reachable verdicts. Oracle reuses the repetition
+# SQL plus the same CASE.
+# --------------------------------------------------------------------------
+
+
+def q_gopher_filter(spark, sf_dir):
+    from ..operators.curation import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_filter(
+        docs, min_tokens=30, min_distinct_ratio=0.35,
+        max_top_bigram_frac=0.06,
+    )
+
+
+ORACLE_GOPHER_FILTER = """
+WITH ta AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS token FROM ta)
+  GROUP BY doc_id, token
+),
+ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct
+  FROM tc GROUP BY doc_id
+),
+bt AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM ta, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bt GROUP BY doc_id, bigram),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bi_c
+  FROM bc GROUP BY doc_id
+),
+stats AS (
+  SELECT ts.doc_id, n_tokens,
+         round(n_distinct / n_tokens, 4) AS distinct_ratio,
+         coalesce(round(top_bi_c / n_bigrams, 4), 0.0) AS top_bigram_frac
+  FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN coalesce(n_tokens, 0) < 30 THEN 'too_short'
+            WHEN n_tokens > 100000 THEN 'too_long'
+            WHEN distinct_ratio < 0.35 THEN 'low_diversity'
+            WHEN top_bigram_frac > 0.06 THEN 'repetitive'
+            ELSE 'keep' END AS verdict
+FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+"""
+
+QUERIES.update({"gopher_filter": q_gopher_filter})
+ORACLES.update({"gopher_filter": ORACLE_GOPHER_FILTER})

@@ -58,3 +58,26 @@ def test_repetition_stats_formulas(spark):
     # "spam ham" bigram appears 2× of 4 bigrams
     assert got[3]["top_bigram_frac"] == 0.5
     assert got[4]["n_tokens"] == 1 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_gopher_filter_verdict_order(spark):
+    from distributed_extraction_framework_spark.operators.curation import (
+        gopher_filter,
+    )
+
+    docs = _docs(spark, [
+        (1, " ".join(f"w{i}" for i in range(60))),     # keep
+        (2, "short doc"),                              # too_short
+        (3, " ".join(["loop"] * 60)),                  # low_diversity (first hit)
+        (4, ""),                                       # no tokens: too_short
+        (5, " ".join(f"u{i % 40} x" for i in range(40))),  # repetitive bigrams
+    ])
+    got = {r["doc_id"]: r["verdict"] for r in gopher_filter(
+        docs, min_tokens=50, min_distinct_ratio=0.3,
+        max_top_bigram_frac=0.2,
+    ).collect()}
+    assert got[1] == "keep"
+    assert got[2] == "too_short" and got[4] == "too_short"
+    assert got[3] == "low_diversity"
+    assert got[5] in ("keep", "repetitive", "low_diversity")
+    assert len(got) == 5
