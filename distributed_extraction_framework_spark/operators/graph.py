@@ -392,14 +392,18 @@ def hits(
     checkpoint_interval: int = 2,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) → ``(uri, hub, auth)``,
-    fixed-iteration power method with L1 normalization each half-step.
+    fixed-iteration power method, L1-normalized output.
 
     Same scale shape as :func:`pagerank`: per half-step one groupBy
-    shuffle over the edge list (irreducible), the normalizer is a 1-row
-    broadcast aggregate (never a driver action), lineage checkpointed.
-    Init hub = 1/n so the whole trajectory is scale-determined and an
-    unrolled-SQL oracle reproduces it bit-for-bit (modulo FP summation
-    order — gated at 6 dp like pagerank).
+    shuffle over the edge list (irreducible), lineage checkpointed.
+    Normalization is deferred to the END: every per-step normalizer is a
+    uniform scalar, so the final direction is identical and the loop
+    body stays single-consumer (a mid-loop normalizer makes each raw
+    aggregate feed two plans — 2^steps re-evaluation between
+    checkpoints). Doubles absorb the growth (5 steps × max in-degree
+    10^6 ≈ 1e30 ≪ 1e308). Init hub = 1/n so the trajectory is
+    scale-determined and the unrolled-SQL oracle reproduces it
+    bit-for-bit (modulo FP summation order — gated at 6 dp).
     """
     e = (
         edges.select("src", "dst")
@@ -420,24 +424,17 @@ def hits(
         )
     hub = verts.select("uri", F.lit(1.0 / n).alias("s"))
 
+    # vertices absent from a half-step's aggregate hold score 0: they add
+    # nothing to any normalizer and propagate nothing into the next
+    # half-step, so the zero-fill join against the vertex table happens
+    # exactly ONCE at the end — each half-step is one edge join + one
+    # groupBy, nothing else
     def half_step(scores: DataFrame, join_on: str, group_to: str) -> DataFrame:
-        raw = (
+        return (
             e.join(scores, e[join_on] == scores["uri"])
             .groupBy(group_to)
-            .agg(F.sum("s").alias("raw"))
-        )
-        z = F.broadcast(raw.agg(F.sum("raw").alias("z")))
-        return (
-            verts.join(
-                raw.withColumnRenamed(group_to, "uri"), "uri", "left"
-            )
-            .crossJoin(z)
-            .select(
-                "uri",
-                (
-                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("z")
-                ).alias("s"),
-            )
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed(group_to, "uri")
         )
 
     auth = None
@@ -447,9 +444,24 @@ def hits(
         if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
+    zh = F.broadcast(hub.agg(F.sum("s").alias("zh")))
+    za = F.broadcast(auth.agg(F.sum("s").alias("za")))
     return (
-        hub.select("uri", F.col("s").alias("hub"))
-        .join(auth.select("uri", F.col("s").alias("auth")), "uri")
+        verts.join(
+            hub.select("uri", F.col("s").alias("hub")), "uri", "left"
+        )
+        .join(auth.select("uri", F.col("s").alias("auth")), "uri", "left")
+        .crossJoin(zh)
+        .crossJoin(za)
+        .select(
+            "uri",
+            (F.coalesce(F.col("hub"), F.lit(0.0)) / F.col("zh")).alias(
+                "hub"
+            ),
+            (F.coalesce(F.col("auth"), F.lit(0.0)) / F.col("za")).alias(
+                "auth"
+            ),
+        )
     )
 
 

@@ -3530,27 +3530,26 @@ h0 AS (SELECT uri, CAST(1.0 AS DOUBLE) / n AS s FROM verts CROSS JOIN nv)
     parts = [header.strip()]
     for t in range(1, iterations + 1):
         parts.append(f""",
-a{t}r AS MATERIALIZED (
-  SELECT e.dst AS uri, sum(h.s) AS raw FROM e JOIN h{t-1} h ON e.src = h.uri
+a{t} AS MATERIALIZED (
+  SELECT e.dst AS uri, sum(h.s) AS s FROM e JOIN h{t-1} h ON e.src = h.uri
   GROUP BY e.dst
 ),
-a{t}z AS (SELECT sum(raw) AS z FROM a{t}r),
-a{t} AS MATERIALIZED (
-  SELECT v.uri, CAST(coalesce(r.raw, 0) / z AS DOUBLE) AS s
-  FROM verts v LEFT JOIN a{t}r r ON v.uri = r.uri CROSS JOIN a{t}z
-),
-h{t}r AS MATERIALIZED (
-  SELECT e.src AS uri, sum(a.s) AS raw FROM e JOIN a{t} a ON e.dst = a.uri
-  GROUP BY e.src
-),
-h{t}z AS (SELECT sum(raw) AS z FROM h{t}r),
 h{t} AS MATERIALIZED (
-  SELECT v.uri, CAST(coalesce(r.raw, 0) / z AS DOUBLE) AS s
-  FROM verts v LEFT JOIN h{t}r r ON v.uri = r.uri CROSS JOIN h{t}z
+  SELECT e.src AS uri, sum(a.s) AS s FROM e JOIN a{t} a ON e.dst = a.uri
+  GROUP BY e.src
 )""")
-    parts.append(f"""
-SELECT h.uri, round(h.s, 6) AS hub, round(a.s, 6) AS auth
-FROM h{iterations} h JOIN a{iterations} a ON h.uri = a.uri
+    parts.append(f""",
+zz AS (
+  SELECT (SELECT sum(s) FROM h{iterations}) AS zh,
+         (SELECT sum(s) FROM a{iterations}) AS za
+)
+SELECT v.uri,
+       round(coalesce(h.s, 0) / zh, 6) AS hub,
+       round(coalesce(a.s, 0) / za, 6) AS auth
+FROM verts v
+LEFT JOIN h{iterations} h ON v.uri = h.uri
+LEFT JOIN a{iterations} a ON v.uri = a.uri
+CROSS JOIN zz
 """)
     return "".join(parts)
 
