@@ -76,58 +76,85 @@ def ngram_collisions(
     )
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Largest multiplicity of any element: the longest equal run in the
+    sorted array, folded with ``aggregate`` — a pure codegen expression,
+    no explode/groupBy. Assumes elements are non-empty strings (regex
+    tokens are), so the "" seed never matches."""
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.sort_array(arr),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 4,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document repetition diagnostics → ``(id_col, n_tokens,
     distinct_ratio, top_token_frac, top_bigram_frac)``.
 
-    All four metrics come out of two aggregations (token counts, bigram
-    counts) re-aggregated per document — the groupBy keys share the doc
-    prefix, so the second aggregation reuses the first's partitioning.
+    Every metric is per-document, so nothing ever shuffles: tokenize,
+    build the bigram array, and fold top multiplicities with sorted-array
+    run-length expressions (:func:`_max_multiplicity`) — ONE projection
+    in whole-stage codegen, O(L log L) per doc, cost scales with bytes
+    scanned. (The naive shape — explode + two groupBys — shuffles every
+    token of a 100 TB corpus to compute doc-local facts.)
     Documents with no tokens are absent (nothing to diagnose).
+
+    ``min_parallelism``: the projection is CPU-heavy per row, so when
+    the INPUT has fewer splits than cores (small local files — a 100 TB
+    table always has plenty), opt into one round-robin repartition to
+    fan the compute out; leave None at scale.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(_token_array(F.col(text_col))).alias("token"),
-    )
-    tok_stats = (
-        toks.groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_c"),
-        )
-    )
-    bigrams = docs.select(
-        F.col(id_col),
-        F.explode(shingle_array(F.col(text_col), 2)).alias("bigram"),
-    )
-    bi_stats = (
-        bigrams.groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bi_c"))
-    )
+    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
+        docs = docs.repartition(min_parallelism)
+    toks = _token_array(F.col(text_col))
+    bigrams = shingle_array(F.col(text_col), 2)
     r = F.round
-    out = tok_stats.join(bi_stats, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_tokens"),
-        r(F.col("n_distinct") / F.col("n_tokens"), round_to)
-        .alias("distinct_ratio"),
-        r(F.col("top_c") / F.col("n_tokens"), round_to)
-        .alias("top_token_frac"),
-        # a 1-token document has no bigrams: frac 0.0 (nothing repeats)
-        F.coalesce(
-            r(F.col("top_bi_c") / F.col("n_bigrams"), round_to), F.lit(0.0)
-        ).alias("top_bigram_frac"),
+    n_tokens = F.size(toks)
+    return (
+        docs.select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            r(
+                F.try_divide(F.size(F.array_distinct(toks)), n_tokens),
+                round_to,
+            ).alias("distinct_ratio"),
+            r(
+                F.try_divide(_max_multiplicity(toks), n_tokens), round_to
+            ).alias("top_token_frac"),
+            # a 1-token document has no bigrams: frac 0.0 (0/0 → null;
+            # try_divide because ANSI mode raises on plain 0/0)
+            F.coalesce(
+                r(
+                    F.try_divide(
+                        _max_multiplicity(bigrams), F.size(bigrams)
+                    ),
+                    round_to,
+                ),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+        .where(F.col("n_tokens") > 0)
     )
-    return out
 
 
 def gopher_filter(
@@ -138,6 +165,7 @@ def gopher_filter(
     max_tokens: int = 100_000,
     min_distinct_ratio: float = 0.3,
     max_top_bigram_frac: float = 0.2,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """The composite keep/drop decision a curation pipeline actually
     runs (Gopher §A1.1-style rules over :func:`repetition_stats`) →
@@ -150,7 +178,9 @@ def gopher_filter(
     broadcast-sized left join back to the id column; the verdict itself
     is a CASE expression, no extra pass.
     """
-    stats = repetition_stats(docs, id_col, text_col)
+    stats = repetition_stats(
+        docs, id_col, text_col, min_parallelism=min_parallelism
+    )
     verdict = (
         F.when(
             F.coalesce(F.col("n_tokens"), F.lit(0)) < min_tokens,

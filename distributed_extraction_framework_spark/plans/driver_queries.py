@@ -3340,7 +3340,9 @@ def q_repetition_stats(spark, sf_dir):
     from ..operators.curation import repetition_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return repetition_stats(docs)
+    return repetition_stats(
+        docs, min_parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 ORACLE_REPETITION_STATS = """
@@ -3833,6 +3835,7 @@ def q_gopher_filter(spark, sf_dir):
     return gopher_filter(
         docs, min_tokens=30, min_distinct_ratio=0.35,
         max_top_bigram_frac=0.06,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
