@@ -45,11 +45,16 @@ def shingle_array(text: Column, n: int) -> Column:
 def shingle_df(
     docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct ``(id_col, shingle)`` rows."""
+    """Distinct ``(id_col, shingle)`` rows. The dedup is PER DOCUMENT, so
+    it's an ``array_distinct`` inside the projection before the explode —
+    a ``.distinct()`` after the explode would shuffle every (doc, n-gram)
+    string of the corpus to establish a fact each row already knows."""
     return docs.select(
         F.col(id_col),
-        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(shingle_array(F.col(text_col), n))
+        ).alias("shingle"),
+    )
 
 
 def ngram_collisions(
@@ -58,6 +63,7 @@ def ngram_collisions(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Contaminated corpus documents → ``(id_col, n_collisions)``.
 
@@ -65,8 +71,17 @@ def ngram_collisions(
     appear anywhere in ``probes`` (the benchmark set). Clean documents
     are absent — downstream either drops flagged docs or routes them to
     review. The probe shingle set is broadcast (eval sets are MBs, the
-    corpus is the 100 TB side); the corpus is scanned once.
+    corpus is the 100 TB side); the corpus is scanned once, its per-doc
+    shingle dedup is an in-projection ``array_distinct`` (no shuffle),
+    and only broadcast-join survivors reach the final groupBy.
+    ``min_parallelism``: same small-split escape hatch as
+    :func:`repetition_stats` (shingling is CPU-heavy per row).
     """
+    if (
+        min_parallelism
+        and corpus.rdd.getNumPartitions() < min_parallelism
+    ):
+        corpus = corpus.repartition(min_parallelism)
     c = shingle_df(corpus, n, id_col, text_col)
     p = shingle_df(probes, n, id_col, text_col).select("shingle").distinct()
     return (

@@ -3316,7 +3316,10 @@ def q_decontamination(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     probes = docs.filter(F.col("doc_id") % 50 == 0)
-    return ngram_collisions(docs, probes, n=8)
+    return ngram_collisions(
+        docs, probes, n=8,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 ORACLE_DECONTAMINATION = """
