@@ -217,6 +217,12 @@ def main() -> None:
     timed_extra(
         "pack_documents", lambda: _sink(Q.q_pack_documents(spark, SF_DIR))
     )
+    timed_extra(
+        "anchor_priors", lambda: _sink(Q.q_anchor_priors(spark, SF_DIR))
+    )
+    timed_extra(
+        "doc_keywords", lambda: _sink(Q.q_doc_keywords(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -697,3 +697,66 @@ def link_entities(
         F.col("n_mentions"),
         F.col("score"),
     )
+
+
+def anchor_priors(
+    pages: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Anchor-text → entity priors mined from internal links →
+    ``(anchor, target, n, prior)`` with ``prior = P(target | anchor)``.
+
+    The standard commonness prior of Wikipedia-based entity linkers
+    (Milne & Witten 2008): how often a surface string, used as link
+    anchor text, points at each title. Feeds :func:`link_entities` as
+    the score for ambiguous surfaces. Targets are normalized exactly
+    like the PageLinksExtractor (trim → strip fragment → spaces→
+    underscores → ucfirst; category/interwiki targets dropped), so the
+    prior table joins cleanly against the extracted link graph.
+
+    Plan: one scan (redirect pages filtered by content, no Python) →
+    explode → one groupBy on (anchor, target); the per-anchor total is
+    a window over ``anchor`` — a prefix of the groupBy key, so AQE
+    coalesces rather than re-shuffles hot anchors. Output is
+    vocabulary-sized, not corpus-sized.
+    """
+    from ..functions import wikitext as W
+    from .extractors import base_norm, ucfirst
+
+    l = F.col("l")
+    raw = (
+        pages.where(~F.col(text_col).rlike(r"^\s*#REDIRECT"))
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    text_col, F.lit(W.INTERNAL_LINK_PATTERN), F.lit(1)
+                )
+            ).alias("l")
+        )
+    )
+    target = ucfirst(base_norm(F.split_part(l, F.lit("|"), F.lit(1))))
+    anchor = F.when(
+        F.instr(l, "|") > 0,
+        F.trim(F.substr(l, F.instr(l, "|") + F.lit(1))),
+    ).otherwise(F.trim(l))
+    pairs = (
+        raw.select(anchor.alias("anchor"), target.alias("target"))
+        .where(
+            (F.col("target") != "")
+            & (~F.col("target").startswith("Category:"))
+            & (~F.col("target").rlike(r"^[a-z]{2,3}:"))
+            & (F.col("anchor") != "")
+        )
+    )
+    counts = pairs.groupBy("anchor", "target").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("anchor")
+    return (
+        counts.withColumn(
+            "prior", F.round(F.col("n") / F.sum("n").over(w), round_to)
+        )
+        .where(F.col("n") >= min_count)
+    )

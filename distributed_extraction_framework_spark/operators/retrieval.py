@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RE = "[a-z0-9]+"
@@ -134,4 +134,50 @@ def tfidf_vectors(
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
             .alias("weight"),
         )
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document → ``(id_col, token, tfidf)``
+    — the standard document-tagging/keyword pass.
+
+    ``tfidf = tf · ln(N / df)`` with ``N`` = documents containing ≥1
+    token (a 1-row broadcast). Ranking happens on the ROUNDED score with
+    token as tie-break, so the per-document top-k is bit-stable across
+    engines and partitionings. The ``row_number() <= k`` predicate gets
+    Catalyst's WindowGroupLimit partial pushdown (each map task forwards
+    at most k rows per document), and the window key ``id_col`` is a
+    prefix of the tf groupBy key — no extra full shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    tf, df = term_stats(tokenize(docs, text_col, id_col), id_col)
+    n_docs = F.broadcast(
+        tf.select(F.countDistinct(id_col).alias("n_docs"))
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(n_docs)
+        .select(
+            id_col,
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+                round_to,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -3884,3 +3884,99 @@ FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
 
 QUERIES.update({"gopher_filter": q_gopher_filter})
 ORACLES.update({"gopher_filter": ORACLE_GOPHER_FILTER})
+
+
+# --------------------------------------------------------------------------
+# anchor_priors gate: anchor-text → entity commonness priors
+# (operators/linking.anchor_priors, the Milne-Witten P(target|anchor)
+# table that feeds entity linking). Oracle mirrors the extraction
+# regex, the PageLinksExtractor target normalization, and the window
+# total in SQL.
+# --------------------------------------------------------------------------
+
+
+def q_anchor_priors(spark, sf_dir):
+    from ..operators.linking import anchor_priors
+
+    pages = _pages(spark, sf_dir).where(
+        ~F.col("title").startswith("Category:")
+    )
+    return anchor_priors(pages)
+
+
+ORACLE_ANCHOR_PRIORS = f"""
+{_oracle_pages()},
+links AS (
+  SELECT unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages
+  WHERE {_MAIN} AND NOT regexp_matches(text, '^\\s*#REDIRECT')
+),
+t AS (
+  SELECT
+    CASE WHEN l LIKE '%|%'
+         THEN trim(substr(l, position('|' IN l) + 1))
+         ELSE trim(l) END AS anchor,
+    replace(trim(regexp_replace(trim(split_part(l, '|', 1)), '#.*$', '')),
+            ' ', '_') AS tgt0
+  FROM links
+),
+p AS (
+  SELECT anchor,
+         upper(substr(tgt0, 1, 1)) || substr(tgt0, 2) AS target
+  FROM t
+  WHERE tgt0 <> '' AND anchor <> ''
+),
+c AS (
+  SELECT anchor, target, count(*) AS n FROM p
+  WHERE target NOT LIKE 'Category:%'
+    AND NOT regexp_matches(target, '^[a-z]{{2,3}}:')
+  GROUP BY anchor, target
+)
+SELECT anchor, target, n,
+       round(n / sum(n) OVER (PARTITION BY anchor), 4) AS prior
+FROM c
+"""
+
+QUERIES.update({"anchor_priors": q_anchor_priors})
+ORACLES.update({"anchor_priors": ORACLE_ANCHOR_PRIORS})
+
+
+# --------------------------------------------------------------------------
+# doc_keywords gate: top-5 TF-IDF terms per document (operators/
+# retrieval.tfidf_keywords) — ranking on the rounded score with token
+# tie-break makes the top-k bit-stable across engines; WindowGroupLimit
+# bounds the rank shuffle. Oracle recomputes tf/df/idf and the same
+# window in SQL.
+# --------------------------------------------------------------------------
+
+
+def q_doc_keywords(spark, sf_dir):
+    from ..operators.retrieval import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, k=5)
+
+
+ORACLE_DOC_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, token, round(tf * ln(n_docs / df), 4) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN nn
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token
+  ) AS rn FROM scored
+) WHERE rn <= 5
+"""
+
+QUERIES.update({"doc_keywords": q_doc_keywords})
+ORACLES.update({"doc_keywords": ORACLE_DOC_KEYWORDS})

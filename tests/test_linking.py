@@ -158,3 +158,26 @@ def test_make_matcher_drops_empty_patterns_uniformly():
     auto = make_matcher([""], kernel="python")
     assert auto.find_all("anything") == []
     assert VectorScanner(["ab"]).find_all_batch(["ab", ""]) == [["ab"], []]
+
+
+def test_anchor_priors_commonness(spark):
+    from distributed_extraction_framework_spark.operators.linking import (
+        anchor_priors,
+    )
+
+    pages = spark.createDataFrame([
+        ("p1", "see [[Paris]] and [[Paris|the city]]"),
+        ("p2", "[[Paris, Texas|the city]] and [[Paris]]"),
+        ("p3", "#REDIRECT [[Paris]]"),                  # redirects excluded
+        ("p4", "[[Category:Cities]] [[de:Paris]]"),     # cat/interwiki dropped
+        ("p5", "[[paris #history]]"),                   # fragment + ucfirst
+    ], "title string, text string")
+    got = {(r["anchor"], r["target"]): (r["n"], r["prior"])
+           for r in anchor_priors(pages).collect()}
+    # "the city" is ambiguous: Paris vs Paris,_Texas, one each
+    assert got[("the city", "Paris")] == (1, 0.5)
+    assert got[("the city", "Paris,_Texas")] == (1, 0.5)
+    assert got[("Paris", "Paris")] == (2, 1.0)
+    assert got[("paris #history", "Paris")] == (1, 1.0)
+    assert all(t != "Category:Cities" and not t.startswith("de:")
+               for _, t in got)

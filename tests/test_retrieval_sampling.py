@@ -228,3 +228,26 @@ def test_pack_documents_bins_and_offsets(spark):
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
     # multiple buckets: every doc appears exactly once
     assert pack_documents(docs, 1024, buckets=4).count() == 10
+
+
+def test_tfidf_keywords_topk(spark):
+    import math
+
+    from distributed_extraction_framework_spark.operators.retrieval import (
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "apple apple banana common common common"),
+        (2, "banana cherry common"),
+        (3, "cherry cherry common"),
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["token"]): r["tfidf"]
+           for r in tfidf_keywords(docs, k=2).collect()}
+    # 'common' is in all 3 docs: idf = ln(1) = 0 -> never a top term
+    # (except as a deterministic tie-break filler)
+    assert got[(1, "apple")] == round(2 * math.log(3 / 1), 4)
+    assert got[(1, "banana")] == round(1 * math.log(3 / 2), 4)
+    assert got[(3, "cherry")] == round(2 * math.log(3 / 2), 4)
+    assert all(n <= 2 for n in
+               __import__("collections").Counter(d for d, _ in got).values())
