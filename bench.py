@@ -223,6 +223,9 @@ def main() -> None:
     timed_extra(
         "doc_keywords", lambda: _sink(Q.q_doc_keywords(spark, SF_DIR))
     )
+    timed_extra(
+        "random_walks", lambda: _sink(Q.q_random_walks(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -514,3 +514,95 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         .where(F.col("d") >= k)
         .select(F.col("x").alias("uri"), F.col("d").alias("core_deg"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    walks_per_node: int = 1,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus →
+    ``(start, walk_id, step, node)``: ``walks_per_node`` walks from
+    every vertex with out-edges, each up to ``walk_length`` steps,
+    next hop = the neighbor whose per-source rank equals
+    ``md5(salt ‖ cur|walk_id|step) mod out_degree``.
+
+    "Random" but KEY-DETERMINED (the md5-bucket discipline of
+    operators/sampling.py): the same corpus on any engine, run, or
+    cluster size — resumable embedding training needs that. Scale
+    shape: the neighbor rank is a row_number window PARTITIONED BY the
+    source (reuses the adjacency groupBy partitioning, hub sources are
+    single-reducer only for their own adjacency list); each step is one
+    equi-join frontier⋈adjacency on (node, rank) — frontier-sized, and
+    walks that reach a sink simply leave the frontier. Walk count is
+    walks_per_node × V rows, never edge-quadratic.
+    """
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1: {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1: {walks_per_node}")
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = e.select(
+        "src", "dst", (F.row_number().over(w) - 1).alias("rk")
+    ).localCheckpoint(eager=True)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    frontier = (
+        adj.select(F.col("src").alias("start"))
+        .distinct()
+        .withColumn(
+            "walk_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(walks_per_node - 1).cast("long"),
+                )
+            ),
+        )
+        .withColumn("node", F.col("start"))
+    )
+    out = frontier.select(
+        "start", "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, walk_length + 1):
+        pick_parts = [F.lit(salt)] if salt else []
+        pick_parts += [
+            F.col("node"),
+            F.col("walk_id").cast("string"),
+            F.lit(str(t - 1)),
+        ]
+        pick = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *pick_parts)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        hop = (
+            frontier.join(deg, frontier["node"] == deg["src"])
+            .withColumn("__pick", pick % F.col("d"))
+            .join(
+                adj.select(
+                    F.col("src").alias("__as"),
+                    F.col("dst").alias("__next"),
+                    "rk",
+                ),
+                (F.col("node") == F.col("__as"))
+                & (F.col("__pick") == F.col("rk")),
+            )
+            .select("start", "walk_id", F.col("__next").alias("node"))
+        )
+        frontier = hop.localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select(
+                "start",
+                "walk_id",
+                F.lit(t).cast("long").alias("step"),
+                "node",
+            )
+        )
+    return out

@@ -139,3 +139,33 @@ def validate_shapes(quads: DataFrame, shapes: list[Shape]) -> DataFrame:
     if out is None:
         raise ValueError("shapes declare no constraints")
     return out
+
+
+def functional_properties(
+    quads: DataFrame, threshold: float = 0.99
+) -> DataFrame:
+    """Schema discovery: which predicates behave as owl:FunctionalProperty
+    → ``(pred, n_subjects, n_multi, functional)`` where ``n_multi``
+    counts subjects carrying >1 distinct object and ``functional`` is
+    true when ≥ ``threshold`` of subjects are single-valued.
+
+    The profiling pass that seeds shape definitions for
+    :func:`validate_shapes` (run it once, turn the functional
+    predicates into maxCount=1 shapes). Two aggregations whose keys
+    share the ``pred`` prefix — the second reuses the first's
+    partitioning; output is predicate-vocabulary-sized.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    per_subj = quads.groupBy("pred", "subj").agg(
+        F.countDistinct("obj").alias("n_obj")
+    )
+    return per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum(F.when(F.col("n_obj") > 1, 1).otherwise(0)).alias("n_multi"),
+        (
+            (F.count(F.lit(1)) - F.sum(F.when(F.col("n_obj") > 1, 1).otherwise(0)))
+            / F.count(F.lit(1))
+            >= F.lit(threshold)
+        ).alias("functional"),
+    )

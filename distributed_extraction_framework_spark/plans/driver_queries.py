@@ -3980,3 +3980,94 @@ SELECT doc_id, token, tfidf FROM (
 
 QUERIES.update({"doc_keywords": q_doc_keywords})
 ORACLES.update({"doc_keywords": ORACLE_DOC_KEYWORDS})
+
+
+# --------------------------------------------------------------------------
+# random_walks gate: deterministic DeepWalk corpus over the page-links
+# graph (operators/graph.random_walks) — md5-mod-degree next-hop picks,
+# per-source neighbor ranks. Oracle unrolls the 3 steps with identical
+# rank windows and md5 arithmetic (MATERIALIZED CTEs).
+# --------------------------------------------------------------------------
+
+
+def q_random_walks(spark, sf_dir):
+    from ..operators.graph import random_walks
+
+    return random_walks(
+        _pl_edges(spark, sf_dir), walk_length=3, walks_per_node=2
+    )
+
+
+def _random_walks_oracle_sql(walk_length: int = 3, walks: int = 2) -> str:
+    header = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+e AS (SELECT DISTINCT s AS src, o AS dst FROM pl WHERE s <> o),
+adj AS MATERIALIZED (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+  FROM e
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src),
+w0 AS MATERIALIZED (
+  SELECT s.src AS start, gi AS walk_id, s.src AS node
+  FROM (SELECT DISTINCT src FROM e) s,
+       LATERAL unnest(generate_series(0, {walks - 1})) AS g(gi)
+)
+"""
+    parts = [header.strip()]
+    for t in range(1, walk_length + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT w.start, w.walk_id, adj.dst AS node
+  FROM w{t-1} w
+  JOIN deg ON w.node = deg.src
+  JOIN adj ON adj.src = w.node
+   AND adj.rk = CAST('0x' || substr(
+         md5(w.node || '|' || CAST(w.walk_id AS VARCHAR) || '|{t-1}'),
+         1, 8) AS BIGINT) % deg.d
+)""")
+    selects = [
+        f"SELECT start, walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(walk_length + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+ORACLE_RANDOM_WALKS = _random_walks_oracle_sql(3, 2)
+
+QUERIES.update({"random_walks": q_random_walks})
+ORACLES.update({"random_walks": ORACLE_RANDOM_WALKS})
+
+
+# --------------------------------------------------------------------------
+# functional_preds gate: owl:FunctionalProperty discovery
+# (operators/validation.functional_properties) over the labels+
+# page_ids+page_links slice — labels/page_ids come out functional,
+# page_links multi-valued. Oracle mirrors the two-level aggregation.
+# --------------------------------------------------------------------------
+
+
+def q_functional_preds(spark, sf_dir):
+    from ..operators.validation import functional_properties
+
+    return functional_properties(_lpp_quads(spark, sf_dir), threshold=0.99)
+
+
+ORACLE_FUNCTIONAL_PREDS = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+{_LPP_CTE.strip()},
+per AS (
+  SELECT pred, subj, count(DISTINCT obj) AS n_obj
+  FROM lpp GROUP BY pred, subj
+)
+SELECT pred, count(*) AS n_subjects,
+       CAST(sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       (count(*) - sum(CASE WHEN n_obj > 1 THEN 1 ELSE 0 END))
+         / count(*) >= 0.99 AS functional
+FROM per GROUP BY pred
+"""
+
+QUERIES.update({"functional_preds": q_functional_preds})
+ORACLES.update({"functional_preds": ORACLE_FUNCTIONAL_PREDS})

@@ -249,3 +249,34 @@ def test_kcore_peels_pendants(spark):
     assert kcore(edges, k=1).count() == 5
     # k=3 empties the graph
     assert kcore(edges, k=3).count() == 0
+
+
+def test_random_walks_deterministic(spark):
+    from distributed_extraction_framework_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    out = random_walks(edges, walk_length=3, walks_per_node=2).collect()
+    rows = {(r["start"], r["walk_id"], r["step"]): r["node"] for r in out}
+    # every start/walk has a step-0 row equal to the start
+    for s in ("a", "b", "c"):
+        for wid in (0, 1):
+            assert rows[(s, wid, 0)] == s
+    # d is a sink: never a start, and walks entering d stop there
+    assert not any(s == "d" for s, _, _ in rows)
+    # steps are contiguous: a step t>0 row implies a step t-1 row
+    for (s, wid, t) in rows:
+        if t > 0:
+            assert (s, wid, t - 1) in rows
+    # deterministic under repartitioning
+    again = random_walks(
+        edges.repartition(5), walk_length=3, walks_per_node=2
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # salted corpus differs
+    salted = random_walks(
+        edges, walk_length=3, walks_per_node=2, salt="x"
+    ).collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, out))

@@ -59,3 +59,23 @@ def test_conforming_kg_is_silent(spark, kg):
         validate_shapes(kg, [])
     with pytest.raises(ValueError):
         validate_shapes(kg, [Shape("empty", pred="p:id")])
+
+
+def test_functional_properties(spark, kg):
+    from distributed_extraction_framework_spark.operators.validation import (
+        functional_properties,
+    )
+
+    got = {r["pred"]: r for r in functional_properties(kg, 0.99).collect()}
+    # p:label: 2 subjects bear it (s3 has none); s2 is multi-valued
+    assert got["p:label"]["n_subjects"] == 2
+    assert got["p:label"]["n_multi"] == 1
+    assert got["p:label"]["functional"] is False
+    assert got["p:id"]["functional"] is True
+    # a permissive threshold flips the verdict
+    loose = {r["pred"]: r["functional"]
+             for r in functional_properties(kg, 0.5).collect()}
+    assert loose["p:label"] is True
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        functional_properties(kg, 0.0)
