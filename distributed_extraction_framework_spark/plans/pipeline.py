@@ -56,6 +56,9 @@ class PipelineConfig:
     # K1: multi-format export fan-out after the final stage, e.g.
     # {"nt.gz": "n-triples", "tql.gz": "n-quads"} (suffix → codec)
     output_formats: dict | None = None
+    # SHACL-lite publish gate: validation.Shape list; violations land in a
+    # resumable `violations` stage (error-sized, never corpus-sized)
+    shapes: list | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -236,6 +239,18 @@ class Pipeline:
                                     partition_by=part_cols)
 
         outputs: dict[str, DataFrame] = {"quads": final}
+
+        # publish-gate validation over the final quads (SHACL-core subset);
+        # a stage like any other: fingerprint-keyed, resumed, lineage-rowed
+        if self.cfg.shapes:
+            def build_violations() -> DataFrame:
+                from ..operators.validation import validate_shapes
+
+                return validate_shapes(final, self.cfg.shapes)
+
+            outputs["violations"] = self._run_stage(
+                "violations", fp, build_violations
+            )
 
         if self.cfg.link_entities:
             def build_links() -> DataFrame:

@@ -370,3 +370,29 @@ def test_sink_marker_lines(spark, pages_df, tmp_path):
         return out
 
     assert data_lines(out_nt) == data_lines(out_plain)
+
+
+def test_pipeline_validation_stage(spark, pages_df, tmp_path):
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.operators.validation import Shape
+
+    wh = str(tmp_path / "wh_shapes")
+    shapes = [Shape(
+        "label-card", pred=S.RDFS_LABEL, target_pred=S.DBO_WIKI_PAGE_ID,
+        min_count=1, max_count=1,
+    )]
+    out = run_pipeline(spark, pages_df, wh, link_entities=False,
+                       canonicalize=False, shapes=shapes)
+    v = out["violations"]
+    assert set(v.columns) == {"shape", "rule", "subj", "detail"}
+    n1 = v.count()
+    lineage = spark.read.parquet(wh + "/lineage")
+    assert lineage.filter(F.col("stage") == "violations").count() >= 1
+    # resume reuses the stage
+    out2 = run_pipeline(spark, pages_df, wh, link_entities=False,
+                        canonicalize=False, shapes=shapes)
+    assert out2["violations"].count() == n1
+    runs = spark.read.parquet(wh + "/lineage").filter(
+        F.col("stage") == "violations"
+    ).select("run_id").distinct().count()
+    assert runs == 1
