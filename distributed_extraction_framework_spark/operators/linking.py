@@ -760,3 +760,55 @@ def anchor_priors(
         )
         .where(F.col("n") >= min_count)
     )
+
+
+def fuzzy_label_match(
+    cands: DataFrame,
+    labels: DataFrame,
+    max_dist: int = 2,
+    cand_col: str = "name",
+    label_col: str = "label",
+) -> DataFrame:
+    """Edit-distance entity resolution: external names ⋈ KG labels with
+    ``levenshtein ≤ max_dist`` → ``(name, label, dist)``.
+
+    NEVER a cartesian: candidates explode into the ``max_dist``-wide
+    band of admissible label lengths (edit distance ≥ length gap), and
+    the join is an EQUI-join on (first-char block, exact length) — the
+    levenshtein verify runs only inside blocks. The first-character
+    block is the standard recall trade of blocked matching (documented:
+    a typo in position 0 crosses blocks); the length band is exact.
+    Candidate fan-out is 2·max_dist+1 rows each — corpus-scale-safe.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0: {max_dist}")
+    c = cands.select(F.col(cand_col).alias("name")).where(
+        F.length("name") > 0
+    ).distinct()
+    l = labels.select(F.col(label_col).alias("label")).where(
+        F.length("label") > 0
+    ).distinct()
+    c_k = c.select(
+        "name",
+        F.lower(F.substring("name", 1, 1)).alias("blk"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("name") - max_dist, F.lit(1)),
+                F.length("name") + max_dist,
+            )
+        ).alias("tlen"),
+    )
+    l_k = l.select(
+        "label",
+        F.lower(F.substring("label", 1, 1)).alias("blk"),
+        F.length("label").alias("tlen"),
+    )
+    return (
+        c_k.join(l_k, ["blk", "tlen"])
+        .select(
+            "name",
+            "label",
+            F.levenshtein("name", "label").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+    )

@@ -4071,3 +4071,50 @@ FROM per GROUP BY pred
 
 QUERIES.update({"functional_preds": q_functional_preds})
 ORACLES.update({"functional_preds": ORACLE_FUNCTIONAL_PREDS})
+
+
+# --------------------------------------------------------------------------
+# fuzzy_match gate: blocked edit-distance entity resolution
+# (operators/linking.fuzzy_label_match) — lowercase doc-title variants
+# vs the extracted rdfs:labels, levenshtein <= 2 inside (first-char,
+# length-band) blocks. Oracle mirrors the banding and DuckDB's
+# levenshtein (same classic DP definition).
+# --------------------------------------------------------------------------
+
+
+def q_fuzzy_match(spark, sf_dir):
+    from ..operators.linking import fuzzy_label_match
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = docs.select(
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")).alias("name")
+    )
+    labels = extractor_df(_pages(spark, sf_dir), "labels").select(
+        F.col("obj").alias("label")
+    )
+    return fuzzy_label_match(cands, labels, max_dist=2)
+
+
+ORACLE_FUZZY_MATCH = f"""
+{_oracle_pages()},
+cands AS (SELECT DISTINCT 'doc ' || CAST(doc_id AS VARCHAR) AS name FROM documents),
+labs AS (
+  SELECT DISTINCT replace(title, '_', ' ') AS label
+  FROM pages WHERE doc_id % 17 <> 3
+),
+ck AS (
+  SELECT name, lower(substr(name, 1, 1)) AS blk, tlen
+  FROM cands, LATERAL unnest(generate_series(
+    greatest(length(name) - 2, 1), length(name) + 2)) AS g(tlen)
+),
+lk AS (
+  SELECT label, lower(substr(label, 1, 1)) AS blk, length(label) AS tlen
+  FROM labs
+)
+SELECT name, label, levenshtein(name, label) AS dist
+FROM ck JOIN lk USING (blk, tlen)
+WHERE levenshtein(name, label) <= 2
+"""
+
+QUERIES.update({"fuzzy_match": q_fuzzy_match})
+ORACLES.update({"fuzzy_match": ORACLE_FUZZY_MATCH})

@@ -181,3 +181,24 @@ def test_anchor_priors_commonness(spark):
     assert got[("paris #history", "Paris")] == (1, 1.0)
     assert all(t != "Category:Cities" and not t.startswith("de:")
                for _, t in got)
+
+
+def test_fuzzy_label_match_blocked(spark):
+    from distributed_extraction_framework_spark.operators.linking import (
+        fuzzy_label_match,
+    )
+
+    cands = spark.createDataFrame(
+        [("Pariss",), ("Berlin",), ("Xyz",), ("berlin",)], "name string"
+    )
+    labels = spark.createDataFrame(
+        [("Paris",), ("Berlin",), ("Berlina",)], "label string"
+    )
+    got = {(r["name"], r["label"]): r["dist"]
+           for r in fuzzy_label_match(cands, labels, max_dist=2).collect()}
+    assert got[("Pariss", "Paris")] == 1
+    assert got[("Berlin", "Berlin")] == 0
+    assert got[("Berlin", "Berlina")] == 1
+    # same block (lowercased first char), case counts as one edit
+    assert got[("berlin", "Berlin")] == 1
+    assert not any(n == "Xyz" for n, _ in got)
