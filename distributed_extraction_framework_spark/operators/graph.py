@@ -292,28 +292,38 @@ def bfs_distances(
     if isinstance(sources, list):
         sources = spark.createDataFrame([(s,) for s in sources], "uri string")
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    visited = (
+    frontier = (
         sources.select(F.col(sources.columns[0]).alias("uri"))
         .distinct()
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    # visited = the lazy union of the per-level frontiers, each already
+    # materialized by its own round's checkpoint — re-checkpointing the
+    # whole visited set every level (a second action per round, O(V·depth)
+    # rewrite) buys nothing the union of checkpointed pieces doesn't give
+    levels = [frontier]
     for level in range(1, max_iter + 1):
+        visited_uris = levels[0].select("uri")
+        for piece in levels[1:]:
+            visited_uris = visited_uris.unionByName(piece.select("uri"))
         obs = Observation()
         frontier = (
             frontier.join(e, frontier["uri"] == e["src"])
             .select(F.col("dst").alias("uri"))
             .distinct()
-            .join(visited.select("uri"), "uri", "left_anti")
+            .join(visited_uris, "uri", "left_anti")
             .withColumn("dist", F.lit(level))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .localCheckpoint(eager=True)
         )
         if int(obs.get["rows"] or 0) == 0:
             break
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
-    return visited
+        levels.append(frontier)
+    out = levels[0]
+    for piece in levels[1:]:
+        out = out.unionByName(piece)
+    return out
 
 
 def cocitation_pmi(
