@@ -227,6 +227,7 @@ def main() -> None:
         "random_walks", lambda: _sink(Q.q_random_walks(spark, SF_DIR))
     )
     timed_extra("fuzzy_match", lambda: _sink(Q.q_fuzzy_match(spark, SF_DIR)))
+    timed_extra("rdfs_entail", lambda: _sink(Q.q_rdfs_entail(spark, SF_DIR)))
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -4118,3 +4118,54 @@ WHERE levenshtein(name, label) <= 2
 
 QUERIES.update({"fuzzy_match": q_fuzzy_match})
 ORACLES.update({"fuzzy_match": ORACLE_FUZZY_MATCH})
+
+
+# --------------------------------------------------------------------------
+# rdfs_entail gate: minimal-RDFS (ρdf) forward entailment
+# (operators/reasoning.rdfs_entailment) over the page-links triples
+# with an inline ontology — sub-property application, domain/range
+# typing, transitive subclass lifting. Oracle expands the same rules by
+# hand in SQL (the ontology is constant, so each rule is one SELECT).
+# --------------------------------------------------------------------------
+
+_DCT_REL = "http://purl.org/dc/terms/relation"
+_DOC_CLS = f"{S.ONTOLOGY}Document"
+_THING = "http://www.w3.org/2002/07/owl#Thing"
+
+
+def q_rdfs_entail(spark, sf_dir):
+    from ..operators.reasoning import rdfs_entailment
+
+    links = extractor_df(_pages(spark, sf_dir), "page_links")
+    subprop = spark.createDataFrame(
+        [(S.DBO_WIKI_LINK, _DCT_REL)], "src string, dst string"
+    )
+    subclass = spark.createDataFrame(
+        [(_DOC_CLS, _THING)], "src string, dst string"
+    )
+    dr = spark.createDataFrame(
+        [(S.DBO_WIKI_LINK, _DOC_CLS)], "prop string, cls string"
+    )
+    return rdfs_entailment(
+        links, subclass=subclass, subprop=subprop, domains=dr, ranges=dr
+    )
+
+
+ORACLE_RDFS_ENTAIL = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()}
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT s AS subj, '{_DCT_REL}' AS pred, o AS obj FROM pl
+  UNION ALL
+  SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', '{_DOC_CLS}' FROM pl
+  UNION ALL
+  SELECT o, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', '{_DOC_CLS}' FROM pl
+  UNION ALL
+  SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', '{_THING}' FROM pl
+  UNION ALL
+  SELECT o, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', '{_THING}' FROM pl
+)
+"""
+
+QUERIES.update({"rdfs_entail": q_rdfs_entail})
+ORACLES.update({"rdfs_entail": ORACLE_RDFS_ENTAIL})
