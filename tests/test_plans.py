@@ -237,3 +237,71 @@ def test_bgp_scalar_subquery_is_one_row_broadcast(spark):
     # unaggregated scans would be the scale bug this test guards against
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial+final global agg
+
+
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    """Doc-local diagnostics must never shuffle: the whole computation is
+    one projection (sorted-array run-length expressions), no explode →
+    groupBy round trip."""
+    from distributed_extraction_framework_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = _plan(repetition_stats(docs))
+    assert "Exchange" not in plan
+
+
+def test_decontamination_plan_broadcasts_probes(spark):
+    """The corpus side must not be globally distinct-shuffled (per-doc
+    dedup is in-projection); the probe shingles join as a broadcast."""
+    from distributed_extraction_framework_spark.operators.curation import (
+        ngram_collisions,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z a b c d e f") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(ngram_collisions(docs, docs.filter(F.col("doc_id") < 2), n=3))
+    assert "BroadcastHashJoin" in plan
+    # exactly the collision groupBy (+AQE reads) may shuffle — no
+    # corpus-wide distinct exchange on (doc, shingle) strings
+    assert "CartesianProduct" not in plan
+
+
+def test_cocitation_and_fuzzy_match_never_cartesian(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        cocitation_pmi,
+    )
+    from distributed_extraction_framework_spark.operators.linking import (
+        fuzzy_label_match,
+    )
+
+    edges = spark.createDataFrame(
+        [("p1", "A"), ("p1", "B"), ("p2", "A"), ("p2", "B")],
+        "src string, dst string",
+    )
+    assert "CartesianProduct" not in _plan(cocitation_pmi(edges, min_count=1))
+    c = spark.createDataFrame([("abc",)], "name string")
+    l = spark.createDataFrame([("abd",)], "label string")
+    plan = _plan(fuzzy_label_match(c, l, max_dist=2))
+    assert "CartesianProduct" not in plan
+    # the levenshtein verify runs AFTER the (block, length) equi-join
+    assert "levenshtein" in plan.lower()
+
+
+def test_rdfs_entailment_rules_are_broadcast_joins(spark):
+    from distributed_extraction_framework_spark.operators.reasoning import (
+        rdfs_entailment,
+    )
+
+    quads = spark.createDataFrame(
+        [("a", "p", "b")], "subj string, pred string, obj string"
+    )
+    dom = spark.createDataFrame([("p", "C")], "prop string, cls string")
+    sc = spark.createDataFrame([("C", "D")], "src string, dst string")
+    plan = _plan(rdfs_entailment(quads, subclass=sc, domains=dom))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
