@@ -768,9 +768,16 @@ def fuzzy_label_match(
     max_dist: int = 2,
     cand_col: str = "name",
     label_col: str = "label",
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Edit-distance entity resolution: external names ⋈ KG labels with
     ``levenshtein ≤ max_dist`` → ``(name, label, dist)``.
+
+    ``verify_partitions``: when the label side broadcasts, verify
+    parallelism equals the CANDIDATE side's partition count — a
+    single-file local input serializes millions of DP evals into one
+    task. Set it (e.g. to the core count) to round-robin the candidates
+    first; a corpus-scale input has enough splits naturally.
 
     NEVER a cartesian: candidates explode into the ``max_dist``-wide
     band of admissible label lengths (edit distance ≥ length gap), and
@@ -798,17 +805,26 @@ def fuzzy_label_match(
             )
         ).alias("tlen"),
     )
+    if (
+        verify_partitions
+        and c_k.rdd.getNumPartitions() < verify_partitions
+    ):
+        c_k = c_k.repartition(verify_partitions)
     l_k = l.select(
         "label",
         F.lower(F.substring("label", 1, 1)).alias("blk"),
         F.length("label").alias("tlen"),
     )
+    # thresholded levenshtein (Spark 3.5+): the DP early-exits once a row
+    # exceeds max_dist (returns -1), which is the difference between O(n·k)
+    # and O(n·m) per pair — decisive inside skewed blocks where one hot
+    # first-char key carries millions of candidate pairs
     return (
         c_k.join(l_k, ["blk", "tlen"])
         .select(
             "name",
             "label",
-            F.levenshtein("name", "label").alias("dist"),
+            F.levenshtein("name", "label", max_dist).alias("dist"),
         )
-        .where(F.col("dist") <= max_dist)
+        .where(F.col("dist") >= 0)
     )

@@ -4092,7 +4092,10 @@ def q_fuzzy_match(spark, sf_dir):
     labels = extractor_df(_pages(spark, sf_dir), "labels").select(
         F.col("obj").alias("label")
     )
-    return fuzzy_label_match(cands, labels, max_dist=2)
+    return fuzzy_label_match(
+        cands, labels, max_dist=2,
+        verify_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 ORACLE_FUZZY_MATCH = f"""
