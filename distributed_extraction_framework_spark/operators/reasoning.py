@@ -28,11 +28,41 @@ from .graph import reachability
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
+_DRIVER_CLOSURE_ROWS = 100_000
+
+
 def _closure(edges: DataFrame | None) -> DataFrame | None:
-    """Transitive closure of a schema-sized (src, dst) relation."""
+    """Transitive closure of a schema-sized (src, dst) relation.
+
+    Ontology relations are thousands of rows against a 10^12-triple
+    corpus, so up to ``_DRIVER_CLOSURE_ROWS`` the closure runs ON THE
+    DRIVER (a bounded collect — the same budget the broadcast to
+    executors needs anyway) instead of paying reachability's per-round
+    jobs; bigger relations fall back to the distributed repeated
+    squaring."""
     if edges is None:
         return None
-    return reachability(edges.select("src", "dst"))
+    e = edges.select("src", "dst").distinct()
+    rows = e.limit(_DRIVER_CLOSURE_ROWS + 1).collect()
+    if len(rows) > _DRIVER_CLOSURE_ROWS:
+        return reachability(e)
+    adj: dict[str, set[str]] = {}
+    for r in rows:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    out = []
+    for start in adj:
+        seen: set[str] = set()
+        stack = list(adj[start])
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, ()))
+        seen.discard(start)
+        out.extend((start, v) for v in seen)
+    spark = edges.sparkSession
+    return spark.createDataFrame(out or [], "src string, dst string")
 
 
 def rdfs_entailment(
