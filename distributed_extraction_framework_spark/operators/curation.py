@@ -77,11 +77,7 @@ def ngram_collisions(
     ``min_parallelism``: same small-split escape hatch as
     :func:`repetition_stats` (shingling is CPU-heavy per row).
     """
-    if (
-        min_parallelism
-        and corpus.rdd.getNumPartitions() < min_parallelism
-    ):
-        corpus = corpus.repartition(min_parallelism)
+    corpus = _fan_out(corpus, min_parallelism)
     c = shingle_df(corpus, n, id_col, text_col)
     p = shingle_df(probes, n, id_col, text_col).select("shingle").distinct()
     return (
@@ -89,6 +85,18 @@ def ngram_collisions(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_collisions"))
     )
+
+
+def _fan_out(df: DataFrame, min_parallelism: int | None) -> DataFrame:
+    """Small-split escape hatch for CPU-heavy projections: round-robin
+    repartition when the input has fewer splits than requested. No-op on
+    streaming inputs (micro-batch sizing governs there) and at corpus
+    scale (plenty of splits; leave min_parallelism None)."""
+    if not min_parallelism or df.isStreaming:
+        return df
+    if df.rdd.getNumPartitions() < min_parallelism:
+        return df.repartition(min_parallelism)
+    return df
 
 
 def _max_multiplicity(arr: Column) -> Column:
@@ -139,8 +147,7 @@ def repetition_stats(
     table always has plenty), opt into one round-robin repartition to
     fan the compute out; leave None at scale.
     """
-    if min_parallelism and docs.rdd.getNumPartitions() < min_parallelism:
-        docs = docs.repartition(min_parallelism)
+    docs = _fan_out(docs, min_parallelism)
     toks = _token_array(F.col(text_col))
     bigrams = shingle_array(F.col(text_col), 2)
     r = F.round
@@ -183,31 +190,36 @@ def gopher_filter(
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """The composite keep/drop decision a curation pipeline actually
-    runs (Gopher §A1.1-style rules over :func:`repetition_stats`) →
+    runs (Gopher §A1.1-style rules over the repetition diagnostics) →
     ``(id_col, verdict)`` with verdict ∈ {keep, too_short, too_long,
     low_diversity, repetitive} — FIRST failing rule wins, in that order.
 
-    Every input document gets a row (token-less documents are
-    ``too_short``, via a left join against the stats — they are absent
-    from the aggregation). Same plan shape as repetition_stats plus one
-    broadcast-sized left join back to the id column; the verdict itself
-    is a CASE expression, no extra pass.
+    ONE projection, no join, no shuffle: the diagnostics are inlined as
+    the same sorted-array run-length expressions as
+    :func:`repetition_stats` (rounded to the same 4 dp, so thresholds
+    agree with the published stats) and the verdict is a CASE on top.
+    Token-less documents get ``too_short``. Because the plan is a
+    stateless projection it runs UNCHANGED under ``readStream`` —
+    streaming corpus admission control for free.
     """
-    stats = repetition_stats(
-        docs, id_col, text_col, min_parallelism=min_parallelism
+    docs = _fan_out(docs, min_parallelism)
+    toks = _token_array(F.col(text_col))
+    bigrams = shingle_array(F.col(text_col), 2)
+    n_tokens = F.coalesce(F.size(toks), F.lit(0))
+    distinct_ratio = F.round(
+        F.try_divide(F.size(F.array_distinct(toks)), n_tokens), 4
+    )
+    top_bigram_frac = F.coalesce(
+        F.round(
+            F.try_divide(_max_multiplicity(bigrams), F.size(bigrams)), 4
+        ),
+        F.lit(0.0),
     )
     verdict = (
-        F.when(
-            F.coalesce(F.col("n_tokens"), F.lit(0)) < min_tokens,
-            "too_short",
-        )
-        .when(F.col("n_tokens") > max_tokens, "too_long")
-        .when(F.col("distinct_ratio") < min_distinct_ratio, "low_diversity")
-        .when(F.col("top_bigram_frac") > max_top_bigram_frac, "repetitive")
+        F.when(n_tokens < min_tokens, "too_short")
+        .when(n_tokens > max_tokens, "too_long")
+        .when(distinct_ratio < min_distinct_ratio, "low_diversity")
+        .when(top_bigram_frac > max_top_bigram_frac, "repetitive")
         .otherwise("keep")
     )
-    return (
-        docs.select(id_col)
-        .join(stats, id_col, "left")
-        .select(id_col, verdict.alias("verdict"))
-    )
+    return docs.select(F.col(id_col), verdict.alias("verdict"))

@@ -4172,3 +4172,40 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 QUERIES.update({"rdfs_entail": q_rdfs_entail})
 ORACLES.update({"rdfs_entail": ORACLE_RDFS_ENTAIL})
+
+
+# --------------------------------------------------------------------------
+# stream_gopher gate: the gopher_filter projection run UNCHANGED under
+# readStream (parquet source, maxFilesPerTrigger=1 → genuinely
+# incremental micro-batches, memory sink driven to completion) — gated
+# against the SAME batch oracle, so streaming admission control is
+# hash-exact, not rows-only.
+# --------------------------------------------------------------------------
+
+
+def q_stream_gopher(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    from ..operators.curation import gopher_filter
+    from ..streaming.events import run_to_memory
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="defs_stream_docs_")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = gopher_filter(
+        sdf, min_tokens=30, min_distinct_ratio=0.35,
+        max_top_bigram_frac=0.06,
+    )
+    name = f"defs_stream_gopher_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name)
+    return spark.table(name)
+
+
+QUERIES.update({"stream_gopher": q_stream_gopher})
+ORACLES.update({"stream_gopher": ORACLE_GOPHER_FILTER})
