@@ -216,26 +216,25 @@ def minhash_lsh_pairs(
     ).select("id", "minhash", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    # jaccard_est is computed BEFORE the candidate dedup so the
+    # dropDuplicates exchange ships 3 scalars per row, not two
+    # num_hashes-element signature arrays (~1 KB/row at 64 hashes)
+    agree = F.size(
+        F.filter(
+            F.zip_with("a.minhash", "b.minhash", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
         a.join(b, ["band", "bucket"], "inner")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
+            (agree / F.lit(num_hashes)).alias("jaccard_est"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
-        )
-    )
-    return (
-        cands.withColumn("jaccard_est", agree / F.lit(num_hashes))
         .filter(F.col("jaccard_est") >= threshold)
-        .select("id_a", "id_b", "jaccard_est")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

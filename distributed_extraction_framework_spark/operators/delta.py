@@ -31,7 +31,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-QUAD_KEY = ("subj", "pred", "obj", "lang")
+QUAD_KEY = ("subj", "pred", "obj", "lang", "datatype")
 # full identity of an extracted quad (QUAD_COLS minus context, which
 # carries per-run provenance fragments)
 EXTRACT_KEY = ("dataset", "subj", "pred", "obj", "lang", "datatype")
@@ -49,7 +49,15 @@ def quad_diff(
     modified quad appears as one removed + one added row, matching the
     DBpedia release-diff convention. Duplicates within a snapshot are
     collapsed (set semantics).
+
+    The DEFAULT key includes ``datatype`` so a datatype-only change
+    ("42"^^xsd:integer → "42"^^xsd:double) is visible; when the
+    snapshots don't carry some default-key column the default adapts to
+    the columns present. An explicitly passed ``key`` is strict —
+    missing columns raise.
     """
+    if key is QUAD_KEY:
+        key = [k for k in key if k in old.columns and k in new.columns]
     cols = list(key)
     tagged = (
         old.select(*cols).withColumn("_side", F.lit(1))

@@ -717,10 +717,15 @@ def anchor_priors(
     prior table joins cleanly against the extracted link graph.
 
     Plan: one scan (redirect pages filtered by content, no Python) →
-    explode → one groupBy on (anchor, target); the per-anchor total is
-    a window over ``anchor`` — a prefix of the groupBy key, so AQE
-    coalesces rather than re-shuffles hot anchors. Output is
-    vocabulary-sized, not corpus-sized.
+    explode → one groupBy on (anchor, target), then a window over
+    ``anchor`` for the per-anchor total. The window costs a SECOND
+    exchange — hash-partitioning on the composite (anchor, target) key
+    scatters equal anchors, so Catalyst cannot reuse the groupBy's
+    partitioning (a key prefix is NOT a satisfying distribution for
+    hash exchanges). That exchange moves vocabulary-sized data
+    (post-aggregation counts, 3 scalar columns), not the corpus, so it
+    is left as-is; if it ever mattered, compute per-anchor totals as a
+    separate groupBy("anchor") aggregate and broadcast-join them back.
     """
     from ..functions import wikitext as W
     from .extractors import base_norm, ucfirst

@@ -79,7 +79,10 @@ def rdfs_entailment(
     * ``subclass`` / ``subprop``: (src, dst) edges, closed transitively
       here (rdfs11/rdfs5);
     * ``domains`` / ``ranges``: (prop, cls) rows — rdfs2: subjects of
-      ``prop`` are typed ``cls``; rdfs3: objects of ``prop`` are;
+      ``prop`` are typed ``cls``; rdfs3: objects of ``prop`` are.
+      rdfs3 applies only to RESOURCE objects: when the input carries
+      ``datatype``/``lang`` columns, literal-valued rows are excluded
+      (a literal can never be the subject of an rdf:type triple);
     * rdfs7: a triple with pred p entails the same triple under every
       super-property of p;
     * rdfs9: every asserted or derived ``rdf:type C`` lifts to all
@@ -87,7 +90,15 @@ def rdfs_entailment(
     """
     if all(x is None for x in (subclass, subprop, domains, ranges)):
         raise ValueError("no ontology relations given")
-    base = quads.select("subj", "pred", "obj")
+    cols = set(quads.columns)
+    is_lit = F.lit(False)
+    if "datatype" in cols:
+        is_lit = is_lit | F.col("datatype").isNotNull()
+    if "lang" in cols:
+        is_lit = is_lit | F.col("lang").isNotNull()
+    # __lit rides along so rdfs3 (range) can skip literal objects even on
+    # triples re-predicated by rdfs7 — literalness is per-row, not per-pred
+    base = quads.select("subj", "pred", "obj", is_lit.alias("__lit"))
     derived: list[DataFrame] = []
 
     spc = _closure(subprop)
@@ -95,9 +106,9 @@ def rdfs_entailment(
     if spc is not None:
         via_sp = (
             base.join(F.broadcast(spc), base["pred"] == spc["src"])
-            .select("subj", F.col("dst").alias("pred"), "obj")
+            .select("subj", F.col("dst").alias("pred"), "obj", "__lit")
         )
-        derived.append(via_sp)
+        derived.append(via_sp.select("subj", "pred", "obj"))
         expanded = base.unionByName(via_sp)
 
     typed: list[DataFrame] = []
@@ -113,10 +124,11 @@ def rdfs_entailment(
             )
         )
     if ranges is not None:
+        res_obj = expanded.where(~F.col("__lit"))
         typed.append(
-            expanded.join(
+            res_obj.join(
                 F.broadcast(ranges.select("prop", "cls")),
-                expanded["pred"] == F.col("prop"),
+                res_obj["pred"] == F.col("prop"),
             ).select(
                 F.col("obj").alias("subj"),
                 F.lit(RDF_TYPE).alias("pred"),
@@ -128,7 +140,9 @@ def rdfs_entailment(
     scc = _closure(subclass)
     if scc is not None:
         # asserted types + freshly derived ones both lift (rdfs9)
-        all_types = base.where(F.col("pred") == RDF_TYPE)
+        all_types = base.where(F.col("pred") == RDF_TYPE).select(
+            "subj", "pred", "obj"
+        )
         for t in typed:
             all_types = all_types.unionByName(t)
         derived.append(

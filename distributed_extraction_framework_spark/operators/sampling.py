@@ -126,11 +126,21 @@ def dense_index(df: DataFrame, col: str, partitions: int = 64) -> DataFrame:
     partition prefix-sum offsets (a P-row driver payload). Result is
     bit-identical to the global window because range partitions tile
     the value order.
+
+    The pid↔content assignment is PINNED with an eager
+    ``localCheckpoint`` before anything is collected: RangePartitioner
+    samples its boundaries with a per-RDD seed, so re-executing the
+    un-materialized plan in a second job (the counts collect vs the
+    windowed consumer) can land rows in different partitions and break
+    the prefix sums. Checkpointing once makes both jobs read the same
+    physical partitions.
     """
     from pyspark.sql import Window
 
     vals = df.select(F.col(col)).distinct().repartitionByRange(partitions, col)
-    with_pid = vals.withColumn("__pid", F.spark_partition_id())
+    with_pid = vals.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["cnt"]
         for r in with_pid.groupBy("__pid").agg(
@@ -239,7 +249,9 @@ def mixture_sample(
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {g!r} must be in [0, 1]: {f}")
     if not 0.0 <= default_fraction <= 1.0:
-        raise ValueError(f"default_fraction must be in [0, 1]")
+        raise ValueError(
+            f"default_fraction must be in [0, 1]: {default_fraction}"
+        )
     frac = F.lit(float(default_fraction))
     expr = None
     for g, f in sorted(fractions.items()):

@@ -3043,7 +3043,8 @@ links_{n} AS (
 ), lnk_{n} AS (
   SELECT DISTINCT '{res}' || title AS subj, '{pred}' AS pred,
          '{res}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS obj,
-         CAST(NULL AS VARCHAR) AS lang
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS VARCHAR) AS datatype
   FROM t_{n}
   WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
     AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
@@ -3061,12 +3062,14 @@ newp AS (
 ),
 lbl_old AS (
   SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
-         replace(title, '_', ' ') AS obj, lang
+         replace(title, '_', ' ') AS obj, lang,
+         '{S.RDF_LANGSTRING}' AS datatype
   FROM pages WHERE {_MAIN}
 ),
 lbl_new AS (
   SELECT '{RES}' || title AS subj, '{S.RDFS_LABEL}' AS pred,
-         replace(title, '_', ' ') AS obj, lang
+         replace(title, '_', ' ') AS obj, lang,
+         '{S.RDF_LANGSTRING}' AS datatype
   FROM newp WHERE {_MAIN}
 ),
 """
@@ -3078,13 +3081,15 @@ lbl_new AS (
     + """,
 old_q AS (SELECT * FROM lbl_old UNION ALL SELECT * FROM lnk_old),
 new_q AS (SELECT * FROM lbl_new UNION ALL SELECT * FROM lnk_new)
-SELECT 'removed' AS change, subj, pred, obj, lang FROM
-  (SELECT subj, pred, obj, lang FROM old_q
-   EXCEPT SELECT subj, pred, obj, lang FROM new_q)
+-- QUAD_KEY now carries datatype (ADVICE r4: datatype-only changes must
+-- be visible): labels are rdf:langString, link quads NULL
+SELECT 'removed' AS change, subj, pred, obj, lang, datatype FROM
+  (SELECT subj, pred, obj, lang, datatype FROM old_q
+   EXCEPT SELECT subj, pred, obj, lang, datatype FROM new_q)
 UNION ALL
-SELECT 'added' AS change, subj, pred, obj, lang FROM
-  (SELECT subj, pred, obj, lang FROM new_q
-   EXCEPT SELECT subj, pred, obj, lang FROM old_q)
+SELECT 'added' AS change, subj, pred, obj, lang, datatype FROM
+  (SELECT subj, pred, obj, lang, datatype FROM new_q
+   EXCEPT SELECT subj, pred, obj, lang, datatype FROM old_q)
 """
 )
 

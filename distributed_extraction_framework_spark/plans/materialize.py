@@ -96,10 +96,16 @@ def _write_marked_text(
     head = [f"# started {started_ts}"] + list(file_header or [])
 
     def mark(batches):
+        from datetime import datetime, timezone
+
         yield pd.DataFrame({"line": head})
         for pdf in batches:
             yield pdf[["line"]]
-        yield pd.DataFrame({"line": [f"# completed {started_ts}"]})
+        # footer stamped AT COMPLETION (after the task drained its
+        # batches), per the reference protocol — staleness/duration
+        # tooling reads completed-minus-started
+        done = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+        yield pd.DataFrame({"line": [f"# completed {done}"]})
 
     for ds in datasets:
         one = lines.filter(F.col("dataset") == ds)

@@ -98,3 +98,29 @@ def test_quad_diff_single_shuffle_plan(spark):
     # union + partial/final hash aggregate: exactly ONE exchange, vs the
     # four a double anti-join formulation would pay
     assert plan.count("Exchange") == 1
+
+
+def test_quad_diff_datatype_in_default_key(spark):
+    """Regression (ADVICE r4): a datatype-only change ("42"^^xsd:integer
+    → "42"^^xsd:double) must surface under the DEFAULT key; snapshots
+    lacking the datatype column still work (default adapts), and an
+    explicit key remains strict."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    cols = "subj string, pred string, obj string, lang string, datatype string"
+    old = spark.createDataFrame([("a", "p", "42", None, "xsd:integer")], cols)
+    new = spark.createDataFrame([("a", "p", "42", None, "xsd:double")], cols)
+    got = {tuple(r) for r in quad_diff(old, new).collect()}
+    assert got == {
+        ("removed", "a", "p", "42", None, "xsd:integer"),
+        ("added", "a", "p", "42", None, "xsd:double"),
+    }
+    # default adapts when snapshots carry no datatype column
+    nar = "subj string, pred string, obj string, lang string"
+    old4 = spark.createDataFrame([("a", "p", "1", None)], nar)
+    new4 = spark.createDataFrame([("a", "p", "2", None)], nar)
+    assert quad_diff(old4, new4).count() == 2
+    # explicit key is strict: missing column raises
+    with pytest.raises(AnalysisException):
+        quad_diff(old4, new4, key=("subj", "pred", "obj", "datatype")).collect()

@@ -353,7 +353,9 @@ def test_sink_marker_lines(spark, pages_df, tmp_path):
         for pf in parts(base):
             txt = [ln for ln in open(pf).read().splitlines() if ln]
             assert txt[0] == f"# started {ts}", pf
-            assert txt[-1] == f"# completed {ts}", pf
+            # footer carries the COMPLETION time (stamped at write), not
+            # the run-start ts — assert shape, not value
+            assert txt[-1].startswith("# completed 2"), pf
             n_checked += 1
     assert n_checked >= 4
 

@@ -157,6 +157,37 @@ def test_dense_index_matches_global_window(spark):
         == {"a": 0, "b": 1}
 
 
+def test_dense_index_bijective_at_scale(spark):
+    """Regression (ADVICE r4): RangePartitioner re-samples boundaries
+    per execution, so without pinning the pid↔content assignment the
+    counts-collect job and the windowed consumer job could disagree —
+    at 300k values the unpinned form produced duplicate and
+    out-of-range idx. The checkpointed form must be an exact
+    bijection onto 0..n-1 in lexicographic order."""
+    from distributed_extraction_framework_spark.operators.sampling import dense_index
+
+    n = 300_000
+    df = (
+        spark.range(n)
+        .selectExpr("md5(cast(id as string)) as u")  # unordered, distinct
+    )
+    out = dense_index(df, "u", partitions=64)
+    agg = out.selectExpr(
+        "count(*) as n_rows",
+        "count(distinct idx) as n_idx",
+        "min(idx) as mn",
+        "max(idx) as mx",
+    ).first()
+    assert (agg["n_rows"], agg["n_idx"], agg["mn"], agg["mx"]) == (
+        n, n, 0, n - 1,
+    )
+    # order preserved: idx comparison must match value comparison on a
+    # cross-partition sample
+    sample = out.filter("idx % 9973 = 0").orderBy("idx").collect()
+    us = [r["u"] for r in sample]
+    assert us == sorted(us)
+
+
 def test_negative_samples_deterministic_and_filtered(spark):
     from distributed_extraction_framework_spark.operators.sampling import (
         negative_samples,
