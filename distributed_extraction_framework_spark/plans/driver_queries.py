@@ -543,6 +543,20 @@ def q_entity_links(spark, sf_dir):
     return link_entities(pages, sf).select("subj", "surface", "obj", "n_mentions")
 
 
+def q_entity_links_unbounded(spark, sf_dir):
+    """Same links, UNBOUNDED-dictionary plan (VERDICT r4 #1): broadcast_rows=1
+    forces n_shards = n_surfaces > max_broadcast_shards, routing mention
+    detection through detect_mentions_distributed — one corpus pass, salted
+    gram-block equi-join against the distributed dictionary index,
+    window-local verify. Hash-compared to the SAME oracle as entity_links."""
+    pages = _pages(spark, sf_dir)
+    quads = extractor_df(pages, "labels")
+    sf = surface_forms_from_labels(quads)
+    return link_entities(pages, sf, broadcast_rows=1).select(
+        "subj", "surface", "obj", "n_mentions"
+    )
+
+
 def q_stateful_running_counts(spark, sf_dir):
     """Streaming applyInPandasWithState driven to completion; the final
     per-type totals equal a batch groupBy — that's the oracle."""
@@ -898,6 +912,7 @@ QUERIES = {
     "redirect_closure": q_redirect_closure,
     # linking + streaming
     "entity_links": q_entity_links,
+    "entity_links_unbounded": q_entity_links_unbounded,
     "stateful_running_counts": q_stateful_running_counts,
 }
 
@@ -930,6 +945,8 @@ ORACLES = {
     "redirect_closure": ORACLE_REDIRECT_CLOSURE,
     "stateful_running_counts": ORACLE_STATEFUL_RUNNING,
     "entity_links": ORACLE_ENTITY_LINKS,
+    # the unbounded-dictionary plan must emit byte-identical links
+    "entity_links_unbounded": ORACLE_ENTITY_LINKS,
     # minhash_near_dups / simhash_near_dups / winnowing_fingerprints /
     # lsh_ann gained hash-exact oracles in the fourth wave below (portable
     # md5-derived hashing recomputed in SQL)
