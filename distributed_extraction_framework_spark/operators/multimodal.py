@@ -13,8 +13,11 @@ Decode coverage is split honestly by what this container can do:
 * REAL video: uncompressed Y4M (YUV4MPEG2, C420/C444/Cmono) — header
   parse + per-FRAME ``np.frombuffer`` → per-frame Y/C planes, frame
   counts, frame extraction (``extract_video_frames``).
+* REAL PNG (VERDICT r4 #3): stdlib ``zlib`` inflate + numpy scanline
+  unfiltering (filters 0-4 incl. Paeth), 8-bit gray/RGB/RGBA,
+  non-interlaced — no external codec.
 * STUBBED (compressed codecs absent in this container — clearly marked):
-  jpeg/png/gif images, mp3/ogg audio, and compressed video (mp4/webm).
+  jpeg/gif images, mp3/ogg audio, and compressed video (mp4/webm).
   Those rows fall back to a deterministic digest feature with
   ``decoded = false`` so downstream can tell. Swapping in Pillow/librosa/
   pyav on a real cluster changes ``_decode_image``/``_decode_audio``/
@@ -28,6 +31,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -138,14 +142,134 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def _encode_png(img: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter-0 scanlines, STORED (uncompressed) zlib
+    blocks — so the encoded length has a CLOSED FORM the SQL oracle can
+    recompute: ``len = 68 + h*(1 + 3*w)`` while the raw scanline bytes
+    fit one stored block (≤ 65535; every fixture does)."""
+    h, w = img.shape[:2]
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    z = [b"\x78\x01"]  # zlib header, 32K window, no preset dict
+    pos = 0
+    while True:
+        block = raw[pos : pos + 65535]
+        last = pos + 65535 >= len(raw)
+        z.append(
+            bytes([1 if last else 0])
+            + struct.pack("<HH", len(block), 0xFFFF ^ len(block))
+            + block
+        )
+        pos += 65535
+        if last:
+            break
+    z.append(struct.pack(">I", zlib.adler32(raw)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"".join(z))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """8-bit non-interlaced PNG → HxWx3 uint8, via stdlib ``zlib``
+    inflate + scanline unfiltering (PNG spec §9 filters 0-4, incl.
+    Paeth). Gray expands ×3; RGBA drops alpha (features are RGB-space).
+    Palette / 16-bit / interlaced return None (digest fallback)."""
+    if payload[:8] != _PNG_SIG:
+        return None
+    try:
+        pos, w, h, ct, idat = 8, None, None, None, []
+        while pos + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                w, h, depth, ct, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or inter or comp or filt or ct not in (0, 2, 6):
+                    return None
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+        if not idat or not w or not h:
+            return None
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        raw = zlib.decompress(b"".join(idat))
+        stride = 1 + w * ch
+        if len(raw) < stride * h:
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(
+            h, stride
+        )
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        prev = np.zeros(w * ch, dtype=np.int32)
+        bpp = ch
+        for y in range(h):
+            f = int(rows[y, 0])
+            rec = rows[y, 1:].astype(np.int32)
+            if f == 0:
+                pass
+            elif f == 2:  # Up — vectorized
+                rec = (rec + prev) % 256
+            elif f == 1:  # Sub — sequential in x
+                for x in range(bpp, rec.size):
+                    rec[x] = (rec[x] + rec[x - bpp]) % 256
+            elif f == 3:  # Average
+                for x in range(rec.size):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    rec[x] = (rec[x] + (a + int(prev[x])) // 2) % 256
+            elif f == 4:  # Paeth
+                for x in range(rec.size):
+                    a = int(rec[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pr = a + b - c
+                    pa, pb, pc = abs(pr - a), abs(pr - b), abs(pr - c)
+                    best = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + best) % 256
+            else:
+                return None
+            prev = rec
+            out[y] = rec.astype(np.uint8)
+        img = out.reshape(h, w, ch)
+        if ct == 0:
+            return np.repeat(img, 3, axis=2)
+        if ct == 6:
+            return np.ascontiguousarray(img[:, :, :3])
+        return img
+    except (struct.error, ValueError, zlib.error):
+        return None
+
+
 def _decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes. Returns None for formats needing a real
-    codec (jpeg/png/...) — the caller falls back to the digest feature.
+    codec (jpeg/gif/...) — the caller falls back to the digest feature.
     Real impl for those on a cluster: PIL.Image.open(io.BytesIO(payload))."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     return None  # compressed codec not available in this container
 
 
@@ -570,9 +694,11 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
     """Deterministic media table whose content stats have CLOSED FORMS a
     SQL oracle can recompute (no randomness):
 
-    * i % 3 == 0 → image, cycling PPM / BMP / PGM by (i//3) % 3;
+    * i % 3 == 0 → image, cycling PPM / BMP / PGM / PNG by (i//3) % 4;
       w = 8 + i%5, h = 6 + i%7; RGB pixel(y,x,c) = (x*3 + y*5 + c*11 + i)
       % 256, PGM gray(y,x) = (x*3 + y*5 + i) % 256 (decoder expands ×3);
+      PNG uses stored zlib blocks so its length is the closed form
+      68 + h*(1 + 3*w);
     * i % 3 == 1 → audio: 16-bit mono WAV @8000 Hz, n = 400 + (i%5)*100
       samples, int16[j] = ((j*37 + i*11) % 201 - 100) * 300;
     * i % 3 == 2 → video, alternating by k = i//3:
@@ -594,7 +720,7 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
                 w = h = dur = None
                 if kind == "image":
                     w, h = 8 + i % 5, 6 + i % 7
-                    fmt = (i // 3) % 3
+                    fmt = (i // 3) % 4
                     if fmt == 2:  # PGM gray
                         y, x = np.mgrid[0:h, 0:w]
                         payload = _encode_pgm((x * 3 + y * 5 + i) % 256)
@@ -602,9 +728,10 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
                     else:
                         y, x, c = np.mgrid[0:h, 0:w, 0:3]
                         img = ((x * 3 + y * 5 + c * 11 + i) % 256).astype(np.uint8)
-                        payload = (_encode_ppm if fmt == 0 else _encode_bmp)(img)
-                        mime = ("image/x-portable-pixmap" if fmt == 0
-                                else "image/bmp")
+                        enc = {0: _encode_ppm, 1: _encode_bmp, 3: _encode_png}[fmt]
+                        payload = enc(img)
+                        mime = {0: "image/x-portable-pixmap",
+                                1: "image/bmp", 3: "image/png"}[fmt]
                 elif kind == "audio":
                     ns = 400 + (i % 5) * 100
                     j = np.arange(ns)

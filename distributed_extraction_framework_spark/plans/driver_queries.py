@@ -1699,7 +1699,7 @@ ORACLES.update(
 # --------------------------------------------------------------------------
 # fifth wave: multimodal decoder gate
 #
-# media_stats runs the REAL decoders (PPM/PGM/BMP images, PCM WAV audio —
+# media_stats runs the REAL decoders (PPM/PGM/BMP/PNG images, PCM WAV audio —
 # operators/multimodal.py) over the deterministic synth_media_exact table
 # and emits INTEGER-EXACT content stats (pixel sums, int16 sample sums,
 # decoded dims); the oracle recomputes them in closed form from the payload
@@ -1722,7 +1722,7 @@ def q_media_features(spark, sf_dir):
 
 ORACLE_MEDIA_FEATURES = """
 WITH ids AS (SELECT unnest(range(60)) AS i),
-img AS (SELECT i, 8 + i % 5 AS w, 6 + i % 7 AS h, (i // 3) % 3 AS fmt
+img AS (SELECT i, 8 + i % 5 AS w, 6 + i % 7 AS h, (i // 3) % 4 AS fmt
         FROM ids WHERE i % 3 = 0),
 imgpx AS (
   SELECT img.i,
@@ -1737,6 +1737,9 @@ imgrow AS (
            WHEN 1 THEN 54 + ((img.w*3 + 3) // 4) * 4 * img.h
            WHEN 2 THEN 9 + length(cast(img.w AS varchar))
                        + length(cast(img.h AS varchar)) + img.w * img.h
+           -- PNG with stored zlib blocks: sig 8 + IHDR 25 + IDAT (12 +
+           -- 11 + scanlines) + IEND 12, scanlines = h*(1 + 3w)
+           WHEN 3 THEN 68 + img.h * (1 + img.w * 3)
            ELSE 9 + length(cast(img.w AS varchar))
                   + length(cast(img.h AS varchar)) + img.w * img.h * 3
          END AS n_bytes,

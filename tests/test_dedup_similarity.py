@@ -289,7 +289,8 @@ def test_multimodal_real_audio_features(spark):
 def test_media_stats_exact(spark):
     """media_stats through the real decoders equals the closed-form ground
     truth of synth_media_exact (the same math the DuckDB gate recomputes) —
-    including the BMP stride/BGR/bottom-up path and PGM gray expansion."""
+    including the BMP stride/BGR/bottom-up path, PGM gray expansion, and
+    the zlib-stored PNG path."""
     import numpy as np
 
     from distributed_extraction_framework_spark.operators import multimodal as M
@@ -298,7 +299,7 @@ def test_media_stats_exact(spark):
     assert len(rows) == 36
     for i, r in rows.items():
         if i % 3 == 0:
-            w, h, fmt = 8 + i % 5, 6 + i % 7, (i // 3) % 3
+            w, h, fmt = 8 + i % 5, 6 + i % 7, (i // 3) % 4
             assert r["decoded"] and r["width"] == w and r["height"] == h
             if fmt == 2:
                 y, x = np.mgrid[0:h, 0:w]
@@ -445,3 +446,75 @@ def test_video_frames_null_duration(spark):
     rows = M.extract_video_frames(media).collect()
     assert len(rows) == 1 and rows[0]["decoded"]
     assert rows[0]["frame_ts_ms"] is None and rows[0]["y_sum"] == 0
+
+
+def test_png_decode_all_filters_and_colortypes():
+    """_decode_png must invert every PNG filter type (0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth) and handle gray (×3 expand) and RGBA
+    (alpha dropped), on a real zlib-compressed stream — beyond the
+    stored-block filter-0 files _encode_png emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from distributed_extraction_framework_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(11)
+
+    def build(img, ct, filters):
+        h, w = img.shape[:2]
+        ch = img.shape[2] if img.ndim == 3 else 1
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        bpp = ch
+        lines = []
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = flat[y]
+            a = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            b = prev
+            c = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - a
+            elif f == 2:
+                enc = cur - b
+            elif f == 3:
+                enc = cur - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                enc = cur - pred
+            lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(lines)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        return (M._PNG_SIG + M._png_chunk(b"IHDR", ihdr)
+                + M._png_chunk(b"IDAT", zlib.compress(raw))
+                + M._png_chunk(b"IEND", b""))
+
+    rgb = rng.randint(0, 256, (9, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = M._decode_png(build(rgb, 2, filters))
+        assert got is not None and np.array_equal(got, rgb), filters
+    gray = rng.randint(0, 256, (5, 6), dtype=np.uint8)
+    got = M._decode_png(build(gray.reshape(5, 6, 1), 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.randint(0, 256, (6, 4, 4), dtype=np.uint8)
+    got = M._decode_png(build(rgba, 6, [4, 3, 2, 1, 0]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # encoder/decoder roundtrip + the closed-form length the oracle uses
+    enc = M._encode_png(rgb)
+    assert len(enc) == 68 + 9 * (1 + 3 * 7)
+    assert np.array_equal(M._decode_png(enc), rgb)
+    # honest None on unsupported shapes
+    assert M._decode_png(b"\x89PNG\r\n\x1a\njunk") is None
+    interlaced = (M._PNG_SIG
+                  + M._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+                  + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+                  + M._png_chunk(b"IEND", b""))
+    assert M._decode_png(interlaced) is None
