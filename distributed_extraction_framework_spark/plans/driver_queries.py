@@ -4234,3 +4234,96 @@ def q_stream_gopher(spark, sf_dir):
 
 QUERIES.update({"stream_gopher": q_stream_gopher})
 ORACLES.update({"stream_gopher": ORACLE_GOPHER_FILTER})
+
+
+# --------------------------------------------------------------------------
+# pipeline_lineage gate (VERDICT r4 #5): the ORCHESTRATED DAG itself.
+# Pipeline.run executes TWICE into a fresh warehouse (labels + page_links +
+# redirects extraction → redirect closure → object resolution → graph
+# tables), and the gate returns the lineage ledger summarized per stage:
+# partition-row count, distinct runs that wrote the stage, and total output
+# rows. The oracle recomputes every stage's row count in SQL from the page
+# grammar AND pins n_runs = 1 — the second run must RESUME every committed
+# stage (appending nothing), proving the fingerprint/commit/lineage
+# bookkeeping end-to-end, not just per-operator output.
+# --------------------------------------------------------------------------
+
+
+def q_pipeline_lineage(spark, sf_dir):
+    import tempfile
+
+    from .pipeline import Pipeline, PipelineConfig
+
+    wh = tempfile.mkdtemp(prefix="defs_pipe_gate_")
+    pages = _pages(spark, sf_dir)
+    cfg = PipelineConfig(
+        warehouse=wh,
+        extractors=["labels", "page_links", "redirects"],
+        link_entities=False,
+        canonicalize=False,
+        use_disambiguation_set=False,
+    )
+    Pipeline(spark, cfg).run(pages)
+    Pipeline(spark, cfg).run(pages)  # must resume, not recompute
+    lin = spark.read.parquet(wh + "/lineage")
+    return lin.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("run_id").alias("n_runs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+ORACLE_PIPELINE_LINEAGE = f"""
+{_oracle_pages()},
+lbl AS (SELECT '{RES}' || title AS subj FROM pages WHERE {_MAIN}),
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), t AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+), pl AS (
+  SELECT DISTINCT '{RES}' || title AS subj,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS obj
+  FROM t
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+), rd AS (
+  SELECT '{RES}' || title AS subj, '{RES}Doc_' || (doc_id + 1) AS obj
+  FROM pages WHERE {_ISREDIR}
+), r AS (
+  SELECT '{RES}Doc_' || doc_id AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+), walk AS (
+  SELECT src, dst FROM r
+  UNION ALL
+  SELECT walk.src, r.dst FROM walk JOIN r ON walk.dst = r.src
+), cl AS (
+  SELECT src, dst FROM walk WHERE dst NOT IN (SELECT src FROM r)
+), plr AS (
+  SELECT pl.subj, coalesce(cl.dst, pl.obj) AS obj
+  FROM pl LEFT JOIN cl ON pl.obj = cl.src
+), c AS (
+  SELECT (SELECT count(*) FROM lbl) AS n_lbl,
+         (SELECT count(*) FROM pl) AS n_pl,
+         (SELECT count(*) FROM rd) AS n_rd,
+         (SELECT count(*) FROM cl) AS n_cl,
+         (SELECT count(DISTINCT uri) FROM (
+            SELECT subj AS uri FROM lbl
+            UNION SELECT subj FROM plr UNION SELECT obj FROM plr
+            UNION SELECT subj FROM rd UNION SELECT obj FROM rd)) AS n_nodes
+)
+SELECT stage, cast(n_parts AS bigint) AS n_parts,
+       cast(1 AS bigint) AS n_runs, cast(n_rows AS bigint) AS n_rows
+FROM (
+  SELECT 'quads' AS stage, 3 AS n_parts, n_lbl + n_pl + n_rd AS n_rows FROM c
+  UNION ALL SELECT 'redirect_closure', 1, n_cl FROM c
+  UNION ALL SELECT 'quads_resolved', 3, n_lbl + n_pl + n_rd FROM c
+  UNION ALL SELECT 'edges', 1, n_pl + n_rd FROM c
+  UNION ALL SELECT 'literals', 1, n_lbl FROM c
+  UNION ALL SELECT 'nodes', 1, n_nodes FROM c
+  UNION ALL SELECT 'predicates', 1, 3 FROM c
+)
+"""
+
+QUERIES.update({"pipeline_lineage": q_pipeline_lineage})
+ORACLES.update({"pipeline_lineage": ORACLE_PIPELINE_LINEAGE})
