@@ -55,7 +55,13 @@ How each construct maps to the DataFrame algebra:
   closure) over the p-labelled subgraph ('*' additionally unions the
   identity relation over all graph terms, per spec); ``^<p>`` (inverse)
   swaps src/dst; ``<a>/<b>`` (sequence) joins through a hidden mid
-  variable; ``<a>|<b>`` (alternative) unions the pair sets.
+  variable; ``<a>|<b>`` (alternative) unions the pair sets;
+  ``<p>{n}`` / ``<p>{n,m}`` / ``<p>{n,}`` (the Jena-style bounded-length
+  extension) compose the step relation by equi-joins in the plan —
+  exact powers unioned, with ``{n,}`` = n-th power ∘ closure. Paths
+  inside ``GRAPH ?g`` evaluate per named graph: the whole path algebra
+  (joins, closures, identity) carries the graph as an extra join key,
+  so closures never cross graphs and there is still no per-graph loop.
 * ``FILTER`` — a Catalyst predicate; the optimizer pushes it below the
   joins (and into the scans) whenever legal. Comparison against a
   numeric literal coerces the variable to double (SPARQL numeric-order
@@ -109,9 +115,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # one property-path step: forward/inverse URI, a negated URI, or a
-# negated property set !(<a>|<b>), each optionally quantified by + * ?
+# negated property set !(<a>|<b>), each optionally quantified by
+# + * ? or a bounded {n} / {n,m} / {n,} (tokenized here so the brace
+# quantifier never reads as a group-block brace)
 _STEP_SRC = (
-    r"(?:!\(\^?<[^<>\s]+>(?:\|\^?<[^<>\s]+>)*\)|!?\^?<[^<>\s]+>)[+*?]?"
+    r"(?:!\(\^?<[^<>\s]+>(?:\|\^?<[^<>\s]+>)*\)|!?\^?<[^<>\s]+>)"
+    r"(?:[+*?]|\{\d+(?:,\d*)?\})?"
 )
 _TOKEN = re.compile(
     r"\?[A-Za-z_]\w*"              # ?var
@@ -890,8 +899,12 @@ def _bind_expr(expr: str, bound: set[str]):
 _PATH_STEP = re.compile(
     r"(?P<neg>!)?(?P<inv>\^)?"
     r"(?:<(?P<uri>[^<>\s]+)>|\((?P<set>\^?<[^<>\s]+>(?:\|\^?<[^<>\s]+>)*)\))"
-    r"(?P<quant>[+*?])?"
+    r"(?P<quant>[+*?]|\{\d+(?:,\d*)?\})?"
 )
+
+# bounded-length quantifiers compose the step relation m times in the
+# PLAN — a ceiling keeps a typo like {2,200} from building a 200-join tree
+_MAX_BOUNDED_PATH = 32
 
 
 def _split_path(expr: str, sep: str) -> list[str]:
@@ -911,36 +924,111 @@ def _split_path(expr: str, sep: str) -> list[str]:
     return parts
 
 
-def _identity_pairs(quads: DataFrame) -> DataFrame:
-    """The zero-length-path relation: every graph term related to itself."""
+def _identity_pairs(quads: DataFrame, by_graph: bool = False) -> DataFrame:
+    """The zero-length-path relation: every graph term related to itself
+    (per named graph when ``by_graph`` — the GRAPH ?g scope evaluates
+    each graph independently, so a term only self-relates in the graphs
+    that mention it)."""
+    gcols = ["graph"] if by_graph else []
+    src = [F.col("context").alias("graph")] if by_graph else []
     nodes = (
-        quads.select(F.col("subj").alias("n"))
-        .unionByName(quads.select(F.col("obj").alias("n")))
+        quads.select(*src, F.col("subj").alias("n"))
+        .unionByName(quads.select(*src, F.col("obj").alias("n")))
         .distinct()
     )
-    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+    return nodes.select(
+        *gcols, F.col("n").alias("src"), F.col("n").alias("dst")
+    )
 
 
-def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
-    """Path expression → DataFrame of (src, dst) pairs it relates."""
+def _closure(pairs: DataFrame, by_graph: bool) -> DataFrame:
+    """Transitive closure of the step relation; per-graph when scoped.
+
+    GRAPH scoping composes the closure inside each named graph only, so
+    the nodes are ENCODED as graph + NUL + node — one reachability run
+    closes every graph at once, and equal nodes in different graphs
+    never connect. NUL is a safe separator (it cannot occur in an IRI or
+    a lexical form), and the decode splits with limit 2 so node text is
+    preserved verbatim."""
     from ..operators.graph import reachability
+
+    if not by_graph:
+        return reachability(pairs)
+    sep = "\x00"
+    enc = pairs.select(
+        F.concat_ws(sep, "graph", "src").alias("src"),
+        F.concat_ws(sep, "graph", "dst").alias("dst"),
+    )
+    out = reachability(enc)
+    return out.select(
+        F.split("src", sep, 2)[0].alias("graph"),
+        F.split("src", sep, 2)[1].alias("src"),
+        F.split("dst", sep, 2)[1].alias("dst"),
+    )
+
+
+def _bounded_path(
+    quads: DataFrame, step: DataFrame, lo: int, hi: int | None, by_graph: bool
+) -> DataFrame:
+    """Paths of length ``lo..hi`` over one step relation (``hi=None`` =
+    unbounded: ``p{n,} ≡ p^n followed by p*``). The Jena-style ``{n,m}``
+    extension (dropped from the final SPARQL 1.1 spec but widely
+    supported). Exact powers compose by equi-join; the whole ladder is
+    one plan — no loops at runtime."""
+    if hi is not None and hi < lo:
+        raise ValueError(f"bad path quantifier bounds: {{{lo},{hi}}}")
+    if max(lo, hi or 0) > _MAX_BOUNDED_PATH:
+        raise ValueError(
+            f"path quantifier bound exceeds {_MAX_BOUNDED_PATH}: "
+            f"{{{lo},{hi if hi is not None else ''}}}"
+        )
+    gcols = ["graph"] if by_graph else []
+
+    def compose(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.withColumnRenamed("dst", "_mid")
+            .join(b.withColumnRenamed("src", "_mid"), gcols + ["_mid"])
+            .select(*gcols, "src", "dst")
+        )
+
+    ident = _identity_pairs(quads, by_graph)
+    cur = ident if lo == 0 else step
+    for _ in range(max(lo - 1, 0)):
+        cur = compose(cur, step)
+    if hi is None:
+        star = _closure(step, by_graph).unionByName(ident)
+        return compose(cur, star).distinct()
+    acc = cur
+    for _ in range(hi - lo):
+        cur = compose(cur, step)
+        acc = acc.unionByName(cur)
+    return acc.distinct()
+
+
+def _path_pairs(
+    quads: DataFrame, expr: str, by_graph: bool = False
+) -> DataFrame:
+    """Path expression → DataFrame of the (src, dst) pairs it relates —
+    prefixed with the ``graph`` column when ``by_graph`` (GRAPH ?var
+    scope: every stage of the algebra keys on the graph too)."""
+    gcols = ["graph"] if by_graph else []
 
     alts = _split_path(expr, "|")
     if len(alts) > 1:
-        out = _path_pairs(quads, alts[0])
+        out = _path_pairs(quads, alts[0], by_graph)
         for a in alts[1:]:
-            out = out.unionByName(_path_pairs(quads, a))
+            out = out.unionByName(_path_pairs(quads, a, by_graph))
         return out
 
     seq = _split_path(expr, "/")
     if len(seq) > 1:
-        out = _path_pairs(quads, seq[0])
+        out = _path_pairs(quads, seq[0], by_graph)
         for s in seq[1:]:
-            nxt = _path_pairs(quads, s)
+            nxt = _path_pairs(quads, s, by_graph)
             out = (
                 out.withColumnRenamed("dst", "_mid")
-                .join(nxt.withColumnRenamed("src", "_mid"), "_mid")
-                .select("src", "dst")
+                .join(nxt.withColumnRenamed("src", "_mid"), gcols + ["_mid"])
+                .select(*gcols, "src", "dst")
             )
         return out
 
@@ -960,14 +1048,24 @@ def _path_pairs(quads: DataFrame, expr: str) -> DataFrame:
         raise ValueError(f"property sets require negation (!): {expr!r}")
     else:
         pairs = quads.filter(F.col("pred") == m.group("uri"))
-    pairs = pairs.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    gsrc = [F.col("context").alias("graph")] if by_graph else []
+    pairs = pairs.select(
+        *gsrc, F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
     if m.group("inv"):
-        pairs = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs = pairs.select(
+            *gcols, F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
     quant = m.group("quant")
+    if quant and quant.startswith("{"):
+        lo_s, comma, hi_s = quant[1:-1].partition(",")
+        lo = int(lo_s)
+        hi = int(hi_s) if hi_s else (lo if not comma else None)
+        return _bounded_path(quads, pairs, lo, hi, by_graph)
     if quant in ("+", "*"):
-        pairs = reachability(pairs)
+        pairs = _closure(pairs, by_graph)
     if quant in ("*", "?"):
-        pairs = pairs.unionByName(_identity_pairs(quads)).distinct()
+        pairs = pairs.unionByName(_identity_pairs(quads, by_graph)).distinct()
     return pairs
 
 
@@ -987,18 +1085,29 @@ def _pattern_df(
     on the graph binding — the SPARQL per-named-graph evaluation, with
     no per-graph loop."""
     if p.kind in ("path", "pathx"):
-        if graph_var is not None:
-            raise ValueError(
-                "property paths inside GRAPH ?var are unsupported (a "
-                "closure spans graphs); use a constant GRAPH <uri>"
-            )
         expr = f"<{p.value}>+" if p.kind == "path" else p.value
-        base = _path_pairs(quads, expr).select(
-            F.col("src").alias("_s"),
-            F.col("dst").alias("_o"),
-            F.lit(None).cast("string").alias("_lang"),
-        )
-        bind = {"_s": s, "_o": o}
+        if graph_var is not None:
+            # GRAPH ?g scope: the whole path algebra (joins, closures,
+            # zero-length identity) keys on the graph column, so each
+            # named graph evaluates independently — no per-graph loop
+            if "context" not in quads.columns:
+                raise ValueError(
+                    "GRAPH requires a 'context' column on the quads"
+                )
+            base = _path_pairs(quads, expr, by_graph=True).select(
+                F.col("graph").alias("_g"),
+                F.col("src").alias("_s"),
+                F.col("dst").alias("_o"),
+                F.lit(None).cast("string").alias("_lang"),
+            )
+            bind = {"_g": Term("var", graph_var), "_s": s, "_o": o}
+        else:
+            base = _path_pairs(quads, expr).select(
+                F.col("src").alias("_s"),
+                F.col("dst").alias("_o"),
+                F.lit(None).cast("string").alias("_lang"),
+            )
+            bind = {"_s": s, "_o": o}
     else:
         cols = [
             F.col("subj").alias("_s"),

@@ -4327,3 +4327,73 @@ FROM (
 
 QUERIES.update({"pipeline_lineage": q_pipeline_lineage})
 ORACLES.update({"pipeline_lineage": ORACLE_PIPELINE_LINEAGE})
+
+
+# --------------------------------------------------------------------------
+# Property-path hardening gates (VERDICT r4 #8).
+#
+# bgp_path_bounded — Jena-style bounded-length quantifier <p>{2,3}: pairs
+#   connected by exactly 2 or 3 redirect hops; compiled as exact relation
+#   powers unioned (no fixpoint). Oracle = depth-tracked recursive walk.
+# bgp_graph_path — a closure path INSIDE GRAPH ?g: the whole path algebra
+#   carries the graph as a join key, so reachability never crosses named
+#   graphs. On this corpus each page's quads live in their own provenance
+#   graph, so the per-graph closure is exactly the single-hop pairs —
+#   observably different from the unscoped <p>+ gate (bgp_path), which
+#   returns multi-hop pairs.
+# --------------------------------------------------------------------------
+
+
+def q_bgp_path_bounded(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "redirects")
+    return bgp_query(
+        quads,
+        f"SELECT DISTINCT ?s ?t WHERE {{ "
+        f"?s <{S.DBO_WIKI_REDIRECTS}>{{2,3}} ?t }}",
+    )
+
+
+ORACLE_BGP_PATH_BOUNDED = f"""
+{_oracle_pages()},
+r AS (
+  SELECT '{RES}Doc_' || doc_id AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+),
+walk AS (
+  SELECT src, dst, 1 AS d FROM r
+  UNION ALL
+  SELECT walk.src, r.dst, walk.d + 1
+  FROM walk JOIN r ON walk.dst = r.src WHERE walk.d < 3
+)
+SELECT DISTINCT src AS s, dst AS t FROM walk WHERE d BETWEEN 2 AND 3
+"""
+
+
+def q_bgp_graph_path(spark, sf_dir):
+    from .bgp import bgp_query
+
+    quads = extractor_df(_pages(spark, sf_dir), "redirects")
+    return bgp_query(
+        quads,
+        f"SELECT ?g ?s ?t WHERE {{ GRAPH ?g {{ "
+        f"?s <{S.DBO_WIKI_REDIRECTS}>+ ?t }} }}",
+    )
+
+
+ORACLE_BGP_GRAPH_PATH = f"""
+{_oracle_pages()}
+SELECT url || '#ts=2024-01-01T00:00:00' AS g,
+       '{RES}Doc_' || doc_id AS s, '{RES}Doc_' || (doc_id + 1) AS t
+FROM pages WHERE {_ISREDIR}
+"""
+
+QUERIES.update({
+    "bgp_path_bounded": q_bgp_path_bounded,
+    "bgp_graph_path": q_bgp_graph_path,
+})
+ORACLES.update({
+    "bgp_path_bounded": ORACLE_BGP_PATH_BOUNDED,
+    "bgp_graph_path": ORACLE_BGP_GRAPH_PATH,
+})

@@ -812,10 +812,74 @@ def test_graph_var_binds_and_joins_within_graph(spark, gquads):
 def test_graph_error_cases(spark, gquads, quads):
     with pytest.raises(ValueError, match="context"):
         bgp_query(quads, "SELECT ?g WHERE { GRAPH ?g { ?x <p> ?o } }")
-    with pytest.raises(ValueError, match="paths inside GRAPH"):
-        bgp_query(gquads,
-                  f"SELECT ?g WHERE {{ GRAPH ?g {{ ?x <{LINK}>+ ?y }} }}")
     # nested GRAPH is rejected (as unsupported group algebra in the block)
     with pytest.raises(ValueError, match="GRAPH"):
         bgp_query(gquads, "SELECT ?g WHERE { GRAPH ?g { GRAPH ?h "
                           "{ ?x <p> ?o } } }")
+
+
+# ---------------------------------------------------------------------------
+# bounded-length quantifiers {n} / {n,m} / {n,} and paths under GRAPH ?g
+# (VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chain_quads(spark):
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    return spark.createDataFrame(
+        [(s, "p", o, None, None, "g1") for s, o in rows]
+        + [("x", "q", "y", None, None, "g2")],
+        "subj string, pred string, obj string, lang string, "
+        "datatype string, context string",
+    ).cache()
+
+
+def _pairs(quads, sel):
+    return {tuple(r) for r in bgp_query(quads, sel).collect()}
+
+
+def test_bounded_path_quantifiers(spark, chain_quads):
+    q = chain_quads
+    assert _pairs(q, "SELECT ?s ?t WHERE { ?s <p>{2} ?t }") == {
+        ("a", "c"), ("b", "d"), ("c", "e")}
+    assert _pairs(q, "SELECT ?s ?t WHERE { ?s <p>{2,3} ?t }") == {
+        ("a", "c"), ("b", "d"), ("c", "e"), ("a", "d"), ("b", "e")}
+    # {0,1}: zero-length relates EVERY graph term to itself (both graphs)
+    got01 = _pairs(q, "SELECT ?s ?t WHERE { ?s <p>{0,1} ?t }")
+    idents = {(n, n) for n in "abcdexy"}
+    hops = {("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")}
+    assert got01 == idents | hops
+    # {2,}: unbounded upper = 2nd power composed with the closure
+    assert _pairs(q, "SELECT ?s ?t WHERE { ?s <p>{2,} ?t }") == {
+        ("a", "c"), ("a", "d"), ("a", "e"), ("b", "d"), ("b", "e"),
+        ("c", "e")}
+    # {n} composes with the other algebra (sequence)
+    assert _pairs(q, "SELECT ?s ?t WHERE { ?s <p>{2}/<p> ?t }") == {
+        ("a", "d"), ("b", "e")}
+    # guard rails: inverted bounds and plan-exploding bounds raise
+    with pytest.raises(ValueError, match="bounds"):
+        bgp_query(q, "SELECT ?s ?t WHERE { ?s <p>{3,2} ?t }").collect()
+    with pytest.raises(ValueError, match="exceeds"):
+        bgp_query(q, "SELECT ?s ?t WHERE { ?s <p>{2,200} ?t }").collect()
+
+
+def test_path_closure_scoped_per_graph(spark):
+    """GRAPH ?g { ?s <p>+ ?t }: the closure must not cross graphs — a
+    chain split across two graphs yields no through-pair."""
+    quads = spark.createDataFrame(
+        [("a", "p", "b", None, None, "g1"),
+         ("b", "p", "c", None, None, "g1"),
+         ("c", "p", "d", None, None, "g2")],
+        "subj string, pred string, obj string, lang string, "
+        "datatype string, context string",
+    )
+    got = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>+ ?t } }")
+    assert got == {("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+                   ("g2", "c", "d")}
+    # zero-length identity is also per graph: 'd' self-relates in g2 only
+    star = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>* ?t } }")
+    assert ("g2", "d", "d") in star and ("g1", "d", "d") not in star
+    # bounded quantifier under GRAPH
+    b = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>{2} ?t } }")
+    assert b == {("g1", "a", "c")}
