@@ -257,13 +257,26 @@ def _is_interlanguage(t: Column) -> Column:
     return t.rlike(W.INTERLANGUAGE_PREFIX)
 
 
+def _uri_quads(dataset: str, pred, tgts: Column, uri) -> Column:
+    """Targets → DISTINCT object URIs → quads. Dedup happens on the URI
+    STRING (hash-based, O(k)) before the struct is built: within one
+    extractor every quad field except obj is page-constant, so obj-dedup ≡
+    struct-dedup — and array_distinct over array<struct> is brute-force
+    O(k²) equality (no hash support for struct elements), which at a
+    10^5-link hub page means 10^10 comparisons in ONE task (measured:
+    ~15 min/page; the string dedup makes it linear)."""
+    return F.transform(
+        F.array_distinct(F.transform(tgts, uri)),
+        lambda u: quad(dataset, _c("subj"), pred, u, context=_c("context")),
+    )
+
+
 def article_categories(e) -> Column:
     """ArticleCategoriesExtractor — dcterms:subject ← [[Category:X]]. Main ns."""
     cats = F.filter(_c("ilinks"), _is_category)
-    q = F.transform(
-        cats,
-        lambda t: quad("article_categories", _c("subj"), S.DCT_SUBJECT,
-                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    q = _uri_quads(
+        "article_categories", S.DCT_SUBJECT, cats,
+        lambda t: resource_uri(_c("lang"), ucfirst(t)),
     )
     return guard(_c("ns") == S.NS_MAIN, q)
 
@@ -279,10 +292,9 @@ def skos_categories(e) -> Column:
              F.regexp_replace(_c("local_title"), "_", " "),
              lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context")),
     )
-    broader = F.transform(
-        parents,
-        lambda t: quad("skos_categories", _c("subj"), S.SKOS_BROADER,
-                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    broader = _uri_quads(
+        "skos_categories", S.SKOS_BROADER, parents,
+        lambda t: resource_uri(_c("lang"), ucfirst(t)),
     )
     return guard(_c("ns") == S.NS_CATEGORY, F.concat(base, broader))
 
@@ -295,10 +307,9 @@ def page_links(e) -> Column:
         _c("ilinks"),
         lambda t: (~_is_category(t)) & (~_is_interlanguage(t)) & (F.length(t) > 0),
     )
-    q = F.transform(
-        tgts,
-        lambda t: quad("page_links", _c("subj"), S.DBO_WIKI_LINK,
-                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    q = _uri_quads(
+        "page_links", S.DBO_WIKI_LINK, tgts,
+        lambda t: resource_uri(_c("lang"), ucfirst(t)),
     )
     return guard((_c("ns") == S.NS_MAIN) & (_c("redirect_target") == ""), q)
 
@@ -316,15 +327,11 @@ def external_links(e) -> Column:
 def interlanguage_links(e) -> Column:
     """InterLanguageLinksExtractor — owl:sameAs ← [[de:Titel]] links."""
     tgts = F.filter(_c("ilinks"), _is_interlanguage)
-    q = F.transform(
-        tgts,
-        lambda t: quad(
-            "interlanguage_links", _c("subj"), S.OWL_SAMEAS,
-            resource_uri(
-                F.split_part(t, F.lit(":"), F.lit(1)),
-                ucfirst(F.split_part(t, F.lit(":"), F.lit(2))),
-            ),
-            context=_c("context"),
+    q = _uri_quads(
+        "interlanguage_links", S.OWL_SAMEAS, tgts,
+        lambda t: resource_uri(
+            F.split_part(t, F.lit(":"), F.lit(1)),
+            ucfirst(F.split_part(t, F.lit(":"), F.lit(2))),
         ),
     )
     return guard(_c("ns") == S.NS_MAIN, q)
@@ -348,18 +355,22 @@ def geo_coordinates(e) -> Column:
     def fmt(d: Column) -> Column:
         return F.format_number(d, 6)
 
-    q = F.flatten(
-        F.transform(
-            _c("parsed.coords"),
-            lambda co: F.array(
-                quad("geo_coordinates", _c("subj"), S.GEO_LAT,
-                     fmt(co["lat"]), datatype=S.XSD_FLOAT, context=_c("context")),
-                quad("geo_coordinates", _c("subj"), S.GEO_LONG,
-                     fmt(co["lon"]), datatype=S.XSD_FLOAT, context=_c("context")),
-                quad("geo_coordinates", _c("subj"), S.GEORSS_POINT,
-                     F.concat(fmt(co["lat"]), F.lit(" "), fmt(co["lon"])),
-                     context=_c("context")),
-            ),
+    # struct-level dedup (duplicate {{Coord}}s): O(k²) is fine here —
+    # k = coords per page, a handful at most
+    q = F.array_distinct(
+        F.flatten(
+            F.transform(
+                _c("parsed.coords"),
+                lambda co: F.array(
+                    quad("geo_coordinates", _c("subj"), S.GEO_LAT,
+                         fmt(co["lat"]), datatype=S.XSD_FLOAT, context=_c("context")),
+                    quad("geo_coordinates", _c("subj"), S.GEO_LONG,
+                         fmt(co["lon"]), datatype=S.XSD_FLOAT, context=_c("context")),
+                    quad("geo_coordinates", _c("subj"), S.GEORSS_POINT,
+                         F.concat(fmt(co["lat"]), F.lit(" "), fmt(co["lon"])),
+                         context=_c("context")),
+                ),
+            )
         )
     )
     return guard(_c("ns") == S.NS_MAIN, q)
@@ -438,7 +449,8 @@ def infobox_properties(e) -> Column:
             )
         )
 
-    q = F.transform(_c("parsed.infobox"), mk)
+    # struct-level dedup (same key=value in two infoboxes): k ≤ dozens
+    q = F.array_distinct(F.transform(_c("parsed.infobox"), mk))
     return guard(_c("ns") == S.NS_MAIN, q)
 
 
@@ -479,10 +491,9 @@ def disambiguations(e) -> Column:
         _c("ilinks"),
         lambda t: (~_is_category(t)) & (~_is_interlanguage(t)) & (F.length(t) > 0),
     )
-    q = F.transform(
-        tgts,
-        lambda t: quad("disambiguations", _c("subj"), S.DBO_WIKI_DISAMBIGUATES,
-                       resource_uri(_c("lang"), ucfirst(t)), context=_c("context")),
+    q = _uri_quads(
+        "disambiguations", S.DBO_WIKI_DISAMBIGUATES, tgts,
+        lambda t: resource_uri(_c("lang"), ucfirst(t)),
     )
     return guard((_c("ns") == S.NS_MAIN) & is_dab, q)
 
@@ -538,7 +549,14 @@ def extract(
         )
         e = e.join(marker, "page_id", "left")
     arrays = [EXTRACTORS[n][0](e) for n in names]
-    all_quads = F.array_distinct(F.concat(*arrays) if len(arrays) > 1 else arrays[0])
+    # NO global struct-level array_distinct here: per-page dedup (D1,
+    # reference semantics) is guaranteed per-extractor — the fan-out
+    # extractors dedup on the object-URI string (hash-based O(k), see
+    # _uri_quads; struct dedup is brute-force O(k²) and takes ~15 min on
+    # one 10^5-link hub page), the struct-array extractors (geo/infobox)
+    # dedup their own tiny arrays, and cross-extractor duplicates are
+    # impossible because every extractor tags a distinct dataset.
+    all_quads = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
     return e.select(F.explode(all_quads).alias("q")).select("q.*")
 
 

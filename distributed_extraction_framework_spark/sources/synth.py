@@ -229,3 +229,92 @@ def write_pages(spark: SparkSession, n: int, path: str, partitions: int | None =
     """Materialize a synthetic pages table to parquet (Iceberg on a real
     cluster — same writer call with ``.format("iceberg")``)."""
     synth_pages(spark, n, partitions).write.mode("overwrite").parquet(path)
+
+
+# --------------------------------------------------------------------------
+# skew-adversarial ("zipfian") fixtures — VERDICT r4 #4 / north_rule "skew
+# handled explicitly". The benign corpus above never stresses the skew
+# guards; these fixtures are adversarial BY CONSTRUCTION:
+#   * every document shares one ubiquitous stop-phrase (a hot n-gram whose
+#     posting list is the whole corpus — the df-cap's reason to exist),
+#   * documents 0..cluster_size-1 are one near-identical cluster (every LSH
+#     band hashes them into the SAME bucket — the AQE skew-join case),
+#   * the last 2·n_twins documents form n_twins genuine near-dup pairs on
+#     pair-private text (what the df-capped Jaccard must still find),
+#   * ``hub_page`` is a single page with 10^5 distinct links (the heavy-row
+#     extraction case: one page ~100× the median).
+# Same purity contract as make_page: row = f(i), driver- or executor-side.
+# --------------------------------------------------------------------------
+
+ZIPF_STOP = "of the united common stop phrase shared by every single document"
+
+def _make_cluster_body() -> str:
+    r = _rng(899_999)
+    return " ".join(r.choice(_WORDS) + str(r.randrange(97)) for _ in range(40))
+
+
+_CLUSTER_BODY = _make_cluster_body()
+
+
+def make_zipf_doc(i: int, n: int, cluster_size: int, n_twins: int = 10) -> dict:
+    r = _rng(900_000 + i)
+    if i < cluster_size:
+        # near-identical cluster: same 40-word body, one trailing unique token
+        text = f"{ZIPF_STOP} {_CLUSTER_BODY} tail{i}"
+    elif i >= n - 2 * n_twins:
+        # twin pairs (2k, 2k+1) share a pair-private 40-word body and
+        # differ in one word — df of their grams is exactly 2
+        pair = (i - (n - 2 * n_twins)) // 2
+        pr = _rng(910_000 + pair)
+        body = " ".join(pr.choice(_WORDS) + str(pr.randrange(10_000)) for _ in range(40))
+        text = f"{ZIPF_STOP} {body} twin{i % 2}"
+    else:
+        # unique tail: per-doc private vocabulary
+        words = " ".join(
+            r.choice(_WORDS) + str(r.randrange(1_000_000)) for _ in range(40)
+        )
+        text = f"{ZIPF_STOP} {words}"
+    return {"doc_id": f"d{i:06d}", "text": text}
+
+
+def synth_zipf_docs(
+    spark: SparkSession,
+    n: int,
+    cluster_size: int,
+    n_twins: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed adversarial documents table (doc_id, text) — same
+    spark.range → mapInPandas shape as :func:`synth_pages`."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 8)
+    rng_df = spark.range(0, n, numPartitions=partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [make_zipf_doc(int(i), n, cluster_size, n_twins) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return rng_df.mapInPandas(gen, schema="doc_id string, text string")
+
+
+def hub_page(n_links: int = 100_000, lang: str = "en") -> dict:
+    """One pages-schema row whose text carries ``n_links`` DISTINCT internal
+    links (~1.6 MB of wikitext) — a single row ~100× the median page, the
+    in-partition heavy-row case the fused extractor must absorb without
+    OOM (per-page array ops are row-local; no shuffle key exists to salt)."""
+    title = "Hub_Article"
+    body = " ".join(f"[[Article_{j}]]" for j in range(n_links))
+    text = f"'''Hub Article''' links everything.\n{body}\n[[Category:Cat_78]]"
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    html = (
+        f'<html><head><title>{title}</title></head>'
+        f'<body><pre data-kind="source">{esc}</pre></body></html>'
+    ).encode("utf-8")
+    return {
+        "url": f"https://{lang}.pages.example.org/wiki/{title}",
+        "warc_ts": _EPOCH,
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
