@@ -4237,10 +4237,11 @@ ORACLES.update({"stream_gopher": ORACLE_GOPHER_FILTER})
 
 
 # --------------------------------------------------------------------------
-# pipeline_lineage gate (VERDICT r4 #5): the ORCHESTRATED DAG itself.
+# pipeline_lineage gate (VERDICT r4 #5, #10): the ORCHESTRATED DAG itself.
 # Pipeline.run executes TWICE into a fresh warehouse (labels + page_links +
-# redirects extraction → redirect closure → object resolution → graph
-# tables), and the gate returns the lineage ledger summarized per stage:
+# redirects extraction → redirect closure → object resolution → ρdf
+# entailment → graph tables), and the gate returns the lineage ledger
+# summarized per stage:
 # partition-row count, distinct runs that wrote the stage, and total output
 # rows. The oracle recomputes every stage's row count in SQL from the page
 # grammar AND pins n_runs = 1 — the second run must RESUME every committed
@@ -4262,6 +4263,14 @@ def q_pipeline_lineage(spark, sf_dir):
         link_entities=False,
         canonicalize=False,
         use_disambiguation_set=False,
+        # ρdf closure ships with the release: every resolved wiki link also
+        # holds under its declared super-property (rdfs7) → `entailed` stage
+        ontology={
+            "subprop": spark.createDataFrame(
+                [(S.DBO_WIKI_LINK, "http://example.org/linksTo")],
+                ["src", "dst"],
+            )
+        },
     )
     Pipeline(spark, cfg).run(pages)
     Pipeline(spark, cfg).run(pages)  # must resume, not recompute
@@ -4318,6 +4327,8 @@ FROM (
   SELECT 'quads' AS stage, 3 AS n_parts, n_lbl + n_pl + n_rd AS n_rows FROM c
   UNION ALL SELECT 'redirect_closure', 1, n_cl FROM c
   UNION ALL SELECT 'quads_resolved', 3, n_lbl + n_pl + n_rd FROM c
+  UNION ALL SELECT 'entailed', 1,
+    (SELECT count(*) FROM (SELECT DISTINCT subj, obj FROM plr)) FROM c
   UNION ALL SELECT 'edges', 1, n_pl + n_rd FROM c
   UNION ALL SELECT 'literals', 1, n_lbl FROM c
   UNION ALL SELECT 'nodes', 1, n_nodes FROM c

@@ -59,6 +59,11 @@ class PipelineConfig:
     # SHACL-lite publish gate: validation.Shape list; violations land in a
     # resumable `violations` stage (error-sized, never corpus-sized)
     shapes: list | None = None
+    # ρdf closure shipped with the release (the DBpedia post-processing
+    # behavior reasoning.rdfs_entailment exists for): a dict with any of
+    # {"subclass", "subprop", "domains", "ranges"} → schema-sized
+    # DataFrames; entailed NEW facts land in a resumable `entailed` stage
+    ontology: dict | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -251,6 +256,26 @@ class Pipeline:
             outputs["violations"] = self._run_stage(
                 "violations", fp, build_violations
             )
+
+        # optional entailment stage: the published KG ships its ρdf closure
+        # (NEW facts only — union with `quads` for the closed graph). The
+        # ontology relations are schema-sized; the corpus is touched by
+        # broadcast joins only (reasoning.rdfs_entailment), so this stage
+        # adds no corpus shuffle.
+        if self.cfg.ontology:
+            def build_entailed() -> DataFrame:
+                from ..operators.reasoning import rdfs_entailment
+
+                ont = self.cfg.ontology
+                return rdfs_entailment(
+                    final,
+                    subclass=ont.get("subclass"),
+                    subprop=ont.get("subprop"),
+                    domains=ont.get("domains"),
+                    ranges=ont.get("ranges"),
+                )
+
+            outputs["entailed"] = self._run_stage("entailed", fp, build_entailed)
 
         if self.cfg.link_entities:
             def build_links() -> DataFrame:

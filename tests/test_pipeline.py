@@ -398,3 +398,40 @@ def test_pipeline_validation_stage(spark, pages_df, tmp_path):
         F.col("stage") == "violations"
     ).select("run_id").distinct().count()
     assert runs == 1
+
+
+def test_pipeline_entailed_stage(spark, pages_df, tmp_path):
+    from distributed_extraction_framework_spark import schema as S
+
+    wh = str(tmp_path / "wh_ont")
+    ontology = {
+        # every dct:subject statement also holds under its super-property,
+        # and every page that links somewhere is typed ex:Page (rdfs2)
+        "subprop": spark.createDataFrame(
+            [(S.DCT_SUBJECT, "http://example.org/about")], ["src", "dst"]
+        ),
+        "domains": spark.createDataFrame(
+            [(S.DBO_WIKI_LINK, "http://example.org/Page")], ["prop", "cls"]
+        ),
+    }
+    out = run_pipeline(spark, pages_df, wh, link_entities=False,
+                       canonicalize=False, ontology=ontology)
+    ent = out["entailed"]
+    assert {"subj", "pred", "obj"} <= set(ent.columns)
+    n1 = ent.count()
+    assert n1 > 0
+    preds = {r["pred"] for r in ent.select("pred").distinct().collect()}
+    assert preds == {"http://example.org/about", S.RDF_TYPE}
+    # entailed facts are NEW: none already stated in the final quads
+    assert ent.join(
+        out["quads"].select("subj", "pred", "obj"), ["subj", "pred", "obj"]
+    ).count() == 0
+
+    # resume skips the stage (same fingerprint -> one run_id in lineage)
+    out2 = run_pipeline(spark, pages_df, wh, link_entities=False,
+                        canonicalize=False, ontology=ontology)
+    assert out2["entailed"].count() == n1
+    runs = spark.read.parquet(wh + "/lineage").filter(
+        F.col("stage") == "entailed"
+    ).select("run_id").distinct().count()
+    assert runs == 1
