@@ -4408,3 +4408,58 @@ ORACLES.update({
     "bgp_path_bounded": ORACLE_BGP_PATH_BOUNDED,
     "bgp_graph_path": ORACLE_BGP_GRAPH_PATH,
 })
+
+
+# --------------------------------------------------------------------------
+# url_fetch gate (VERDICT r4 "missing" #3): the distributed fetch stage
+# (sources/fetch.py — the reference's download module, DistDownload.scala)
+# driven through file:// URLs with CLOSED-FORM payloads, so the DuckDB
+# oracle recomputes every byte count and payload md5 without a network.
+# Two URLs point at missing files: those must fail PERMANENTLY with
+# status='error' after exactly max_retries attempts (the re-queue
+# contract that refetch_failures builds on).
+# --------------------------------------------------------------------------
+
+_FETCH_GATE_DIR = "/tmp/defs_fetch_gate"
+_FETCH_N = 20
+
+
+def q_url_fetch(spark, sf_dir):
+    import os
+
+    from ..sources.fetch import fetch_urls
+
+    os.makedirs(_FETCH_GATE_DIR, exist_ok=True)
+    for k in range(_FETCH_N):
+        with open(f"{_FETCH_GATE_DIR}/f{k}.txt", "w") as f:
+            f.write("x" * (50 * (k % 7 + 1)) + f"doc{k}")
+    rows = [(f"file://{_FETCH_GATE_DIR}/f{k}.txt",) for k in range(_FETCH_N)]
+    rows += [(f"file://{_FETCH_GATE_DIR}/missing{k}.txt",) for k in (0, 1)]
+    urls = spark.createDataFrame(rows, ["url"])
+    fetched = fetch_urls(urls, max_retries=3, backoff_s=0.01, splits_per_host=4)
+    return fetched.select(
+        "url",
+        "status",
+        F.col("attempts").cast("int").alias("attempts"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+ORACLE_URL_FETCH = f"""
+WITH ks AS (SELECT unnest(range({_FETCH_N})) AS k)
+SELECT 'file://{_FETCH_GATE_DIR}/f' || k || '.txt' AS url,
+       'ok' AS status, cast(1 AS int) AS attempts,
+       cast(50 * (k % 7 + 1) + length('doc' || k) AS bigint) AS n_bytes,
+       md5(repeat('x', cast(50 * (k % 7 + 1) AS int)) || 'doc' || k)
+         AS payload_md5
+FROM ks
+UNION ALL
+SELECT 'file://{_FETCH_GATE_DIR}/missing' || k || '.txt' AS url,
+       'error' AS status, cast(3 AS int) AS attempts,
+       cast(NULL AS bigint) AS n_bytes, cast(NULL AS varchar) AS payload_md5
+FROM (SELECT unnest(range(2)) AS k)
+"""
+
+QUERIES.update({"url_fetch": q_url_fetch})
+ORACLES.update({"url_fetch": ORACLE_URL_FETCH})
