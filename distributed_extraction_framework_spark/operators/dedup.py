@@ -193,15 +193,29 @@ def minhash_lsh_pairs(
     ANY band become candidates (bucket equi-join — a plain shuffle join on
     the band hash, so AQE handles bucket skew). Jaccard is then ESTIMATED
     from full-signature agreement — only candidates pay that cost.
+
+    Shuffle discipline (round-5 endurance finding): the banded self-join
+    must NOT carry the signatures — at 10M docs × 16 bands × two ~550 B
+    array<long> payloads per joined row that is a >100 GB shuffle (it
+    filled this sandbox's disk). Instead: (1) the signature table is
+    computed ONCE and lazily localCheckpoint-ed (the pandas-UDF pass is
+    the expensive part; the checkpoint is |docs|-sized and feeds all three
+    consumers in the same job — swap for ``checkpoint()`` on a real
+    cluster, same note as graph.pagerank); (2) the band join ships
+    (id, band, bucket) only; (3) candidate pairs dedup on two id scalars;
+    (4) the surviving pairs join the signature table back twice for the
+    estimate. Shuffle volume drops ~8× at low dup density and the band
+    join's hot buckets carry rows of ~40 B instead of ~1 KB.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = add_minhash(df, text_col, num_hashes, shingle_k).select(
-        F.col(id_col).alias("id"), "minhash"
+    sig = (
+        add_minhash(df, text_col, num_hashes, shingle_k)
+        .select(F.col(id_col).alias("id"), "minhash")
+        .localCheckpoint(eager=False)
     )
     banded = sig.select(
         "id",
-        "minhash",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -213,28 +227,32 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "minhash", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    # jaccard_est is computed BEFORE the candidate dedup so the
-    # dropDuplicates exchange ships 3 scalars per row, not two
-    # num_hashes-element signature arrays (~1 KB/row at 64 hashes)
+    cand = (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     agree = F.size(
         F.filter(
-            F.zip_with("a.minhash", "b.minhash", lambda x, y: x == y),
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
             lambda v: v,
         )
     )
     return (
-        a.join(b, ["band", "bucket"], "inner")
-        .filter(F.col("a.id") < F.col("b.id"))
+        cand.join(sig.select(F.col("id").alias("id_a"),
+                             F.col("minhash").alias("mh_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"),
+                         F.col("minhash").alias("mh_b")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (agree / F.lit(num_hashes)).alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -440,4 +458,75 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup (the Dolma/C4 pass that
+    document-level dedup can't express: boilerplate paragraphs repeat
+    across distinct documents).
+
+    Split each document on ``sep``, keep the FIRST corpus-wide occurrence
+    of every distinct (trimmed) paragraph — first = lowest (id, position),
+    a deterministic total order — and reassemble each document from its
+    surviving paragraphs in original order.
+
+    Shuffle shape: one window over the paragraph hash (pick the keeper)
+    + one groupBy on the doc id (reassembly). Both keys are fine-grained;
+    a boilerplate paragraph repeated 10^6 times is ONE hash group whose
+    rows carry only (id, pos) scalars — heavy but bounded, and AQE
+    skew-splits it like any hot reduce key.
+
+    Returns (id, text, n_paras, n_kept) — text rebuilt from kept
+    paragraphs (empty string when every paragraph was seen earlier).
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
+            .alias("pos", "para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.col("para") != "")
+        # ship a fixed-width key through the window shuffle, not the text
+        .withColumn("h", F.md5(F.encode("para", "utf-8")))
+    )
+    w = Window.partitionBy("h").orderBy(F.asc("id"), F.asc("pos"))
+    kept = paras.withColumn("rk", F.row_number().over(w))
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rk") == 1,
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )
+    # documents that were all-empty (or fully deduped away) keep their row
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paras", F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
     )

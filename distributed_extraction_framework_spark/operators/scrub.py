@@ -1,0 +1,133 @@
+"""Content hygiene for web-scale training corpora: PII detection /
+scrubbing and URL canonicalization + dedup.
+
+Standard pre-training curation passes (the C4 / Dolma / RefinedWeb
+toolbox) the reference never needed — its input was curated dumps; a
+crawl corpus is not. Everything is pure Catalyst (regex + array
+expressions inside whole-stage codegen, zero Python, zero shuffles for
+the per-document ops; url_dedup adds the one irreducible groupBy on the
+canonical key).
+
+Regex portability: every pattern sticks to the syntax subset shared by
+Java regex (Spark) and RE2 (DuckDB) — character classes, bounded repeats,
+non-capturing groups, ``\\b`` — so the driver gates can hash-verify the
+exact same semantics against a DuckDB oracle. No lookaround, no
+backreferences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# international +E.164-ish, or NANP-style ddd-ddd-dddd
+PHONE_RE = r"\+[0-9]{7,15}\b|\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+
+_PII = (("email", EMAIL_RE, "<EMAIL>"),
+        ("ipv4", IPV4_RE, "<IP>"),
+        ("phone", PHONE_RE, "<PHONE>"))
+
+
+def pii_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, has_pii) — per-document PII counts.
+
+    One projection over the scan; counts are ``size(regexp_extract_all)``
+    so the plan stays shuffle-free and the filter (``has_pii``) pushes to
+    the read when used as a predicate.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(f"n_{name}")
+        for name, rx, _ in _PII
+    ]
+    out = df.select(F.col(id_col).alias("id"), *counts)
+    flag = None
+    for name, _, _ in _PII:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("has_pii", flag)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Replace PII spans with typed placeholders, IN ORDER: emails first
+    (their local parts contain dots/digits that the later patterns must
+    not see), then IPv4, then phones. Same order in the DuckDB oracle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    for _, rx, repl in _PII:
+        t = F.regexp_replace(t, rx, repl)
+    return df.withColumn(out_col or text_col, t)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# tracking params dropped by every major canonicalizer
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL, as one Catalyst expression tree:
+
+    1. strip the fragment;
+    2. lowercase the scheme and the host;
+    3. drop a leading ``www.`` label;
+    4. drop the scheme's default port (``:80`` http, ``:443`` https);
+    5. drop tracking query params (utm_*, gclid, fbclid, ref), SORT the
+       survivors bytewise, and drop the ``?`` when none survive;
+    6. empty path → ``/``.
+
+    Deterministic and idempotent: canonical_url(canonical_url(u)) = u.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme, F.lit("://"), hostport, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """(canonical_url, keeper_id, n_variants): group documents by the
+    canonical form of their URL; the keeper is the MIN id (deterministic).
+    One map-side-combined groupBy on the canonical key — the only shuffle,
+    and AQE handles hot canonical hosts."""
+    return (
+        df.select(
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

@@ -4463,3 +4463,214 @@ FROM (SELECT unnest(range(2)) AS k)
 
 QUERIES.update({"url_fetch": q_url_fetch})
 ORACLES.update({"url_fetch": ORACLE_URL_FETCH})
+
+
+# --------------------------------------------------------------------------
+# content-hygiene gates (round 5): PII scrub, URL canonicalization+dedup,
+# paragraph-level dedup. The synthetic documents carry no PII/URLs/
+# paragraph structure, so each gate INJECTS them deterministically from
+# doc_id on BOTH sides — the oracle rebuilds the identical input in SQL
+# and recomputes the operator's exact semantics (patterns restricted to
+# the Java-regex ∩ RE2 subset; see operators/scrub.py).
+# --------------------------------------------------------------------------
+
+
+def _docs_tbl(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_pii_scrub(spark, sf_dir):
+    from ..operators.scrub import pii_stats, scrub_pii
+
+    d = F.col("doc_id").cast("string")
+    injected = _docs_tbl(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            F.lit(" contact user"), d, F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 "),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("call +1415555"),
+                         F.format_string("%04d", F.col("doc_id") % 10000)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    stats = pii_stats(injected)
+    scrubbed = scrub_pii(injected).select(
+        F.col("doc_id").alias("id"),
+        F.md5(F.encode("text", "utf-8")).alias("scrub_md5"),
+    )
+    return stats.join(scrubbed, "id").select(
+        "id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        "has_pii",
+        "scrub_md5",
+    )
+
+
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_SQL = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PHONE_SQL = "\\+[0-9]{7,15}\\b|\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+ORACLE_PII_SCRUB = f"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         substr(text, 1, 80) || ' contact user' || doc_id
+           || '@example.com from 10.0.' || (doc_id % 256) || '.7 '
+           || CASE WHEN doc_id % 3 = 0
+                   THEN 'call +1415555'
+                        || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                   ELSE '' END AS text
+  FROM documents
+)
+SELECT id,
+  cast(len(regexp_extract_all(text, '{_EMAIL_SQL}')) AS bigint) AS n_email,
+  cast(len(regexp_extract_all(text, '{_IPV4_SQL}')) AS bigint) AS n_ipv4,
+  cast(len(regexp_extract_all(text, '{_PHONE_SQL}')) AS bigint) AS n_phone,
+  (len(regexp_extract_all(text, '{_EMAIL_SQL}')) > 0
+   OR len(regexp_extract_all(text, '{_IPV4_SQL}')) > 0
+   OR len(regexp_extract_all(text, '{_PHONE_SQL}')) > 0) AS has_pii,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+        '{_IPV4_SQL}', '<IP>', 'g'),
+        '{_PHONE_SQL}', '<PHONE>', 'g')) AS scrub_md5
+FROM injected
+"""
+
+
+def q_url_canonical(spark, sf_dir):
+    from ..operators.scrub import url_dedup
+
+    did = F.col("doc_id")
+    urls = _docs_tbl(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("https://")),
+            F.lit("Example"), (did % 20).cast("string"), F.lit(".COM"),
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            F.lit("/Path/"), (did % 50).cast("string"),
+            F.when(did % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .when(did % 4 == 1, F.lit("?a=1&b=2&utm_campaign=z"))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(urls)
+
+
+ORACLE_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id AS id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END)
+         || 'Example' || (doc_id % 20) || '.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/Path/' || (doc_id % 50)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                  WHEN doc_id % 4 = 1 THEN '?a=1&b=2&utm_campaign=z'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), s1 AS (  -- strip fragment
+  SELECT id, regexp_replace(url, '#.*$', '') AS url FROM u
+), parts AS (
+  SELECT id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1
+), hp AS (
+  SELECT id, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                        '^www\\.', '') AS hostport,
+         regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM parts
+), hp2 AS (
+  SELECT id, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         coalesce(regexp_extract(pathq, '^([^?]*)', 1), '') AS path0,
+         coalesce(regexp_extract(pathq, '\\?(.*)$', 1), '') AS query
+  FROM hp
+), canon AS (
+  SELECT id,
+         scheme || '://' || host
+         || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+         || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+  FROM (
+    SELECT id, scheme, host, path0,
+           coalesce(array_to_string(list_sort(
+             list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                  '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS qs
+    FROM hp2
+  )
+)
+SELECT canonical_url, min(id) AS keeper_id,
+       cast(count(*) AS bigint) AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    from ..operators.dedup import paragraph_dedup
+
+    injected = _docs_tbl(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 100), F.lit("\n\n"),
+            F.lit("shared boilerplate block "),
+            (F.col("doc_id") % 7).cast("string"), F.lit("\n\n"),
+            F.substring("text", 101, 60),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(injected)
+    return out.select(
+        "id", "n_paras", "n_kept",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = """
+WITH d AS (
+  SELECT doc_id AS id,
+         substr(text, 1, 100) || chr(10) || chr(10)
+         || 'shared boilerplate block ' || (doc_id % 7)
+         || chr(10) || chr(10) || substr(text, 101, 60) AS text
+  FROM documents
+), p0 AS (
+  SELECT id, cast(z[2] AS int) AS pos, trim(z[1]) AS para
+  FROM (
+    SELECT id, unnest(list_zip(paras, range(1, len(paras) + 1))) AS z
+    FROM (SELECT id, string_split(text, chr(10) || chr(10)) AS paras FROM d)
+  )
+), p AS (SELECT * FROM p0 WHERE para <> ''),
+r AS (
+  SELECT id, pos, para,
+         row_number() OVER (PARTITION BY md5(para) ORDER BY id, pos) AS rk
+  FROM p
+), g AS (
+  SELECT id, count(*) AS n_paras,
+         sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_kept,
+         string_agg(CASE WHEN rk = 1 THEN para END,
+                    chr(10) || chr(10) ORDER BY pos) AS text
+  FROM r GROUP BY id
+)
+SELECT d.id, cast(coalesce(g.n_paras, 0) AS bigint) AS n_paras,
+       cast(coalesce(g.n_kept, 0) AS bigint) AS n_kept,
+       md5(coalesce(g.text, '')) AS text_md5
+FROM d LEFT JOIN g ON d.id = g.id
+"""
+
+QUERIES.update({
+    "pii_scrub": q_pii_scrub,
+    "url_canonical": q_url_canonical,
+    "paragraph_dedup": q_paragraph_dedup,
+})
+ORACLES.update({
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "url_canonical": ORACLE_URL_CANONICAL,
+    "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+})
