@@ -131,3 +131,29 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             F.count("*").alias("n_variants"),
         )
     )
+
+
+def pii_report(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(id, n_email, n_ipv4, n_phone, has_pii, scrub_md5) in ONE stateless
+    projection — no join, no aggregation, so the same plan runs UNCHANGED
+    under readStream (the stream_pii driver gate) and stays shuffle-free
+    in batch."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(f"n_{name}")
+        for name, rx, _ in _PII
+    ]
+    scrubbed = t
+    for _, rx, repl in _PII:
+        scrubbed = F.regexp_replace(scrubbed, rx, repl)
+    flag = None
+    for name, rx, _ in _PII:
+        c = F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))) > 0
+        flag = c if flag is None else (flag | c)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *counts,
+        flag.alias("has_pii"),
+        F.md5(F.encode(scrubbed, "utf-8")).alias("scrub_md5"),
+    )

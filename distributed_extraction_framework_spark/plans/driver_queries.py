@@ -4479,11 +4479,9 @@ def _docs_tbl(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def q_pii_scrub(spark, sf_dir):
-    from ..operators.scrub import pii_stats, scrub_pii
-
+def _pii_injected(docs):
     d = F.col("doc_id").cast("string")
-    injected = _docs_tbl(spark, sf_dir).select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.substring("text", 1, 80),
@@ -4496,12 +4494,10 @@ def q_pii_scrub(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    stats = pii_stats(injected)
-    scrubbed = scrub_pii(injected).select(
-        F.col("doc_id").alias("id"),
-        F.md5(F.encode("text", "utf-8")).alias("scrub_md5"),
-    )
-    return stats.join(scrubbed, "id").select(
+
+
+def _pii_shape(report):
+    return report.select(
         "id",
         F.col("n_email").cast("bigint").alias("n_email"),
         F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
@@ -4509,6 +4505,36 @@ def q_pii_scrub(spark, sf_dir):
         "has_pii",
         "scrub_md5",
     )
+
+
+def q_pii_scrub(spark, sf_dir):
+    from ..operators.scrub import pii_report
+
+    return _pii_shape(pii_report(_pii_injected(_docs_tbl(spark, sf_dir))))
+
+
+def q_stream_pii(spark, sf_dir):
+    """The pii_report projection run UNCHANGED under readStream
+    (maxFilesPerTrigger=1 micro-batches, memory sink), gated against the
+    SAME batch oracle — streaming scrubbing is hash-exact."""
+    import tempfile
+    import uuid
+
+    from ..operators.scrub import pii_report
+    from ..streaming.events import run_to_memory
+
+    injected = _pii_injected(_docs_tbl(spark, sf_dir))
+    d = tempfile.mkdtemp(prefix="defs_stream_pii_")
+    injected.repartition(4).write.mode("overwrite").parquet(d)
+    sdf = (
+        spark.readStream.schema(injected.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = _pii_shape(pii_report(sdf))
+    name = f"defs_stream_pii_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name)
+    return spark.table(name)
 
 
 _EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -4666,11 +4692,13 @@ FROM d LEFT JOIN g ON d.id = g.id
 
 QUERIES.update({
     "pii_scrub": q_pii_scrub,
+    "stream_pii": q_stream_pii,
     "url_canonical": q_url_canonical,
     "paragraph_dedup": q_paragraph_dedup,
 })
 ORACLES.update({
     "pii_scrub": ORACLE_PII_SCRUB,
+    "stream_pii": ORACLE_PII_SCRUB,
     "url_canonical": ORACLE_URL_CANONICAL,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
 })
