@@ -485,11 +485,16 @@ def paragraph_dedup(
     Returns (id, text, n_paras, n_kept) — text rebuilt from kept
     paragraphs (empty string when every paragraph was seen earlier).
     """
+    # F.split takes a REGEX; sep is a literal separator, so quote it
+    # (\Q...\E) — an unquoted '. ' would split on any-char+space and a
+    # bare '***' would throw PatternSyntaxException (code-review r5)
     paras = (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), sep))
-            .alias("pos", "para"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")),
+                        "\\Q" + sep + "\\E")
+            ).alias("pos", "para"),
         )
         .withColumn("para", F.trim("para"))
         .filter(F.col("para") != "")

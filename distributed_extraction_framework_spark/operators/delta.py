@@ -40,7 +40,7 @@ EXTRACT_KEY = ("dataset", "subj", "pred", "obj", "lang", "datatype")
 def quad_diff(
     old: DataFrame,
     new: DataFrame,
-    key: Sequence[str] = QUAD_KEY,
+    key: Sequence[str] | None = None,
 ) -> DataFrame:
     """Set difference of two snapshots → ``(change, *key)`` rows.
 
@@ -50,14 +50,17 @@ def quad_diff(
     DBpedia release-diff convention. Duplicates within a snapshot are
     collapsed (set semantics).
 
-    The DEFAULT key includes ``datatype`` so a datatype-only change
-    ("42"^^xsd:integer → "42"^^xsd:double) is visible; when the
-    snapshots don't carry some default-key column the default adapts to
-    the columns present. An explicitly passed ``key`` is strict —
-    missing columns raise.
+    The DEFAULT key (``key=None`` → QUAD_KEY) includes ``datatype`` so a
+    datatype-only change ("42"^^xsd:integer → "42"^^xsd:double) is
+    visible; when the snapshots don't carry some default-key column the
+    default adapts to the columns present. An explicitly passed ``key``
+    — including an explicit ``QUAD_KEY`` — is strict: missing columns
+    raise (a ``key is QUAD_KEY`` identity check could not tell the
+    explicit pass from the default and would silently narrow the key;
+    code-review r5).
     """
-    if key is QUAD_KEY:
-        key = [k for k in key if k in old.columns and k in new.columns]
+    if key is None:
+        key = [k for k in QUAD_KEY if k in old.columns and k in new.columns]
     cols = list(key)
     tagged = (
         old.select(*cols).withColumn("_side", F.lit(1))

@@ -581,14 +581,16 @@ def detect_mentions_distributed(
     Three stages, one corpus pass:
 
     1. **candidate generation** (pure Catalyst, zero Python): each page
-       emits its DISTINCT ``k``-grams in one projection
-       (``transform(sequence(...))`` + ``array_distinct``), where
+       emits its ``k``-grams in one projection, CHUNKED (16 KiB windows
+       overlapping by k-1, distinct within each chunk) so the per-row
+       transient stays bounded on multi-MB pages, where
        ``k = min(prefix_len, min surface length)`` — so every occurrence
        of every surface is covered by the gram at its start position;
     2. **blocked equi-join**: grams join the dictionary index
        ``(substring(surface, 1, k), surface)``. Per surface there is
-       exactly ONE gram key, so the join emits each (page, candidate
-       surface) at most once. Both sides are salted like
+       ONE gram key, so the join emits each (page, candidate surface)
+       at most once per text chunk (the verify regroup's collect_set
+       absorbs cross-chunk repeats). Both sides are salted like
        :func:`score_candidates` (page side: ``pmod(xxhash64(page), R)``,
        index side: exploded ×R) so a stop-word-ish hot gram spreads over
        R reducers — the explicit skew handling the north_rule asks for,
@@ -640,17 +642,32 @@ def detect_mentions_distributed(
     if materialize:
         base = base.localCheckpoint(eager=True)
 
+    # gram generation is CHUNKED (code-review r5): materializing every
+    # k-gram of a page as one array is an O(k·|text|) transient — a
+    # 10 MB crawl page would allocate >1 GB inside one task. Chunks of
+    # CHUNK chars (overlapping by k-1, so no boundary gram is lost)
+    # bound the per-row transient at ~CHUNK·k bytes; a gram spanning two
+    # chunks' shared overlap may emit twice, which only pads the join
+    # input — the verify regroup collect_sets per page, so semantics are
+    # unchanged (differential-tested against the broadcast tier).
+    CHUNK = 16384
     tlen = F.length("_t")
-    gram_arr = F.when(
-        tlen >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), tlen - F.lit(k) + 1),
-                lambda i: F.col("_t").substr(i, F.lit(k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    page_grams = base.select("page", F.explode(gram_arr).alias("gram"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(tlen - F.lit(k) + 1, F.lit(1)), F.lit(CHUNK)
+    )
+    chunked = base.select(
+        "page",
+        F.explode(
+            F.transform(starts, lambda s: F.col("_t").substr(s, F.lit(CHUNK + k - 1)))
+        ).alias("_c"),
+    ).filter(F.length("_c") >= k)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("_c") - F.lit(k) + 1),
+            lambda i: F.col("_c").substr(i, F.lit(k)),
+        )
+    )
+    page_grams = chunked.select("page", F.explode(gram_arr).alias("gram"))
 
     if salt_buckets > 1:
         R = salt_buckets

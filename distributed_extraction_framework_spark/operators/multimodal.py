@@ -142,6 +142,9 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
         return None
 
 
+# decode ceiling: 25 MP ≈ 100 MB of RGBA scanlines — above it the row
+# falls back to the digest feature instead of risking task memory
+_MAX_PIXELS = 25_000_000
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -206,6 +209,12 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
                 )
                 if depth != 8 or inter or comp or filt or ct not in (0, 2, 6):
                     return None
+                # hostile-input guard (code-review r5): a crafted IHDR
+                # (e.g. 50000×50000) would otherwise drive an unbounded
+                # allocation inside the executor task; oversized images
+                # fall back to the digest feature like undecodable ones
+                if not (0 < w and 0 < h) or w * h > _MAX_PIXELS:
+                    return None
             elif typ == b"IDAT":
                 idat.append(data)
             elif typ == b"IEND":
@@ -213,8 +222,10 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         if not idat or not w or not h:
             return None
         ch = {0: 1, 2: 3, 6: 4}[ct]
-        raw = zlib.decompress(b"".join(idat))
         stride = 1 + w * ch
+        # bounded inflate: max_length caps the output at exactly the
+        # expected scanline bytes — a zip-bomb IDAT cannot inflate past it
+        raw = zlib.decompressobj().decompress(b"".join(idat), stride * h)
         if len(raw) < stride * h:
             return None
         rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(
@@ -230,9 +241,10 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
                 pass
             elif f == 2:  # Up — vectorized
                 rec = (rec + prev) % 256
-            elif f == 1:  # Sub — sequential in x
-                for x in range(bpp, rec.size):
-                    rec[x] = (rec[x] + rec[x - bpp]) % 256
+            elif f == 1:  # Sub — recon[x] = raw[x] + recon[x-bpp]: a
+                # per-channel-phase prefix sum, vectorized (code-review r5)
+                for r in range(bpp):
+                    rec[r::bpp] = np.cumsum(rec[r::bpp]) % 256
             elif f == 3:  # Average
                 for x in range(rec.size):
                     a = int(rec[x - bpp]) if x >= bpp else 0
@@ -256,7 +268,7 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         if ct == 6:
             return np.ascontiguousarray(img[:, :, :3])
         return img
-    except (struct.error, ValueError, zlib.error):
+    except (struct.error, ValueError, zlib.error, MemoryError, OverflowError):
         return None
 
 

@@ -34,6 +34,33 @@ _PII = (("email", EMAIL_RE, "<EMAIL>"),
         ("phone", PHONE_RE, "<PHONE>"))
 
 
+def _pii_counts(t: Column) -> list[Column]:
+    """One ``size(regexp_extract_all)`` count column per PII pattern —
+    THE single definition of the count semantics (the gates' DuckDB
+    oracle mirrors it; pii_stats and pii_report both compose it)."""
+    return [
+        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(f"n_{name}")
+        for name, rx, _ in _PII
+    ]
+
+
+def _pii_flag(t: Column) -> Column:
+    flag = None
+    for _, rx, _ in _PII:
+        c = F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))) > 0
+        flag = c if flag is None else (flag | c)
+    return flag
+
+
+def _pii_scrubbed(t: Column) -> Column:
+    """Placeholder replacement IN ORDER: emails first (their local parts
+    contain dots/digits the later patterns must not see), then IPv4,
+    then phones. Same order in the DuckDB oracle."""
+    for _, rx, repl in _PII:
+        t = F.regexp_replace(t, rx, repl)
+    return t
+
+
 def pii_stats(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """(id, n_email, n_ipv4, n_phone, has_pii) — per-document PII counts.
@@ -43,11 +70,7 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id",
     the read when used as a predicate.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(f"n_{name}")
-        for name, rx, _ in _PII
-    ]
-    out = df.select(F.col(id_col).alias("id"), *counts)
+    out = df.select(F.col(id_col).alias("id"), *_pii_counts(t))
     flag = None
     for name, _, _ in _PII:
         c = F.col(f"n_{name}") > 0
@@ -57,13 +80,10 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id",
 
 def scrub_pii(df: DataFrame, text_col: str = "text",
               out_col: str | None = None) -> DataFrame:
-    """Replace PII spans with typed placeholders, IN ORDER: emails first
-    (their local parts contain dots/digits that the later patterns must
-    not see), then IPv4, then phones. Same order in the DuckDB oracle."""
+    """Replace PII spans with typed placeholders (see _pii_scrubbed for
+    the ordering contract)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    for _, rx, repl in _PII:
-        t = F.regexp_replace(t, rx, repl)
-    return df.withColumn(out_col or text_col, t)
+    return df.withColumn(out_col or text_col, _pii_scrubbed(t))
 
 
 # ---------------------------------------------------------------------------
@@ -140,20 +160,9 @@ def pii_report(df: DataFrame, id_col: str = "doc_id",
     under readStream (the stream_pii driver gate) and stays shuffle-free
     in batch."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(f"n_{name}")
-        for name, rx, _ in _PII
-    ]
-    scrubbed = t
-    for _, rx, repl in _PII:
-        scrubbed = F.regexp_replace(scrubbed, rx, repl)
-    flag = None
-    for name, rx, _ in _PII:
-        c = F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))) > 0
-        flag = c if flag is None else (flag | c)
     return df.select(
         F.col(id_col).alias("id"),
-        *counts,
-        flag.alias("has_pii"),
-        F.md5(F.encode(scrubbed, "utf-8")).alias("scrub_md5"),
+        *_pii_counts(t),
+        _pii_flag(t).alias("has_pii"),
+        F.md5(F.encode(_pii_scrubbed(t), "utf-8")).alias("scrub_md5"),
     )

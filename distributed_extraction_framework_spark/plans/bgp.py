@@ -931,6 +931,10 @@ def _identity_pairs(quads: DataFrame, by_graph: bool = False) -> DataFrame:
     that mention it)."""
     gcols = ["graph"] if by_graph else []
     src = [F.col("context").alias("graph")] if by_graph else []
+    if by_graph:
+        # GRAPH ?g iterates NAMED graphs only — default-graph rows
+        # (NULL context) never contribute nodes to a per-graph path
+        quads = quads.filter(F.col("context").isNotNull())
     nodes = (
         quads.select(*src, F.col("subj").alias("n"))
         .unionByName(quads.select(*src, F.col("obj").alias("n")))
@@ -955,7 +959,12 @@ def _closure(pairs: DataFrame, by_graph: bool) -> DataFrame:
     if not by_graph:
         return reachability(pairs)
     sep = "\x00"
-    enc = pairs.select(
+    # GRAPH ?g matches NAMED graphs only: default-graph rows (NULL
+    # context) are excluded BEFORE encoding — concat_ws silently skips
+    # NULLs, so an unfiltered NULL graph would otherwise encode as the
+    # bare node text and decode into corrupted (graph=node, src=NULL)
+    # rows (code-review r5).
+    enc = pairs.filter(F.col("graph").isNotNull()).select(
         F.concat_ws(sep, "graph", "src").alias("src"),
         F.concat_ws(sep, "graph", "dst").alias("dst"),
     )
@@ -1049,6 +1058,9 @@ def _path_pairs(
     else:
         pairs = quads.filter(F.col("pred") == m.group("uri"))
     gsrc = [F.col("context").alias("graph")] if by_graph else []
+    if by_graph:
+        # GRAPH ?g matches named graphs only (NULL context = default graph)
+        pairs = pairs.filter(F.col("context").isNotNull())
     pairs = pairs.select(
         *gsrc, F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
@@ -1121,6 +1133,9 @@ def _pattern_df(
                     "GRAPH requires a 'context' column on the quads"
                 )
             cols.append(F.col("context").alias("_g"))
+            # GRAPH ?g iterates NAMED graphs: default-graph rows (NULL
+            # context) never bind ?g
+            quads = quads.filter(F.col("context").isNotNull())
         base = quads.select(*cols)
         bind = {"_s": s, "_p": p, "_o": o}
         if graph_var is not None:

@@ -883,3 +883,25 @@ def test_path_closure_scoped_per_graph(spark):
     # bounded quantifier under GRAPH
     b = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>{2} ?t } }")
     assert b == {("g1", "a", "c")}
+
+
+def test_graph_var_excludes_default_graph_rows(spark):
+    """GRAPH ?g iterates NAMED graphs only: rows with NULL context (the
+    default graph) must not bind ?g — and must not corrupt the per-graph
+    path encoding (concat_ws silently skips NULLs; code-review r5)."""
+    quads = spark.createDataFrame(
+        [("a", "p", "b", None, None, "g1"),
+         ("b", "p", "c", None, None, "g1"),
+         ("x", "p", "y", None, None, None),   # default graph
+         ("y", "p", "z", None, None, None)],
+        "subj string, pred string, obj string, lang string, "
+        "datatype string, context string",
+    )
+    got = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>+ ?t } }")
+    assert got == {("g1", "a", "b"), ("g1", "b", "c"), ("g1", "a", "c")}
+    # plain (non-path) pattern under GRAPH ?g: same exclusion
+    plain = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p> ?t } }")
+    assert plain == {("g1", "a", "b"), ("g1", "b", "c")}
+    # zero-length identity never materializes default-graph nodes
+    star = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>* ?t } }")
+    assert all(g == "g1" for g, _, _ in star)

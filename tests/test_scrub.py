@@ -78,3 +78,17 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     assert (got[1]["n_paras"], got[1]["n_kept"]) == (2, 1)
     assert got[2]["text"] == "" and got[2]["n_paras"] == 2 and got[2]["n_kept"] == 0
     assert got[3]["text"] == "" and got[3]["n_paras"] == 0
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is a LITERAL, not a regex: '. ' must not split on any-char."""
+    rows = [(0, "alpha one. beta two. alpha one"), (1, "alpha one. gamma")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["id"]: r for r in paragraph_dedup(df, sep=". ").collect()}
+    # doc 0: 'alpha one' repeats within the doc -> second occurrence dropped;
+    # doc 1's 'alpha one' was already seen in doc 0 -> only 'gamma' survives.
+    # NB the trailing paragraph 'alpha one' (no '. ' suffix) equals the
+    # first after trim, hence the within-doc dedup.
+    assert got[0]["text"] == "alpha one. beta two"
+    assert (got[0]["n_paras"], got[0]["n_kept"]) == (3, 2)
+    assert got[1]["text"] == "gamma" and got[1]["n_kept"] == 1
