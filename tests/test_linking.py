@@ -319,3 +319,50 @@ def test_unbounded_dict_routes_to_single_scan_tier(spark, pages_df, tmp_path):
     # and the tier still reads the right data through that one scan
     some = out.limit(5).collect()
     assert all(r["n_mentions"] >= 1 for r in some)
+
+
+def test_distributed_mentions_chunk_boundaries(spark):
+    """Gram generation is chunked at 16 KiB (code-review r5): surfaces
+    that STRADDLE a chunk boundary must still be detected (the k-1
+    overlap covers them), counts must not double for grams that appear
+    in two chunks' shared overlap, and the result must equal the
+    broadcast tier's on the same >1-chunk pages."""
+    from distributed_extraction_framework_spark.operators.linking import (
+        _detect_mentions,
+        detect_mentions_distributed,
+    )
+
+    CHUNK = 16384
+    filler = "z" * 7  # no surface contains z
+    surfaces = ["needle", "straddle pair"]
+    # place one surface right across the first chunk boundary, one well
+    # inside each chunk, and one duplicated near the boundary overlap
+    t = list("y" * (3 * CHUNK))
+    def put(s, at):
+        t[at:at + len(s)] = list(s)
+    put("needle", 100)
+    put("straddle pair", CHUNK - 7)       # spans chunks 1-2
+    put("needle", CHUNK + 50)
+    put("straddle pair", 2 * CHUNK - 4)   # spans chunks 2-3
+    put("needle", 3 * CHUNK - 10)
+    text = "".join(t)
+    pages = spark.createDataFrame(
+        [("u1", text), ("u2", filler + "needle" + filler)],
+        "url string, text string",
+    )
+    sf = spark.createDataFrame([(s,) for s in surfaces], ["surface"])
+    got = {
+        (r["page"], r["surface"]): r["n_mentions"]
+        for r in detect_mentions_distributed(
+            pages, sf, salt_buckets=4, materialize=False
+        ).collect()
+    }
+    assert got == {
+        ("u1", "needle"): 3,
+        ("u1", "straddle pair"): 2,
+        ("u2", "needle"): 1,
+    }
+    # parity with the broadcast Aho-Corasick tier on the same input
+    bc, _ = _detect_mentions(pages, sorted(surfaces))
+    want = {(r["page"], r["surface"]): r["n_mentions"] for r in bc.collect()}
+    assert got == want
