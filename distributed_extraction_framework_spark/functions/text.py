@@ -136,3 +136,35 @@ def profile_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         content_fingerprint(t).alias("fingerprint"),
     )
+
+
+# sentence segmentation — the regex sticks to the Java-regex ∩ RE2 subset
+# (no lookaround) so the DuckDB oracle runs the IDENTICAL pattern: a
+# sentence is a maximal run of non-terminator characters followed by at
+# least one terminator. A trailing terminator-less fragment is dropped by
+# both engines the same way (crawl text trails mid-sentence constantly;
+# counting it as a sentence double-counts truncation damage).
+SENTENCE_RE = r"[^.!?]+[.!?]+"
+
+
+def sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence segmentation profile: sentence count plus
+    mean/max trimmed sentence length in characters — inputs to the
+    classic C4-style heuristics ("drop pages whose mean sentence length
+    is tiny" = menus/link farms, "huge" = minified junk). Pure Catalyst:
+    one ``regexp_extract_all`` + array expressions, zero shuffles, zero
+    Python."""
+    sents = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(f"({SENTENCE_RE})"), 1
+    )
+    lens = F.transform(sents, lambda s: F.length(F.trim(s)))
+    n = F.size(sents)
+    total = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_sentences"),
+        F.round(F.try_divide(total, n), 6).alias("avg_sentence_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).alias("max_sentence_chars"),
+    )

@@ -223,3 +223,77 @@ def gopher_filter(
         .otherwise("keep")
     )
     return docs.select(F.col(id_col), verdict.alias("verdict"))
+
+
+# --------------------------------------------------------------------------
+# bigram language-model quality scoring (the CCNet / Wenzek et al. 2020
+# perplexity-filter shape, with the corpus itself as the LM training set)
+# --------------------------------------------------------------------------
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed bigram
+    LM estimated from the corpus itself — the standard "rank documents by
+    LM fluency, drop the tail" curation pass (CCNet trains KenLM on a
+    reference corpus; the self-trained form flags statistical outliers
+    without external data, which is what a hermetic cluster job can do).
+
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)`` with V = distinct
+    unigram vocabulary; ``avg_logprob`` = mean ln P over the document's
+    bigram instances. Low scores = token salad / boilerplate / wrong
+    language; high scores = repetitive junk — both tails are cut in
+    practice.
+
+    Execution shape (100 TB-safe):
+
+    * ONE tokenize pass; bigrams explode as (doc_id, w1, w2) rows — the
+      only corpus-sized rows in flight are two words + an id, never the
+      document body;
+    * the bigram/context count tables are vocabulary-sized aggregates
+      (Zipf: ≪ corpus), joined back by equi-join — AQE broadcasts them
+      when they fit, falls back to shuffle-hash when they don't;
+    * V is a 1-row broadcast crossJoin (the repo's scalar pattern);
+    * no all-pairs stage, no driver collect.
+
+    Returns (id_col, n_bigrams, avg_logprob) for every input document;
+    documents with fewer than 2 tokens get n_bigrams = 0 and a NULL
+    score (nothing to measure — callers decide their fate).
+    """
+    bg = docs.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), 2)).alias("_bg")
+    ).select(
+        id_col,
+        F.split("_bg", " ").getItem(0).alias("_w1"),
+        F.split("_bg", " ").getItem(1).alias("_w2"),
+    )
+    c12 = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
+    c1 = bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    vocab = (
+        docs.select(F.explode(_token_array(F.col(text_col))).alias("_tok"))
+        .agg(F.count_distinct("_tok").alias("_v"))
+    )
+    scored = (
+        bg.join(c12, ["_w1", "_w2"])
+        .join(c1, ["_w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("_c12") + 1.0) / (F.col("_c1") + F.col("_v")))),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

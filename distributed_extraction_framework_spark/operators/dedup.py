@@ -535,3 +535,71 @@ def paragraph_dedup(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 6. exact duplicate-span accounting (the Lee et al. 2021 "Deduplicating
+#    Training Data Makes Language Models Better" ExactSubstr signal)
+# --------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document exact substring-duplication profile: how much of each
+    document consists of word n-grams that occur more than once in the
+    ENTIRE corpus (including elsewhere in the same document).
+
+    Lee et al. build a corpus suffix array and cut duplicated 50-token
+    spans; a suffix array is a single sorted global structure that does
+    not shard. The distributed equivalent of its *detection* phase is a
+    fixed-width hashed span census: every n-token window hashes to a
+    32-char digest, one groupBy counts global occurrences, one equi-join
+    flags each window. Span REMOVAL (the paper's rewrite step) composes
+    downstream — a caller that wants it re-derives window offsets for
+    flagged docs only; the census is the scale-critical part.
+
+    Execution shape (100 TB-safe): spans are md5-hashed INSIDE the
+    projection before the explode, so both shuffles (census groupBy,
+    flag join) carry (id, 32-char digest) rows — never the document
+    body and never the raw span text. No driver state; duplicated-span
+    skew (boilerplate present in millions of docs) lands on the census
+    aggregate where partial aggregation absorbs it map-side.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_frac): window count,
+    windows whose digest has corpus-wide multiplicity ≥ 2, and their
+    ratio (NULL when the document is shorter than ``n`` tokens).
+    """
+    from .curation import shingle_array
+
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("_span"),
+    ).select(
+        id_col, F.md5(F.encode("_span", "utf-8")).alias("_h")
+    )
+    census = spans.groupBy("_h").agg(F.count("*").alias("_mult"))
+    per_doc = (
+        spans.join(census, ["_h"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_mult") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.try_divide(F.col("n_dup_spans"), F.col("n_spans")), 6),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            "dup_frac",
+        )
+    )

@@ -6,7 +6,8 @@ toolbox) the reference never needed — its input was curated dumps; a
 crawl corpus is not. Everything is pure Catalyst (regex + array
 expressions inside whole-stage codegen, zero Python, zero shuffles for
 the per-document ops; url_dedup adds the one irreducible groupBy on the
-canonical key).
+canonical key) — except :func:`normalize_unicode`, whose NFC/NFKC step
+has no Catalyst equivalent and runs as an Arrow-batched pandas UDF.
 
 Regex portability: every pattern sticks to the syntax subset shared by
 Java regex (Spark) and RE2 (DuckDB) — character classes, bounded repeats,
@@ -17,6 +18,7 @@ backreferences.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -165,4 +167,53 @@ def pii_report(df: DataFrame, id_col: str = "doc_id",
         *_pii_counts(t),
         _pii_flag(t).alias("has_pii"),
         F.md5(F.encode(_pii_scrubbed(t), "utf-8")).alias("scrub_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+# ---------------------------------------------------------------------------
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Canonical Unicode normalization + mojibake diagnostics — the first
+    pass of every crawl-text pipeline (mixed encoders emit NFC and NFD
+    forms of the same grapheme; exact dedup, tokenizers and sort orders
+    all disagree on un-normalized text).
+
+    * ``text_col`` is rewritten to its ``form`` (default NFC) normal
+      form via a vectorized pandas UDF (``unicodedata`` has no Catalyst
+      equivalent; the Arrow batch transfer carries only the text
+      column);
+    * ``was_changed`` marks rows the normalization actually rewrote —
+      at crawl scale ~99% of docs are already NFC, so downstream stages
+      can cheaply count/route the exceptions;
+    * ``n_replacement`` counts U+FFFD replacement characters (decoder
+      damage already baked into the input: the bytes are gone, flag the
+      row) — pure Catalyst, and the piece the DuckDB oracle re-computes
+      alongside ``nfc_normalize``.
+
+    Zero shuffles; one projection.
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    normalized = _norm(t)
+    return df.select(
+        F.col(id_col),
+        normalized.alias(text_col),
+        (normalized != t).alias("was_changed"),
+        (F.length(t) - F.length(F.regexp_replace(t, "\\ufffd", ""))).alias(
+            "n_replacement"
+        ),
     )

@@ -1,0 +1,180 @@
+"""Structured-data extraction from raw web HTML: schema.org JSON-LD
+blocks → RDF triples.
+
+The reference framework consumes curated wiki dumps whose structure is
+the wikitext itself (reference: extraction/src/main/scala/.../
+WikiParser + the extractor suite it feeds); a web-crawl corpus carries
+its machine-readable facts in embedded ``<script
+type="application/ld+json">`` blocks instead. This operator is the
+crawl-side analog of the wikitext extractor family: one scan over the
+HTML column, JVM-side block isolation, Arrow-batched JSON flattening,
+one explode — the same zero-shuffle shape as
+``operators/extractors.extract``.
+
+Execution shape (100 TB-safe):
+
+* the ``<script …>`` block scan is a Catalyst ``regexp_extract_all`` —
+  whole-stage-codegen string work, no Python touches pages that carry
+  no JSON-LD (the common case: filter on ``size(blocks) > 0`` first);
+* JSON parsing + flattening is a vectorized ``pandas_udf`` over the
+  (much smaller) exploded block set — Arrow batches, never per-row
+  Python over the full corpus;
+* output is (id, subj, pred, obj, obj_kind) quintuples; no shuffle is
+  introduced — downstream dedup/sinks decide their own partitioning.
+
+Flattening rules (deterministic, documented subset of JSON-LD 1.1
+expansion — enough for the schema.org payloads crawls actually carry):
+
+* each block must parse as a JSON object or a JSON array of objects;
+  anything else (or invalid JSON) is skipped silently — crawl data is
+  hostile, a bad block must never fail the job;
+* a node's subject is its ``@id`` (kind ``uri``); a node without
+  ``@id`` gets the deterministic blank label ``_:b{id}_{block}_{seq}``
+  where ``seq`` is the node's pre-order visit index among bnode-labeled
+  nodes in that block (kind ``bnode``);
+* ``@type`` (string or list) emits rdf:type triples with kind ``uri``;
+* every other non-``@`` key emits one triple per value: JSON strings
+  stay literals verbatim; numbers use their Python str() lexical form;
+  booleans map to ``true``/``false``; ``null`` is skipped; nested
+  objects recurse and the parent links to the child's subject; lists
+  distribute over their elements;
+* ``@graph`` hoists its member objects to top-level nodes (the common
+  "one block, many nodes" publisher layout);
+* keys beginning with ``@`` other than ``@id``/``@type``/``@graph``
+  (``@context`` etc.) are ignored — no remote context resolution on a
+  cluster.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, StringType, StructField,
+                               StructType)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# (?is) — case-insensitive, dot-matches-newline; lazy body up to the
+# first closing tag. Java-regex only (JVM side); the gate's oracle does
+# not re-run this regex — it reconstructs expected triples closed-form.
+JSONLD_BLOCK_RE = (
+    r"(?is)<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+    r"(.*?)</script>"
+)
+
+_TRIPLE = StructType([
+    StructField("subj", StringType(), False),
+    StructField("pred", StringType(), False),
+    StructField("obj", StringType(), False),
+    StructField("obj_kind", StringType(), False),
+])
+
+
+def _scalar_lexical(v) -> str | None:
+    """JSON scalar → literal lexical form (None = skip)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _flatten_block(raw: str, row_id, block_idx: int) -> list[tuple]:
+    try:
+        data = json.loads(raw)
+    except (ValueError, RecursionError):
+        return []
+    if isinstance(data, dict):
+        nodes = [data]
+    elif isinstance(data, list):
+        nodes = [n for n in data if isinstance(n, dict)]
+    else:
+        return []
+
+    # hoist @graph members to top-level nodes (index loop: the list
+    # grows while we scan it, so nested @graph also unrolls)
+    i = 0
+    while i < len(nodes):
+        g = nodes[i].get("@graph")
+        if isinstance(g, list):
+            nodes.extend(x for x in g if isinstance(x, dict))
+        i += 1
+
+    out: list[tuple] = []
+    seq = [0]  # pre-order bnode counter for this block
+
+    def subject_of(node: dict) -> tuple[str, str]:
+        nid = node.get("@id")
+        if isinstance(nid, str) and nid:
+            return nid, "uri"
+        label = f"_:b{row_id}_{block_idx}_{seq[0]}"
+        seq[0] += 1
+        return label, "bnode"
+
+    def walk(node: dict, subj: str) -> None:
+        types = node.get("@type")
+        if isinstance(types, str):
+            types = [types]
+        if isinstance(types, list):
+            for t in types:
+                if isinstance(t, str):
+                    out.append((subj, RDF_TYPE, t, "uri"))
+        for key, val in node.items():
+            if key.startswith("@"):
+                continue
+            values = val if isinstance(val, list) else [val]
+            for v in values:
+                if isinstance(v, dict):
+                    child, kind = subject_of(v)
+                    out.append((subj, key, child, kind))
+                    walk(v, child)
+                else:
+                    lex = _scalar_lexical(v)
+                    if lex is not None:
+                        out.append((subj, key, lex, "literal"))
+
+    for node in nodes:
+        subj, _ = subject_of(node)
+        walk(node, subj)
+    return out
+
+
+def extract_jsonld(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """(id, subj, pred, obj, obj_kind) triples from every JSON-LD block
+    embedded in ``html_col``.
+
+    Block isolation runs JVM-side (``regexp_extract_all`` in whole-stage
+    codegen); pages with no block are dropped before any Python runs,
+    so at crawl scale the Arrow transfer carries only the JSON payloads
+    (typically <1% of page bytes). Zero shuffles.
+    """
+    blocks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.regexp_extract_all(F.col(html_col),
+                                 F.lit(JSONLD_BLOCK_RE), F.lit(1))
+            .alias("_blocks"),
+        )
+        .filter(F.size("_blocks") > 0)
+        .select("id", F.posexplode("_blocks").alias("_bidx", "_raw"))
+    )
+
+    @F.pandas_udf(ArrayType(_TRIPLE))
+    def flatten(raw: pd.Series, rid: pd.Series, bidx: pd.Series) -> pd.Series:
+        return pd.Series([
+            _flatten_block(r, i, b)
+            for r, i, b in zip(raw, rid, bidx)
+        ])
+
+    return (
+        blocks.select("id", F.explode(flatten("_raw", "id", "_bidx"))
+                      .alias("_t"))
+        .select("id", "_t.subj", "_t.pred", "_t.obj", "_t.obj_kind")
+    )

@@ -4702,3 +4702,387 @@ ORACLES.update({
     "url_canonical": ORACLE_URL_CANONICAL,
     "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
 })
+
+
+# --------------------------------------------------------------------------
+# seventh wave: webtext structured data, literal/identity canonicalization,
+# unicode + sentence hygiene, LM quality scoring, duplicate-span census
+# --------------------------------------------------------------------------
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def q_jsonld_extract(spark, sf_dir):
+    """schema.org JSON-LD blocks embedded in synthetic crawl HTML →
+    flattened triples (operators/structured_data.py). The HTML carries
+    three blocks per page — a full Article node with a bnode author, a
+    deliberately broken JSON payload (must be skipped silently), and a
+    bnode-rooted WebSite node — plus attribute-case/quote-style variety
+    to exercise the block regex. The oracle reconstructs the expected
+    triples closed-form from the same documents columns."""
+    from ..operators.structured_data import extract_jsonld
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    block1 = F.concat(
+        F.lit('{"@context":"https://schema.org","@id":"https://ex.org/doc/'),
+        d, F.lit('","@type":"Article","name":"'), w1,
+        F.lit('","wordCount":'), F.col("n_chars").cast("string"),
+        F.lit(',"keywords":["k'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('","shared"],"author":{"@type":"Person","name":"auth'),
+        (F.col("doc_id") % 5).cast("string"), F.lit('"}}'),
+    )
+    block2 = F.concat(
+        F.lit('{"@type":"WebSite","url":"https://site'),
+        (F.col("doc_id") % 4).cast("string"), F.lit('.example.org"}'),
+    )
+    html = F.concat(
+        F.lit('<html><head><SCRIPT TYPE="application/ld+json">'), block1,
+        F.lit("</script><p>noise</p>"
+              "<script type='application/ld+json'>{broken</script>"
+              '<script async type="application/ld+json">'), block2,
+        F.lit("</script></head><body>body text</body></html>"),
+    )
+    injected = docs.select("doc_id", html.alias("html"))
+    out = extract_jsonld(injected, html_col="html", id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "obj_kind")
+
+
+ORACLE_JSONLD_EXTRACT = f"""
+WITH base AS (
+  SELECT doc_id,
+         'https://ex.org/doc/' || doc_id AS s,
+         '_:b' || doc_id || '_0_0' AS b1,
+         '_:b' || doc_id || '_2_0' AS b2,
+         split_part(text, ' ', 1) AS w1,
+         cast(n_chars AS varchar) AS nc,
+         'k' || (doc_id % 3) AS kw,
+         'auth' || (doc_id % 5) AS auth,
+         'https://site' || (doc_id % 4) || '.example.org' AS site
+  FROM documents
+)
+SELECT doc_id, s AS subj, '{_RDF_TYPE}' AS pred, 'Article' AS obj,
+       'uri' AS obj_kind FROM base
+UNION ALL SELECT doc_id, s, 'name', w1, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'wordCount', nc, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'keywords', kw, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'keywords', 'shared', 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'author', b1, 'bnode' FROM base
+UNION ALL SELECT doc_id, b1, '{_RDF_TYPE}', 'Person', 'uri' FROM base
+UNION ALL SELECT doc_id, b1, 'name', auth, 'literal' FROM base
+UNION ALL SELECT doc_id, b2, '{_RDF_TYPE}', 'WebSite', 'uri' FROM base
+UNION ALL SELECT doc_id, b2, 'url', site, 'literal' FROM base
+"""
+
+
+def q_sameas_fusion(spark, sf_dir):
+    """owl:sameAs-style identity fusion end-to-end: connected components
+    over the redirect+interlanguage identity edges, then the page-links
+    quads rewritten through the canonical mapping (operators/
+    canonicalize.py: connected_components + canonicalize_quads) — the
+    'one node per real-world entity' publish step. Oracle = recursive
+    undirected closure + LEFT-JOIN rewrite in SQL."""
+    from ..operators.canonicalize import (canonicalize_quads,
+                                          connected_components)
+
+    pages = _pages(spark, sf_dir)
+    quads = extract_many(pages, ["page_links"]).select("subj", "pred", "obj")
+    edges = extract_many(pages, ["redirects", "interlanguage_links"]).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    labels = connected_components(edges)
+    return canonicalize_quads(quads, labels)
+
+
+ORACLE_SAMEAS_FUSION = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), lt AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+), pl AS (
+  SELECT DISTINCT '{RES}' || title AS subj, '{S.DBO_WIKI_LINK}' AS pred,
+         '{RES}' || upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS obj
+  FROM lt
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+), re AS (
+  SELECT '{RES}' || title AS src, '{RES}Doc_' || (doc_id + 1) AS dst
+  FROM pages WHERE {_ISREDIR}
+), sa AS (
+  SELECT '{RES}' || title AS src, '{RES_DE}Doc_' || doc_id AS dst
+  FROM pages WHERE {_REGULAR} AND doc_id % 6 = 2
+), sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM re UNION ALL SELECT dst, src FROM re
+    UNION ALL SELECT src, dst FROM sa UNION ALL SELECT dst, src FROM sa
+  ) WHERE u <> v
+), reach AS (
+  SELECT u AS vertex, v AS r FROM sym
+  UNION
+  SELECT reach.vertex, sym.v FROM reach JOIN sym ON reach.r = sym.u
+), comp AS (
+  SELECT vertex, least(vertex, min(r)) AS component
+  FROM reach GROUP BY vertex
+), m AS (
+  SELECT vertex AS v, component AS c FROM comp WHERE component <> vertex
+)
+SELECT coalesce(ms.c, pl.subj) AS subj, pl.pred,
+       coalesce(mo.c, pl.obj) AS obj
+FROM pl LEFT JOIN m ms ON pl.subj = ms.v
+        LEFT JOIN m mo ON pl.obj = mo.v
+"""
+
+
+def q_literal_canonical(spark, sf_dir):
+    """XSD canonical lexical forms (operators/literals.py) over an
+    injected typed-literal table covering every rule: signed/zero-padded
+    integers, whitespace, boolean spellings, decimals needing point
+    insertion / zero trimming / negative-zero collapse, a passthrough
+    double, and an invalid lexical that must survive unchanged. The
+    oracle re-implements the canonicalization in portable SQL."""
+    from ..operators.literals import XSD, canonicalize_literals
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    rows = F.array(
+        F.struct(F.lit("int_pos").alias("slot"),
+                 F.concat(F.lit("+0"), (d % 100).cast("string")).alias("obj"),
+                 F.lit(XSD + "integer").alias("datatype")),
+        F.struct(F.lit("int_neg").alias("slot"),
+                 F.concat(F.lit(" -0"), (d % 50).cast("string"), F.lit(" ")).alias("obj"),
+                 F.lit(XSD + "long").alias("datatype")),
+        F.struct(F.lit("bool").alias("slot"),
+                 F.element_at(F.array(F.lit("TRUE"), F.lit("False"),
+                                      F.lit("1"), F.lit("0")),
+                              (d % 4).cast("int") + 1).alias("obj"),
+                 F.lit(XSD + "boolean").alias("datatype")),
+        F.struct(F.lit("dec_pad").alias("slot"),
+                 F.concat(F.lit("+0"), (d % 7).cast("string"), F.lit(".50")).alias("obj"),
+                 F.lit(XSD + "decimal").alias("datatype")),
+        F.struct(F.lit("dec_int").alias("slot"),
+                 F.concat(F.lit("0"), (d % 9).cast("string")).alias("obj"),
+                 F.lit(XSD + "decimal").alias("datatype")),
+        F.struct(F.lit("dbl_pass").alias("slot"), F.lit("1e3").alias("obj"),
+                 F.lit(XSD + "double").alias("datatype")),
+        F.struct(F.lit("bad_lex").alias("slot"), F.lit("abc").alias("obj"),
+                 F.lit(XSD + "integer").alias("datatype")),
+    )
+    injected = docs.select("doc_id", F.explode(rows).alias("r")).select(
+        "doc_id", "r.slot", "r.obj", "r.datatype"
+    )
+    return canonicalize_literals(injected).select("doc_id", "slot", "obj")
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+ORACLE_LITERAL_CANONICAL = f"""
+WITH inj AS (
+  SELECT doc_id, 'int_pos' AS slot, '+0' || (doc_id % 100) AS raw,
+         '{_XSD}integer' AS dt FROM documents
+  UNION ALL SELECT doc_id, 'int_neg', ' -0' || (doc_id % 50) || ' ',
+         '{_XSD}long' FROM documents
+  UNION ALL SELECT doc_id, 'bool',
+         (['TRUE','False','1','0'])[cast(doc_id % 4 AS int) + 1],
+         '{_XSD}boolean' FROM documents
+  UNION ALL SELECT doc_id, 'dec_pad', '+0' || (doc_id % 7) || '.50',
+         '{_XSD}decimal' FROM documents
+  UNION ALL SELECT doc_id, 'dec_int', '0' || (doc_id % 9),
+         '{_XSD}decimal' FROM documents
+  UNION ALL SELECT doc_id, 'dbl_pass', '1e3', '{_XSD}double' FROM documents
+  UNION ALL SELECT doc_id, 'bad_lex', 'abc', '{_XSD}integer' FROM documents
+), i0 AS (SELECT *, trim(raw) AS t FROM inj),
+i1 AS (SELECT *, regexp_replace(t, '^\\+', '') AS s1 FROM i0),
+i2 AS (SELECT *, regexp_replace(s1, '^(-?)0+([0-9])', '\\1\\2') AS int_c FROM i1),
+i3 AS (SELECT *, CASE WHEN strpos(s1, '.') = 0 THEN s1 || '.0' ELSE s1 END AS d1 FROM i2),
+i4 AS (SELECT *, regexp_replace(regexp_replace(d1, '^-\\.', '-0.'), '^\\.', '0.') AS d2 FROM i3),
+i5 AS (SELECT *, regexp_replace(d2, '^(-?)0+([0-9])', '\\1\\2') AS d3 FROM i4),
+i6 AS (SELECT *, regexp_replace(d3, '0+$', '') AS d4 FROM i5),
+i7 AS (SELECT *, CASE WHEN d4 LIKE '%.' THEN d4 || '0' ELSE d4 END AS d5 FROM i6),
+i8 AS (SELECT *, CASE WHEN d5 = '-0.0' THEN '0.0' ELSE d5 END AS dec_c FROM i7)
+SELECT doc_id, slot,
+  CASE
+    WHEN dt IN ('{_XSD}integer', '{_XSD}long', '{_XSD}int', '{_XSD}short',
+                '{_XSD}byte')
+         AND regexp_matches(t, '^[+-]?[0-9]+$')
+      THEN CASE WHEN int_c IN ('-0', '0') THEN '0' ELSE int_c END
+    WHEN dt = '{_XSD}boolean' AND regexp_matches(t, '^(?i)(true|false|1|0)$')
+      THEN CASE lower(t) WHEN '1' THEN 'true' WHEN '0' THEN 'false'
+           ELSE lower(t) END
+    WHEN dt = '{_XSD}decimal'
+         AND regexp_matches(t, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
+      THEN dec_c
+    ELSE raw
+  END AS obj
+FROM i8
+"""
+
+
+def q_unicode_nfc(spark, sf_dir):
+    """NFC normalization + mojibake diagnostics (operators/scrub.py:
+    normalize_unicode) over documents injected with NFD-decomposed
+    accents (even ids), precomposed accents (odd ids: must be a no-op)
+    and U+FFFD decoder damage (ids % 5 == 0). Oracle = DuckDB's
+    nfc_normalize over the identically constructed input."""
+    from ..operators.scrub import normalize_unicode
+
+    docs = _docs_tbl(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(" cafe"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("e\u0301"))
+            .otherwise(F.lit("\u00e9")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\ufffd"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = normalize_unicode(injected)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+        "was_changed", "n_replacement",
+    )
+
+
+ORACLE_UNICODE_NFC = """
+WITH inj AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' cafe' ||
+         CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END ||
+         CASE WHEN doc_id % 5 = 0 THEN chr(65533) ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id, md5(nfc_normalize(t)) AS text_md5,
+       nfc_normalize(t) <> t AS was_changed,
+       cast(length(t) - length(replace(t, chr(65533), '')) AS int)
+         AS n_replacement
+FROM inj
+"""
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Sentence segmentation profile (functions/text.py: sentence_stats)
+    over documents injected with ./!/? terminators and a trailing
+    terminator-less fragment both engines must drop identically."""
+    docs = _docs_tbl(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50), F.lit(". "),
+            F.substring("text", 51, 40), F.lit("! "),
+            F.substring("text", 91, 30), F.lit("? trailing fragment"),
+        ).alias("text"),
+    )
+    return T.sentence_stats(injected)
+
+
+ORACLE_SENTENCE_STATS = """
+WITH inj AS (
+  SELECT doc_id,
+         substr(text, 1, 50) || '. ' || substr(text, 51, 40) || '! ' ||
+         substr(text, 91, 30) || '? trailing fragment' AS t
+  FROM documents
+), s AS (
+  SELECT doc_id, regexp_extract_all(t, '([^.!?]+[.!?]+)', 1) AS sents
+  FROM inj
+)
+SELECT doc_id, len(sents) AS n_sentences,
+       round(cast(list_sum(list_transform(sents, x -> length(trim(x))))
+                  AS double) / len(sents), 6) AS avg_sentence_chars,
+       coalesce(list_max(list_transform(sents, x -> length(trim(x)))), 0)
+         AS max_sentence_chars
+FROM s
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Self-trained bigram-LM fluency scores (operators/curation.py:
+    bigram_lm_scores) — CCNet-style perplexity-filter shape — vs a full
+    SQL re-derivation (positions self-join, add-one smoothing, ln)."""
+    from ..operators.curation import bigram_lm_scores
+
+    return bigram_lm_scores(_docs_tbl(spark, sf_dir))
+
+
+ORACLE_BIGRAM_LM = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS l
+  FROM documents
+), t AS (
+  SELECT doc_id, z[1] AS tok, cast(z[2] AS int) AS pos
+  FROM (SELECT doc_id, unnest(list_zip(l, range(1, len(l) + 1))) AS z FROM tk)
+), bg AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT tok) AS v FROM t
+), sc AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(cast(c12 + 1 AS double) / cast(c1 + v AS double))), 6)
+           AS avg_logprob
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id, cast(coalesce(sc.n_bigrams, 0) AS bigint) AS n_bigrams,
+       sc.avg_logprob
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def q_dup_spans(spark, sf_dir):
+    """Corpus-wide exact duplicate-span census (operators/dedup.py:
+    duplicate_span_stats, the Lee et al. ExactSubstr detection signal)
+    at n=8 over the raw documents table vs a SQL sliding-window
+    re-derivation."""
+    from ..operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs_tbl(spark, sf_dir), n=8)
+
+
+ORACLE_DUP_SPANS = """
+WITH tk AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS l
+  FROM documents
+), sp AS (
+  SELECT doc_id, md5(array_to_string(l[i:i+7], ' ')) AS h
+  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i
+        FROM tk WHERE len(l) >= 8)
+), census AS (
+  SELECT h, count(*) AS mult FROM sp GROUP BY h
+), pd AS (
+  SELECT sp.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN mult >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM sp JOIN census USING (h) GROUP BY sp.doc_id
+)
+SELECT d.doc_id, cast(coalesce(n_spans, 0) AS bigint) AS n_spans,
+       cast(coalesce(n_dup, 0) AS bigint) AS n_dup_spans,
+       round(cast(n_dup AS double) / n_spans, 6) AS dup_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+QUERIES.update({
+    "jsonld_extract": q_jsonld_extract,
+    "sameas_fusion": q_sameas_fusion,
+    "literal_canonical": q_literal_canonical,
+    "unicode_nfc": q_unicode_nfc,
+    "sentence_stats": q_sentence_stats,
+    "bigram_lm": q_bigram_lm,
+    "dup_spans": q_dup_spans,
+})
+ORACLES.update({
+    "jsonld_extract": ORACLE_JSONLD_EXTRACT,
+    "sameas_fusion": ORACLE_SAMEAS_FUSION,
+    "literal_canonical": ORACLE_LITERAL_CANONICAL,
+    "unicode_nfc": ORACLE_UNICODE_NFC,
+    "sentence_stats": ORACLE_SENTENCE_STATS,
+    "bigram_lm": ORACLE_BIGRAM_LM,
+    "dup_spans": ORACLE_DUP_SPANS,
+})
