@@ -249,12 +249,17 @@ def bigram_lm_scores(
 
     Execution shape (100 TB-safe):
 
-    * ONE tokenize pass; bigrams explode as (doc_id, w1, w2) rows — the
-      only corpus-sized rows in flight are two words + an id, never the
-      document body;
-    * the bigram/context count tables are vocabulary-sized aggregates
-      (Zipf: ≪ corpus), joined back by equi-join — AQE broadcasts them
-      when they fit, falls back to shuffle-hash when they don't;
+    * bigrams explode as (doc_id, w1, w2) rows — the only corpus-sized
+      rows in flight are two words + an id, never the document body;
+    * the text column is scanned twice for bigrams (count-building
+      pass, scoring pass — the same probe/apply shape as the linking
+      and decontamination operators) plus once more for the exact
+      unigram vocabulary V; the context table c(w1 ·) is DERIVED from
+      the bigram counts (a vocabulary-sized re-aggregation), NOT a
+      corpus scan;
+    * both count tables are vocabulary-sized (Zipf: ≪ corpus), joined
+      back by equi-join — AQE broadcasts them when they fit, falls back
+      to shuffle-hash when they don't;
     * V is a 1-row broadcast crossJoin (the repo's scalar pattern);
     * no all-pairs stage, no driver collect.
 
@@ -270,7 +275,9 @@ def bigram_lm_scores(
         F.split("_bg", " ").getItem(1).alias("_w2"),
     )
     c12 = bg.groupBy("_w1", "_w2").agg(F.count("*").alias("_c12"))
-    c1 = bg.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    # c(w1 ·) = Σ_w2 c(w1 w2): a vocabulary-sized re-aggregation of the
+    # bigram table — NOT another pass over the corpus
+    c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
         docs.select(F.explode(_token_array(F.col(text_col))).alias("_tok"))
         .agg(F.count_distinct("_tok").alias("_v"))

@@ -178,3 +178,79 @@ def extract_jsonld(
                       .alias("_t"))
         .select("id", "_t.subj", "_t.pred", "_t.obj", "_t.obj_kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-Catalyst HTML extractors: outlinks and Open Graph metadata
+# ---------------------------------------------------------------------------
+# Both regexes stick to the Java-regex ∩ RE2 subset (no lookaround, no
+# backrefs) so driver gates can hash-verify the exact semantics against
+# DuckDB. Two regexp_extract_all calls with the SAME pattern but
+# different group indexes yield index-aligned arrays (the match sequence
+# is identical), so arrays_zip pairs attribute and body without Python.
+
+HTML_A_RE = r"(?is)<a\s[^>]*href\s*=\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
+# <meta …> carries its key in property= (Open Graph) or name= (classic),
+# and attribute order varies in the wild: match both orders separately.
+META_KC_RE = (r"(?is)<meta\s[^>]*(?:property|name)\s*=\s*[\"']([^\"']+)[\"']"
+              r"[^>]*content\s*=\s*[\"']([^\"']*)[\"']")
+META_CK_RE = (r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"']"
+              r"[^>]*(?:property|name)\s*=\s*[\"']([^\"']+)[\"']")
+TAG_STRIP_RE = r"<[^>]+>"
+
+
+def extract_html_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """(id, href, anchor) for every ``<a href=…>…</a>`` in ``html_col`` —
+    the crawl-side analog of the reference's PageLinksExtractor (its
+    input carries links as wikitext ``[[…]]``; a crawl carries them as
+    anchors). Anchor text is inner-tag-stripped and trimmed. One scan,
+    whole-stage codegen end to end, one explode, zero shuffles — link
+    graphs at crawl scale are built by feeding this into
+    operators/graph.py, which owns its own partitioning."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(HTML_A_RE), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(HTML_A_RE), F.lit(2)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("_p"))
+        .select(
+            "id",
+            F.col("_p.0").alias("href"),
+            F.trim(
+                F.regexp_replace(F.col("_p.1"), TAG_STRIP_RE, "")
+            ).alias("anchor"),
+        )
+    )
+
+
+def extract_meta_tags(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """(id, key, content) for every ``<meta property=…/name=… content=…>``
+    tag — Open Graph / twitter-card / description metadata, the page-level
+    facts (title, type, canonical image, locale) a webtext KG attaches to
+    the page node itself. Handles both attribute orders; one scan, zero
+    Python, zero shuffles."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    kc = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(META_KC_RE), F.lit(1)),
+        F.regexp_extract_all(h, F.lit(META_KC_RE), F.lit(2)),
+    )
+    ck = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(META_CK_RE), F.lit(2)),
+        F.regexp_extract_all(h, F.lit(META_CK_RE), F.lit(1)),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.concat(kc, ck)).alias("_p"),
+        )
+        .select("id", F.col("_p.0").alias("key"), F.col("_p.1").alias("content"))
+    )

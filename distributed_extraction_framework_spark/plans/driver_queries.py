@@ -5086,3 +5086,104 @@ ORACLES.update({
     "bigram_lm": ORACLE_BIGRAM_LM,
     "dup_spans": ORACLE_DUP_SPANS,
 })
+
+
+def _crawl_html(docs):
+    """Shared synthetic crawl-HTML injection for the html_links/og_meta
+    gates — built with the same string algebra the SQL oracle uses, so
+    both engines run their regexes over byte-identical pages."""
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="https://out.example/'), (F.col("doc_id") % 10).cast("string"),
+            F.lit('/a">'), w1, F.lit(" <b>x</b></a>"),
+            F.lit("<a class='c' href='https://"), w2,
+            F.lit(".example'>two words</a>"),
+            F.lit('<META property="og:title" content="'), w1, F.lit('">'),
+            F.lit('<meta content="desc '), d, F.lit('" name="description">'),
+        ).alias("html"),
+    )
+
+
+def q_html_links(spark, sf_dir):
+    """Crawl-side outlink extraction (operators/structured_data.py:
+    extract_html_links) — the PageLinksExtractor analog for raw HTML —
+    vs DuckDB running the IDENTICAL regex over byte-identical pages
+    (cross-engine regex-semantics check, not a closed-form reconstruction)."""
+    from ..operators.structured_data import extract_html_links
+
+    out = extract_html_links(_crawl_html(_docs_tbl(spark, sf_dir)),
+                             id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "href", "anchor")
+
+
+ORACLE_HTML_LINKS = """
+WITH inj AS (
+  SELECT doc_id,
+         '<a href="https://out.example/' || (doc_id % 10) || '/a">' ||
+         split_part(text, ' ', 1) || ' <b>x</b></a>' ||
+         '<a class=''c'' href=''https://' || split_part(text, ' ', 2) ||
+         '.example''>two words</a>' ||
+         '<META property="og:title" content="' || split_part(text, ' ', 1) ||
+         '">' ||
+         '<meta content="desc ' || doc_id || '" name="description">' AS h
+  FROM documents
+), z AS (
+  SELECT doc_id, unnest(list_zip(
+    regexp_extract_all(h, '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>(.*?)</a>', 1),
+    regexp_extract_all(h, '(?is)<a\\s[^>]*href\\s*=\\s*["'']([^"'']+)["''][^>]*>(.*?)</a>', 2)
+  )) AS p
+  FROM inj
+)
+SELECT doc_id, p[1] AS href,
+       trim(regexp_replace(p[2], '<[^>]+>', '', 'g')) AS anchor
+FROM z
+"""
+
+
+def q_og_meta(spark, sf_dir):
+    """Open Graph / meta-tag extraction (operators/structured_data.py:
+    extract_meta_tags) covering BOTH attribute orders, vs DuckDB running
+    the identical order-pair regexes over byte-identical pages."""
+    from ..operators.structured_data import extract_meta_tags
+
+    out = extract_meta_tags(_crawl_html(_docs_tbl(spark, sf_dir)),
+                            id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "key", "content")
+
+
+ORACLE_OG_META = """
+WITH inj AS (
+  SELECT doc_id,
+         '<a href="https://out.example/' || (doc_id % 10) || '/a">' ||
+         split_part(text, ' ', 1) || ' <b>x</b></a>' ||
+         '<a class=''c'' href=''https://' || split_part(text, ' ', 2) ||
+         '.example''>two words</a>' ||
+         '<META property="og:title" content="' || split_part(text, ' ', 1) ||
+         '">' ||
+         '<meta content="desc ' || doc_id || '" name="description">' AS h
+  FROM documents
+), kc AS (
+  SELECT doc_id, unnest(list_zip(
+    regexp_extract_all(h, '(?is)<meta\\s[^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 1),
+    regexp_extract_all(h, '(?is)<meta\\s[^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 2)
+  )) AS p
+  FROM inj
+), ck AS (
+  SELECT doc_id, unnest(list_zip(
+    regexp_extract_all(h, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 2),
+    regexp_extract_all(h, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 1)
+  )) AS p
+  FROM inj
+)
+SELECT doc_id, p[1] AS key, p[2] AS content FROM kc
+UNION ALL
+SELECT doc_id, p[1] AS key, p[2] AS content FROM ck
+"""
+
+
+QUERIES.update({"html_links": q_html_links, "og_meta": q_og_meta})
+ORACLES.update({"html_links": ORACLE_HTML_LINKS, "og_meta": ORACLE_OG_META})

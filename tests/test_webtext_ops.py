@@ -203,3 +203,44 @@ def test_duplicate_span_shuffles_carry_digests_not_text(spark):
     for line in ex:
         assert ("_h#" in line) or ("doc_id#" in line), line
         assert "_span" not in line and "text#" not in line
+
+
+def test_extract_html_links_and_meta(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_html_links,
+        extract_meta_tags,
+    )
+
+    rows = [
+        (0, '<a class="x" href="https://a.example/1">Click <b>here</b></a>'
+            "<a href='https://b.example/2'>two</a>"
+            '<META property="og:title" content="T1">'
+            "<meta content='D1' name='description'>"),
+        (1, None),                       # null html: no rows, no crash
+        (2, "<p>no links or meta</p>"),
+    ]
+    df = spark.createDataFrame(rows, ["page_id", "html"])
+    links = {(r["id"], r["href"], r["anchor"])
+             for r in extract_html_links(df).collect()}
+    assert links == {
+        (0, "https://a.example/1", "Click here"),  # inner tags stripped
+        (0, "https://b.example/2", "two"),
+    }
+    metas = {(r["id"], r["key"], r["content"])
+             for r in extract_meta_tags(df).collect()}
+    assert metas == {
+        (0, "og:title", "T1"),          # property= before content=
+        (0, "description", "D1"),       # content= before name=
+    }
+
+
+def test_html_extractors_are_shuffle_free(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_html_links,
+        extract_meta_tags,
+    )
+
+    df = spark.createDataFrame([(0, "<a href='u'>t</a>")], ["page_id", "html"])
+    for op in (extract_html_links, extract_meta_tags):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
