@@ -228,6 +228,13 @@ def main() -> None:
     )
     timed_extra("fuzzy_match", lambda: _sink(Q.q_fuzzy_match(spark, SF_DIR)))
     timed_extra("rdfs_entail", lambda: _sink(Q.q_rdfs_entail(spark, SF_DIR)))
+    # round-5 webtext/curation additions
+    timed_extra("jsonld_extract", lambda: _sink(Q.q_jsonld_extract(spark, SF_DIR)))
+    timed_extra("html_links", lambda: _sink(Q.q_html_links(spark, SF_DIR)))
+    timed_extra("sameas_fusion", lambda: _sink(Q.q_sameas_fusion(spark, SF_DIR)))
+    timed_extra("unicode_nfc", lambda: _sink(Q.q_unicode_nfc(spark, SF_DIR)))
+    timed_extra("bigram_lm", lambda: _sink(Q.q_bigram_lm(spark, SF_DIR)))
+    timed_extra("dup_spans", lambda: _sink(Q.q_dup_spans(spark, SF_DIR)))
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -203,8 +203,27 @@ def gopher_filter(
     streaming corpus admission control for free.
     """
     docs = _fan_out(docs, min_parallelism)
-    toks = _token_array(F.col(text_col))
-    bigrams = shingle_array(F.col(text_col), 2)
+    verdict = gopher_verdict(
+        F.col(text_col), min_tokens=min_tokens, max_tokens=max_tokens,
+        min_distinct_ratio=min_distinct_ratio,
+        max_top_bigram_frac=max_top_bigram_frac,
+    )
+    return docs.select(F.col(id_col), verdict.alias("verdict"))
+
+
+def gopher_verdict(
+    text: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> Column:
+    """The Gopher keep/drop verdict as a composable Column — THE single
+    definition gopher_filter and the curation pipeline's admission stage
+    both evaluate (the latter as a pushed-down filter predicate, no
+    corpus self-join)."""
+    toks = _token_array(text)
+    bigrams = shingle_array(text, 2)
     n_tokens = F.coalesce(F.size(toks), F.lit(0))
     distinct_ratio = F.round(
         F.try_divide(F.size(F.array_distinct(toks)), n_tokens), 4
@@ -215,14 +234,13 @@ def gopher_filter(
         ),
         F.lit(0.0),
     )
-    verdict = (
+    return (
         F.when(n_tokens < min_tokens, "too_short")
         .when(n_tokens > max_tokens, "too_long")
         .when(distinct_ratio < min_distinct_ratio, "low_diversity")
         .when(top_bigram_frac > max_top_bigram_frac, "repetitive")
         .otherwise("keep")
     )
-    return docs.select(F.col(id_col), verdict.alias("verdict"))
 
 
 # --------------------------------------------------------------------------
@@ -234,6 +252,7 @@ def bigram_lm_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document mean log-probability under an add-one-smoothed bigram
     LM estimated from the corpus itself — the standard "rank documents by
@@ -267,6 +286,7 @@ def bigram_lm_scores(
     documents with fewer than 2 tokens get n_bigrams = 0 and a NULL
     score (nothing to measure — callers decide their fate).
     """
+    docs = _fan_out(docs, min_parallelism)
     bg = docs.select(
         F.col(id_col), F.explode(shingle_array(F.col(text_col), 2)).alias("_bg")
     ).select(

@@ -547,6 +547,7 @@ def duplicate_span_stats(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document exact substring-duplication profile: how much of each
     document consists of word n-grams that occur more than once in the
@@ -572,8 +573,9 @@ def duplicate_span_stats(
     windows whose digest has corpus-wide multiplicity ≥ 2, and their
     ratio (NULL when the document is shorter than ``n`` tokens).
     """
-    from .curation import shingle_array
+    from .curation import _fan_out, shingle_array
 
+    docs = _fan_out(docs, min_parallelism)
     spans = docs.select(
         F.col(id_col),
         F.explode(shingle_array(F.col(text_col), n)).alias("_span"),

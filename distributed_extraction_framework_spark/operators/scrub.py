@@ -177,7 +177,6 @@ def pii_report(df: DataFrame, id_col: str = "doc_id",
 def normalize_unicode(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     form: str = "NFC",
 ) -> DataFrame:
     """Canonical Unicode normalization + mojibake diagnostics — the first
@@ -209,8 +208,11 @@ def normalize_unicode(
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     normalized = _norm(t)
+    # column-preserving: every non-text input column passes through so
+    # the op drops into a pipeline without a re-join (plans/curate.py)
+    passthrough = [c for c in df.columns if c != text_col]
     return df.select(
-        F.col(id_col),
+        *passthrough,
         normalized.alias(text_col),
         (normalized != t).alias("was_changed"),
         (F.length(t) - F.length(F.regexp_replace(t, "\\ufffd", ""))).alias(

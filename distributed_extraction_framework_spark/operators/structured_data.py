@@ -65,6 +65,18 @@ JSONLD_BLOCK_RE = (
     r"(.*?)</script>"
 )
 
+def _html_str(df: DataFrame, html_col: str):
+    """The crawl schema carries ``html`` as binary (BASELINE input_hint);
+    accept both binary and string columns — UTF-8 decode is a codegen
+    expression, not a copy through Python."""
+    from pyspark.sql.types import BinaryType
+
+    c = F.col(html_col)
+    if isinstance(df.schema[html_col].dataType, BinaryType):
+        c = F.decode(c, "UTF-8")
+    return c
+
+
 _TRIPLE = StructType([
     StructField("subj", StringType(), False),
     StructField("pred", StringType(), False),
@@ -158,7 +170,7 @@ def extract_jsonld(
     blocks = (
         df.select(
             F.col(id_col).alias("id"),
-            F.regexp_extract_all(F.col(html_col),
+            F.regexp_extract_all(_html_str(df, html_col),
                                  F.lit(JSONLD_BLOCK_RE), F.lit(1))
             .alias("_blocks"),
         )
@@ -211,7 +223,7 @@ def extract_html_links(
     whole-stage codegen end to end, one explode, zero shuffles — link
     graphs at crawl scale are built by feeding this into
     operators/graph.py, which owns its own partitioning."""
-    h = F.coalesce(F.col(html_col), F.lit(""))
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
     pairs = F.arrays_zip(
         F.regexp_extract_all(h, F.lit(HTML_A_RE), F.lit(1)),
         F.regexp_extract_all(h, F.lit(HTML_A_RE), F.lit(2)),
@@ -238,7 +250,7 @@ def extract_meta_tags(
     facts (title, type, canonical image, locale) a webtext KG attaches to
     the page node itself. Handles both attribute orders; one scan, zero
     Python, zero shuffles."""
-    h = F.coalesce(F.col(html_col), F.lit(""))
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
     kc = F.arrays_zip(
         F.regexp_extract_all(h, F.lit(META_KC_RE), F.lit(1)),
         F.regexp_extract_all(h, F.lit(META_KC_RE), F.lit(2)),

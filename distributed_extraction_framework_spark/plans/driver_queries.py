@@ -5004,7 +5004,10 @@ def q_bigram_lm(spark, sf_dir):
     SQL re-derivation (positions self-join, add-one smoothing, ln)."""
     from ..operators.curation import bigram_lm_scores
 
-    return bigram_lm_scores(_docs_tbl(spark, sf_dir))
+    return bigram_lm_scores(
+        _docs_tbl(spark, sf_dir),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 ORACLE_BIGRAM_LM = """
@@ -5043,7 +5046,10 @@ def q_dup_spans(spark, sf_dir):
     re-derivation."""
     from ..operators.dedup import duplicate_span_stats
 
-    return duplicate_span_stats(_docs_tbl(spark, sf_dir), n=8)
+    return duplicate_span_stats(
+        _docs_tbl(spark, sf_dir), n=8,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 ORACLE_DUP_SPANS = """
@@ -5187,3 +5193,86 @@ SELECT doc_id, p[1] AS key, p[2] AS content FROM ck
 
 QUERIES.update({"html_links": q_html_links, "og_meta": q_og_meta})
 ORACLES.update({"html_links": ORACLE_HTML_LINKS, "og_meta": ORACLE_OG_META})
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The orchestrated CURATION DAG (plans/curate.py) end-to-end over
+    the raw documents table — hygiene (NFC + PII scrub), Gopher
+    admission as a pushed filter, exact dedup — run TWICE against the
+    same warehouse (the second run must resume from the lineage ledger,
+    adding no rows: n_runs = 1 per stage). Oracle = every stage's row
+    count re-derived in SQL with the same normalize→scrub→verdict→
+    distinct-digest composition."""
+    import tempfile
+
+    from .curate import CurationConfig, CurationPipeline
+
+    wh = tempfile.mkdtemp(prefix="defs_curate_gate_")
+    docs = _docs_tbl(spark, sf_dir)
+    cfg = CurationConfig(
+        warehouse=wh,
+        gopher=dict(min_tokens=30, min_distinct_ratio=0.35,
+                    max_top_bigram_frac=0.06),
+    )
+    CurationPipeline(spark, cfg).run(docs)
+    CurationPipeline(spark, cfg).run(docs)  # must resume, not recompute
+    lin = spark.read.parquet(wh + "/lineage")
+    return lin.groupBy("stage").agg(
+        F.countDistinct("run_id").alias("n_runs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH hyg AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(
+           nfc_normalize(coalesce(text, '')),
+           '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{_IPV4_SQL}', '<IP>', 'g'),
+           '{_PHONE_SQL}', '<PHONE>', 'g') AS t
+  FROM documents
+), ta AS (
+  SELECT doc_id, t, regexp_extract_all(lower(t), '[a-z0-9]+') AS tk
+  FROM hyg
+), tc AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS token FROM ta)
+  GROUP BY doc_id, token
+), ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct
+  FROM tc GROUP BY doc_id
+), bt AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+  FROM ta, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)
+  WHERE len(tk) >= 2
+), bc AS (SELECT doc_id, bigram, count(*) AS c FROM bt GROUP BY doc_id, bigram),
+bs AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bi_c
+  FROM bc GROUP BY doc_id
+), verdicts AS (
+  SELECT ta.doc_id, ta.t,
+         CASE WHEN coalesce(n_tokens, 0) < 30 THEN 'too_short'
+              WHEN n_tokens > 100000 THEN 'too_long'
+              WHEN round(n_distinct / n_tokens, 4) < 0.35 THEN 'low_diversity'
+              WHEN coalesce(round(top_bi_c / n_bigrams, 4), 0.0) > 0.06
+                THEN 'repetitive'
+              ELSE 'keep' END AS verdict
+  FROM ta LEFT JOIN ts ON ta.doc_id = ts.doc_id
+          LEFT JOIN bs ON ta.doc_id = bs.doc_id
+), admitted AS (SELECT doc_id, t FROM verdicts WHERE verdict = 'keep'),
+c AS (
+  SELECT (SELECT count(*) FROM documents) AS n_hyg,
+         (SELECT count(*) FROM admitted) AS n_adm,
+         (SELECT count(DISTINCT md5(t)) FROM admitted) AS n_uniq
+)
+SELECT stage, cast(1 AS bigint) AS n_runs, cast(n_rows AS bigint) AS n_rows
+FROM (
+  SELECT 'docs_hygiene' AS stage, n_hyg AS n_rows FROM c
+  UNION ALL SELECT 'docs_admitted', n_adm FROM c
+  UNION ALL SELECT 'docs_unique', n_uniq FROM c
+)
+"""
+
+QUERIES.update({"curation_pipeline": q_curation_pipeline})
+ORACLES.update({"curation_pipeline": ORACLE_CURATION_PIPELINE})

@@ -244,3 +244,22 @@ def test_html_extractors_are_shuffle_free(spark):
     for op in (extract_html_links, extract_meta_tags):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_html_extractors_accept_binary_html(spark):
+    """The crawl schema (BASELINE input_hint) carries html as BINARY —
+    all three HTML extractors must take it without a Python decode."""
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_html_links,
+        extract_jsonld,
+        extract_meta_tags,
+    )
+
+    html = ('<a href="https://u/1">t</a>'
+            '<meta property="og:k" content="v">'
+            '<script type="application/ld+json">{"@id":"https://s","p":"o"}'
+            "</script>").encode("utf-8")
+    df = spark.createDataFrame([(0, html)], "page_id bigint, html binary")
+    assert extract_html_links(df).collect()[0]["href"] == "https://u/1"
+    assert extract_meta_tags(df).collect()[0]["key"] == "og:k"
+    assert extract_jsonld(df).collect()[0]["subj"] == "https://s"
