@@ -67,13 +67,16 @@ JSONLD_BLOCK_RE = (
 
 def _html_str(df: DataFrame, html_col: str):
     """The crawl schema carries ``html`` as binary (BASELINE input_hint);
-    accept both binary and string columns — UTF-8 decode is a codegen
-    expression, not a copy through Python."""
+    accept both binary and string columns. The conversion is a CAST, not
+    ``decode(…, 'UTF-8')``: under ANSI mode (this repo's default session)
+    decode THROWS on the first malformed byte — one mojibake page would
+    fail the whole job — while the cast wraps the bytes tolerantly and
+    the regex scans simply don't match the damaged spans."""
     from pyspark.sql.types import BinaryType
 
     c = F.col(html_col)
     if isinstance(df.schema[html_col].dataType, BinaryType):
-        c = F.decode(c, "UTF-8")
+        c = c.cast("string")
     return c
 
 
@@ -94,11 +97,31 @@ def _scalar_lexical(v) -> str | None:
     return str(v)
 
 
+def _iter_values(val):
+    """Flatten arbitrarily nested JSON arrays to their leaf values —
+    schema.org payloads nest lists (geo polygons, itemListElement
+    groupings); each leaf distributes into its own triple instead of
+    leaking a Python list repr as a 'literal'."""
+    if isinstance(val, list):
+        for x in val:
+            yield from _iter_values(x)
+    else:
+        yield val
+
+
 def _flatten_block(raw: str, row_id, block_idx: int) -> list[tuple]:
+    """Never raises: crawl data is hostile and a bad block must never
+    fail the job — the whole parse+walk is guarded, not just the parse
+    (a block that json.loads accepts can still blow the recursion limit
+    in the Python walk, whose frames are bigger than the C scanner's)."""
     try:
-        data = json.loads(raw)
-    except (ValueError, RecursionError):
+        return _flatten_block_unsafe(raw, row_id, block_idx)
+    except (ValueError, TypeError, RecursionError):
         return []
+
+
+def _flatten_block_unsafe(raw: str, row_id, block_idx: int) -> list[tuple]:
+    data = json.loads(raw)
     if isinstance(data, dict):
         nodes = [data]
     elif isinstance(data, list):
@@ -137,8 +160,7 @@ def _flatten_block(raw: str, row_id, block_idx: int) -> list[tuple]:
         for key, val in node.items():
             if key.startswith("@"):
                 continue
-            values = val if isinstance(val, list) else [val]
-            for v in values:
+            for v in _iter_values(val):
                 if isinstance(v, dict):
                     child, kind = subject_of(v)
                     out.append((subj, key, child, kind))

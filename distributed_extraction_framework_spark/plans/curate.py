@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.curation import gopher_verdict
@@ -59,14 +59,27 @@ class CurationConfig:
 
 class CurationPipeline(Pipeline):
     """Shares Pipeline's stage protocol (fingerprint, _SUCCESS-as-marker,
-    lineage rows, resume) — only the DAG body differs."""
-
-    def __init__(self, spark: SparkSession, config: CurationConfig):
-        super().__init__(spark, config)  # bookkeeping uses cfg.warehouse only
+    lineage rows, resume) — only the DAG body differs. Construct with a
+    :class:`CurationConfig` (bookkeeping only touches ``cfg.warehouse``).
+    """
 
     def run(self, docs: DataFrame) -> dict[str, DataFrame]:
+        import hashlib
+
         cfg = self.cfg
-        fp = self._fingerprint(docs)
+        # resume key = input fingerprint ⊕ config digest: unlike the KG
+        # DAG (whose stage bodies are config-light), EVERY curation stage
+        # is parameterized (thresholds, flags, capacity) — resuming a
+        # warehouse after a config change must REBUILD, not silently
+        # return snapshots computed under the old settings
+        cfg_sig = hashlib.md5(repr((
+            cfg.normalize, cfg.scrub,
+            sorted((cfg.gopher or {}).items()) if cfg.gopher is not None
+            else None,
+            cfg.fuzzy, cfg.minhash_threshold, cfg.pack_seq_len,
+            cfg.id_col, cfg.text_col,
+        )).encode()).hexdigest()[:8]
+        fp = f"{self._fingerprint(docs)}-{cfg_sig}"
         out: dict[str, DataFrame] = {}
 
         def build_hygiene() -> DataFrame:

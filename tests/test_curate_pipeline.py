@@ -73,3 +73,16 @@ def test_curation_pipeline_optional_stages(spark, corpus, tmp_path):
     import os
 
     assert os.path.exists(cfg.warehouse + "/docs_packed/_SUCCESS")
+
+
+def test_curation_resume_rebuilds_on_config_change(spark, corpus, tmp_path):
+    """Resume is keyed on (input, CONFIG): tightening a threshold against
+    an existing warehouse must rebuild, never return stale snapshots."""
+    wh = str(tmp_path / "wh3")
+    loose = CurationConfig(warehouse=wh, gopher=dict(min_tokens=5))
+    CurationPipeline(spark, loose).run(corpus)
+    strict = CurationConfig(warehouse=wh, gopher=dict(min_tokens=10_000))
+    p2 = CurationPipeline(spark, strict)
+    out2 = p2.run(corpus)
+    assert "docs_admitted" in p2._fresh          # rebuilt, not resumed
+    assert out2["docs_admitted"].count() == 0    # new threshold applied

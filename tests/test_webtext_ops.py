@@ -263,3 +263,51 @@ def test_html_extractors_accept_binary_html(spark):
     assert extract_html_links(df).collect()[0]["href"] == "https://u/1"
     assert extract_meta_tags(df).collect()[0]["key"] == "og:k"
     assert extract_jsonld(df).collect()[0]["subj"] == "https://s"
+
+
+def test_html_extractors_survive_malformed_utf8(spark):
+    """ANSI mode makes decode() throw on bad bytes; the binary-html path
+    must tolerate mojibake pages (cast, not decode) — one hostile page
+    must never fail the job."""
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_html_links,
+        extract_jsonld,
+        extract_meta_tags,
+    )
+
+    bad = b'<a href="https://u/1">t</a> \xff\xfe bad bytes'
+    df = spark.createDataFrame([(0, bad)], "page_id bigint, html binary")
+    assert extract_html_links(df).collect()[0]["href"] == "https://u/1"
+    assert extract_meta_tags(df).count() == 0
+    assert extract_jsonld(df).count() == 0
+
+
+def test_extract_jsonld_nested_arrays_and_deep_nesting(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        _flatten_block,
+        extract_jsonld,
+    )
+
+    # nested lists distribute to leaves — no Python repr leaks
+    html = (_jsonld('{"@id":"https://e/1","k":[["a","b"],["c"]],'
+                    '"m":[{"x":"1"},["y"]]}'))
+    df = spark.createDataFrame([(0, html)], ["page_id", "html"])
+    got = {(r["pred"], r["obj"], r["obj_kind"])
+           for r in extract_jsonld(df).collect()}
+    assert ("k", "a", "literal") in got and ("k", "c", "literal") in got
+    assert ("m", "y", "literal") in got
+    assert ("m", "_:b0_0_0", "bnode") in got   # dict inside nested list
+    assert not any(o.startswith("[") for (_, o, _) in got)
+
+    # pathological nesting must SKIP (return []), never raise — the
+    # guard wraps the whole parse+walk, so whichever side trips the
+    # recursion limit first (frame accounting varies across Python
+    # versions), the block is dropped and the job survives
+    deep = '{"a":' * 400 + '"v"' + "}" * 400
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(300)
+    try:
+        assert _flatten_block(deep, 0, 0) == []
+    finally:
+        sys.setrecursionlimit(old)
