@@ -235,6 +235,10 @@ def main() -> None:
     timed_extra("unicode_nfc", lambda: _sink(Q.q_unicode_nfc(spark, SF_DIR)))
     timed_extra("bigram_lm", lambda: _sink(Q.q_bigram_lm(spark, SF_DIR)))
     timed_extra("dup_spans", lambda: _sink(Q.q_dup_spans(spark, SF_DIR)))
+    timed_extra("web_kg_triples", lambda: _sink(Q.q_web_kg_triples(spark, SF_DIR)))
+    timed_extra(
+        "label_propagation", lambda: _sink(Q.q_label_propagation(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -616,3 +616,54 @@ def random_walks(
             )
         )
     return out
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007,
+    the RAK algorithm) over the undirected graph of ``edges(src, dst)``
+    → ``(vertex, label)`` community assignments.
+
+    The published algorithm breaks count ties randomly and sweeps
+    vertices in random order; this is the cluster-reproducible variant:
+    SYNCHRONOUS rounds (every vertex updates from the previous round's
+    labels — order-free by construction) and ties on neighbor-label
+    frequency break to the LEXICOGRAPHICALLY SMALLEST label, so two runs
+    (and the SQL oracle) agree bit-for-bit. ``rounds`` is fixed rather
+    than convergence-driven: synchronous LPA can 2-cycle on bipartite
+    structures, so a fixed budget IS the published stopping rule for the
+    sync variant.
+
+    Execution shape (per round): one frontier join on the neighbor key +
+    one (vertex, label) count aggregate + one argmax-by-min-struct
+    aggregate — no window (the min-of-(-count, label) struct gives the
+    deterministic argmax inside the same groupBy key), ``localCheckpoint``
+    truncates the per-round lineage exactly like pagerank/kcore.
+    """
+    canon = undirected_edges(edges)
+    sym = canon.union(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, sym["v"] == labels["vertex"], "inner")
+            .groupBy(sym["u"].alias("vertex"), F.col("label"))
+            .agg(F.count("*").alias("_c"))
+        )
+        winners = (
+            counts.groupBy("vertex")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("_nc"),
+                             F.col("label").alias("label"))
+                ).alias("_m")
+            )
+            .select("vertex", F.col("_m.label").alias("label"))
+        )
+        labels = winners.localCheckpoint(eager=True)
+    return labels

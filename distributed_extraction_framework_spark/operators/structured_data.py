@@ -180,9 +180,11 @@ def extract_jsonld(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "page_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """(id, subj, pred, obj, obj_kind) triples from every JSON-LD block
-    embedded in ``html_col``.
+    """(id, subj, pred, obj, obj_kind[, *keep_cols]) triples from every
+    JSON-LD block embedded in ``html_col`` — ``keep_cols`` pass through
+    so composites attach page attributes without a join-back.
 
     Block isolation runs JVM-side (``regexp_extract_all`` in whole-stage
     codegen); pages with no block are dropped before any Python runs,
@@ -191,13 +193,14 @@ def extract_jsonld(
     """
     blocks = (
         df.select(
-            F.col(id_col).alias("id"),
+            F.col(id_col).alias("id"), *keep_cols,
             F.regexp_extract_all(_html_str(df, html_col),
                                  F.lit(JSONLD_BLOCK_RE), F.lit(1))
             .alias("_blocks"),
         )
         .filter(F.size("_blocks") > 0)
-        .select("id", F.posexplode("_blocks").alias("_bidx", "_raw"))
+        .select("id", *keep_cols,
+                F.posexplode("_blocks").alias("_bidx", "_raw"))
     )
 
     @F.pandas_udf(ArrayType(_TRIPLE))
@@ -208,9 +211,10 @@ def extract_jsonld(
         ])
 
     return (
-        blocks.select("id", F.explode(flatten("_raw", "id", "_bidx"))
-                      .alias("_t"))
-        .select("id", "_t.subj", "_t.pred", "_t.obj", "_t.obj_kind")
+        blocks.select("id", *keep_cols,
+                      F.explode(flatten("_raw", "id", "_bidx")).alias("_t"))
+        .select("id", "_t.subj", "_t.pred", "_t.obj", "_t.obj_kind",
+                *keep_cols)
     )
 
 
@@ -237,6 +241,7 @@ def extract_html_links(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "page_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, href, anchor) for every ``<a href=…>…</a>`` in ``html_col`` —
     the crawl-side analog of the reference's PageLinksExtractor (its
@@ -251,13 +256,15 @@ def extract_html_links(
         F.regexp_extract_all(h, F.lit(HTML_A_RE), F.lit(2)),
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("_p"))
+        df.select(F.col(id_col).alias("id"), *keep_cols,
+                  F.explode(pairs).alias("_p"))
         .select(
             "id",
             F.col("_p.0").alias("href"),
             F.trim(
                 F.regexp_replace(F.col("_p.1"), TAG_STRIP_RE, "")
             ).alias("anchor"),
+            *keep_cols,
         )
     )
 
@@ -266,6 +273,7 @@ def extract_meta_tags(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "page_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, key, content) for every ``<meta property=…/name=… content=…>``
     tag — Open Graph / twitter-card / description metadata, the page-level
@@ -283,8 +291,68 @@ def extract_meta_tags(
     )
     return (
         df.select(
-            F.col(id_col).alias("id"),
+            F.col(id_col).alias("id"), *keep_cols,
             F.explode(F.concat(kc, ck)).alias("_p"),
         )
-        .select("id", F.col("_p.0").alias("key"), F.col("_p.1").alias("content"))
+        .select("id", F.col("_p.0").alias("key"),
+                F.col("_p.1").alias("content"), *keep_cols)
+    )
+
+
+def web_page_triples(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """The full crawl-page → KG step: one (id, subj, pred, obj, obj_kind)
+    triple set combining every embedded-structured-data channel this
+    module extracts —
+
+    * ``(page, links_to, href)`` for each ``<a href>`` outlink,
+    * ``(page, <meta key>, content)`` for each Open Graph / name= tag,
+    * the JSON-LD entity triples verbatim (their own @id/bnode subjects),
+    * ``(page, has_entity, <jsonld root>)`` anchoring each root JSON-LD
+      node to the page that published it — the provenance edge a
+      downstream sameAs/linking pass joins on.
+
+    The page node is ``url_col``, attached via the extractors'
+    ``keep_cols`` passthrough (no join-back). Each channel is a
+    shuffle-free scan+project; the only exchange in the whole plan is
+    the slim (id, subj) anti-join that derives the JSON-LD ROOT nodes
+    (subjects never referenced as an object on the same page).
+    """
+    links = extract_html_links(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
+    ).select(
+        "id", F.col(url_col).alias("subj"), F.lit("links_to").alias("pred"),
+        F.col("href").alias("obj"), F.lit("uri").alias("obj_kind"),
+    )
+    metas = extract_meta_tags(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
+    ).select(
+        "id", F.col(url_col).alias("subj"), F.col("key").alias("pred"),
+        F.col("content").alias("obj"), F.lit("literal").alias("obj_kind"),
+    )
+    entities = extract_jsonld(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
+    )
+    # root nodes = subjects never referenced as an object of a parent
+    # link on the same page (bnode/uri children are linked by walk())
+    objs = entities.filter(F.col("obj_kind").isin("bnode", "uri")).select(
+        "id", F.col("obj").alias("subj")
+    ).distinct()
+    has_entity = (
+        entities.select("id", "subj", url_col).distinct()
+        .join(objs, ["id", "subj"], "left_anti")
+        .select(
+            "id", F.col(url_col).alias("subj"),
+            F.lit("has_entity").alias("pred"),
+            F.col("subj").alias("obj"), F.lit("uri").alias("obj_kind"),
+        )
+    )
+    return (
+        links.unionByName(metas)
+        .unionByName(entities.select("id", "subj", "pred", "obj", "obj_kind"))
+        .unionByName(has_entity)
     )

@@ -5276,3 +5276,133 @@ FROM (
 
 QUERIES.update({"curation_pipeline": q_curation_pipeline})
 ORACLES.update({"curation_pipeline": ORACLE_CURATION_PIPELINE})
+
+
+def q_web_kg_triples(spark, sf_dir):
+    """The full crawl-page → KG composite (operators/structured_data.py:
+    web_page_triples): outlinks + Open Graph metadata + JSON-LD entity
+    triples + has_entity provenance edges from ROOT JSON-LD nodes, page
+    node = url, all channels join-free via keep_cols passthrough. Oracle
+    reconstructs all four channels closed-form (incl. the root/non-root
+    bnode distinction: the author bnode is an object, so it must NOT get
+    a has_entity edge; the WebSite bnode must)."""
+    from ..operators.structured_data import web_page_triples
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
+    html = F.concat(
+        F.lit('<a href="https://out.example/'), (F.col("doc_id") % 10).cast("string"),
+        F.lit('/a">'), w1, F.lit(" <b>x</b></a>"),
+        F.lit("<a class='c' href='https://"), w2, F.lit(".example'>two words</a>"),
+        F.lit('<META property="og:title" content="'), w1, F.lit('">'),
+        F.lit('<meta content="desc '), d, F.lit('" name="description">'),
+        F.lit('<script type="application/ld+json">{"@id":"https://ex.org/doc/'),
+        d, F.lit('","@type":"Article","author":{"name":"auth'),
+        (F.col("doc_id") % 5).cast("string"), F.lit('"}}</script>'),
+        F.lit('<script type="application/ld+json">{broken</script>'),
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"WebSite","url":"https://site'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.example.org"}</script>'),
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://pages.example/"), d).alias("url"),
+        html.alias("html"),
+    )
+    out = web_page_triples(injected, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "obj_kind")
+
+
+ORACLE_WEB_KG_TRIPLES = f"""
+WITH base AS (
+  SELECT doc_id,
+         'https://pages.example/' || doc_id AS s,
+         'https://ex.org/doc/' || doc_id AS e,
+         '_:b' || doc_id || '_0_0' AS b1,
+         '_:b' || doc_id || '_2_0' AS b2,
+         split_part(text, ' ', 1) AS w1,
+         split_part(text, ' ', 2) AS w2,
+         'auth' || (doc_id % 5) AS auth,
+         'https://site' || (doc_id % 4) || '.example.org' AS site
+  FROM documents
+)
+SELECT doc_id, s AS subj, 'links_to' AS pred,
+       'https://out.example/' || (doc_id % 10) || '/a' AS obj,
+       'uri' AS obj_kind FROM base
+UNION ALL SELECT doc_id, s, 'links_to', 'https://' || w2 || '.example', 'uri'
+  FROM base
+UNION ALL SELECT doc_id, s, 'og:title', w1, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'description', 'desc ' || doc_id, 'literal'
+  FROM base
+UNION ALL SELECT doc_id, e, '{_RDF_TYPE}', 'Article', 'uri' FROM base
+UNION ALL SELECT doc_id, e, 'author', b1, 'bnode' FROM base
+UNION ALL SELECT doc_id, b1, 'name', auth, 'literal' FROM base
+UNION ALL SELECT doc_id, b2, '{_RDF_TYPE}', 'WebSite', 'uri' FROM base
+UNION ALL SELECT doc_id, b2, 'url', site, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'has_entity', e, 'uri' FROM base
+UNION ALL SELECT doc_id, s, 'has_entity', b2, 'uri' FROM base
+"""
+
+QUERIES.update({"web_kg_triples": q_web_kg_triples})
+ORACLES.update({"web_kg_triples": ORACLE_WEB_KG_TRIPLES})
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous LPA community detection (operators/
+    graph.py: label_propagation, 4 rounds, lexicographic tie-break) over
+    the page_links graph vs a 4-round unrolled SQL oracle with the
+    identical (count DESC, label ASC) argmax."""
+    from ..operators.graph import label_propagation
+
+    links = _x(spark, sf_dir, "page_links")
+    edges = links.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return label_propagation(edges, rounds=4)
+
+
+def _lpa_round_sql(i: int) -> str:
+    p = i - 1
+    return f""",
+r{i} AS MATERIALIZED (
+  SELECT sym.u AS vertex, l{p}.label, count(*) AS c
+  FROM sym JOIN l{p} ON sym.v = l{p}.vertex
+  GROUP BY sym.u, l{p}.label
+), w{i} AS MATERIALIZED (
+  SELECT vertex, label,
+         row_number() OVER (PARTITION BY vertex
+                            ORDER BY c DESC, label ASC) AS rk
+  FROM r{i}
+), l{i} AS MATERIALIZED (
+  SELECT vertex, label FROM w{i} WHERE rk = 1
+)"""
+
+
+ORACLE_LABEL_PROPAGATION = f"""
+{_oracle_pages()},
+links AS (
+  SELECT title, unnest(regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)) AS l
+  FROM pages WHERE {_NONREDIR}
+), lt AS (
+  SELECT title, replace(trim(split_part(l, '|', 1)), ' ', '_') AS tgt FROM links
+), pl AS (
+  SELECT DISTINCT '{RES}' || title AS src, '{RES}' ||
+         upper(substr(tgt, 1, 1)) || substr(tgt, 2) AS dst
+  FROM lt
+  WHERE tgt <> '' AND tgt NOT LIKE 'Category:%'
+    AND NOT regexp_matches(tgt, '^[a-z]{{2,3}}:')
+), canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM pl WHERE src <> dst
+), sym AS MATERIALIZED (
+  SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS vertex, u AS label FROM sym
+){_lpa_round_sql(1)}{_lpa_round_sql(2)}{_lpa_round_sql(3)}{_lpa_round_sql(4)}
+SELECT vertex, label FROM l4
+"""
+
+QUERIES.update({"label_propagation": q_label_propagation})
+ORACLES.update({"label_propagation": ORACLE_LABEL_PROPAGATION})

@@ -311,3 +311,46 @@ def test_extract_jsonld_nested_arrays_and_deep_nesting(spark):
         assert _flatten_block(deep, 0, 0) == []
     finally:
         sys.setrecursionlimit(old)
+
+
+def test_web_page_triples_channels_and_roots(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        web_page_triples,
+    )
+
+    html = ('<a href="https://out/1">link</a>'
+            '<meta property="og:title" content="T">'
+            '<script type="application/ld+json">'
+            '{"@id":"https://e/1","author":{"name":"A"}}</script>')
+    df = spark.createDataFrame(
+        [(0, "https://page/0", html), (1, "https://page/1", "<p>empty</p>")],
+        ["page_id", "url", "html"],
+    )
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_kind"])
+           for r in web_page_triples(df).collect()}
+    assert ("https://page/0", "links_to", "https://out/1", "uri") in got
+    assert ("https://page/0", "og:title", "T", "literal") in got
+    assert ("https://e/1", "author", "_:b0_0_0", "bnode") in got
+    # has_entity anchors the ROOT node only — the author bnode is an
+    # object of a parent link, so it must not get a provenance edge
+    assert ("https://page/0", "has_entity", "https://e/1", "uri") in got
+    assert ("https://page/0", "has_entity", "_:b0_0_0", "uri") not in got
+    assert not any(s == "https://page/1" for (s, _, _, _) in got)
+
+
+def test_label_propagation_two_triangles(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")],
+        ["src", "dst"],
+    )
+    got = {r["vertex"]: r["label"]
+           for r in label_propagation(edges, rounds=4).collect()}
+    # two triangles + a bridge: hand-propagated sync/min-tie-break rounds
+    # converge to community 'a' = {a,b,c} and community 'c' = {d,e,f}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "d": "c", "e": "c", "f": "c"}
