@@ -239,6 +239,9 @@ def main() -> None:
     timed_extra(
         "label_propagation", lambda: _sink(Q.q_label_propagation(spark, SF_DIR))
     )
+    timed_extra(
+        "latest_capture", lambda: _sink(Q.q_latest_capture(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -219,3 +219,38 @@ def normalize_unicode(
             "n_replacement"
         ),
     )
+
+
+def latest_capture(df: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Collapse recrawls: keep the NEWEST capture per canonical URL —
+    the snapshot-merge step every Common-Crawl-style corpus needs before
+    dedup (the same page is fetched in many crawls; training on all of
+    them is duplication, training on the oldest is staleness).
+
+    ``(canonical_url, keeper_id, keeper_ts, n_captures)`` with the
+    keeper = max capture timestamp, ties broken by MIN id — fully
+    deterministic, and the argmax is a ``max(struct(ts, -id))`` inside
+    the one canonical-key groupBy (map-side partial agg, no window, no
+    second exchange). AQE handles hot canonical hosts the same way
+    url_dedup's groupBy does."""
+    c = df.select(
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.max(F.struct(F.col("ts").alias("ts"),
+                           (-F.col("id")).alias("nid"))).alias("_m"),
+            F.count("*").alias("n_captures"),
+        )
+        .select(
+            "canonical_url",
+            (-F.col("_m.nid")).alias("keeper_id"),
+            F.col("_m.ts").alias("keeper_ts"),
+            "n_captures",
+        )
+    )

@@ -5406,3 +5406,102 @@ SELECT vertex, label FROM l4
 
 QUERIES.update({"label_propagation": q_label_propagation})
 ORACLES.update({"label_propagation": ORACLE_LABEL_PROPAGATION})
+
+
+def q_latest_capture(spark, sf_dir):
+    """Recrawl collapse (operators/scrub.py: latest_capture): newest
+    capture per canonical URL with a deterministic (max ts, min id)
+    keeper, over the url_canonical gate's messy-URL injection plus a
+    synthetic per-capture timestamp. Oracle re-derives the FULL
+    canonicalization chain and the same tie-break in SQL."""
+    from ..operators.scrub import latest_capture
+
+    did = F.col("doc_id")
+    caps = _docs_tbl(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(did % 2 == 0, F.lit("HTTP://WWW.")).otherwise(F.lit("https://")),
+            F.lit("Example"), (did % 20).cast("string"), F.lit(".COM"),
+            F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+            F.lit("/Path/"), (did % 50).cast("string"),
+            F.when(did % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .when(did % 4 == 1, F.lit("?a=1&b=2&utm_campaign=z"))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, cast(doc_id % 7 as int), 0, 0)"
+        ).alias("warc_ts"),
+    )
+    out = latest_capture(caps)
+    return out.select(
+        "canonical_url", "keeper_id",
+        F.date_format("keeper_ts", "yyyy-MM-dd HH:mm:ss").alias("keeper_ts"),
+        "n_captures",
+    )
+
+
+ORACLE_LATEST_CAPTURE = """
+WITH u AS (
+  SELECT doc_id AS id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://' END)
+         || 'Example' || (doc_id % 20) || '.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/Path/' || (doc_id % 50)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+                  WHEN doc_id % 4 = 1 THEN '?a=1&b=2&utm_campaign=z'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + INTERVAL (doc_id % 7) HOUR AS ts
+  FROM documents
+), s1 AS (
+  SELECT id, ts, regexp_replace(url, '#.*$', '') AS url FROM u
+), parts AS (
+  SELECT id, ts,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1
+), hp AS (
+  SELECT id, ts, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                        '^www\\.', '') AS hostport,
+         regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM parts
+), hp2 AS (
+  SELECT id, ts, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         coalesce(regexp_extract(pathq, '^([^?]*)', 1), '') AS path0,
+         coalesce(regexp_extract(pathq, '\\?(.*)$', 1), '') AS query
+  FROM hp
+), canon AS (
+  SELECT id, ts,
+         scheme || '://' || host
+         || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+         || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+  FROM (
+    SELECT id, ts, scheme, host, path0,
+           coalesce(array_to_string(list_sort(
+             list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                  '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS qs
+    FROM hp2
+  )
+), rk AS (
+  SELECT canonical_url, id, ts,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY ts DESC, id ASC) AS r,
+         count(*) OVER (PARTITION BY canonical_url) AS n_captures
+  FROM canon
+)
+SELECT canonical_url, id AS keeper_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS keeper_ts,
+       cast(n_captures AS bigint) AS n_captures
+FROM rk WHERE r = 1
+"""
+
+QUERIES.update({"latest_capture": q_latest_capture})
+ORACLES.update({"latest_capture": ORACLE_LATEST_CAPTURE})

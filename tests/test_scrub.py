@@ -92,3 +92,26 @@ def test_paragraph_dedup_literal_separator(spark):
     assert got[0]["text"] == "alpha one. beta two"
     assert (got[0]["n_paras"], got[0]["n_kept"]) == (3, 2)
     assert got[1]["text"] == "gamma" and got[1]["n_kept"] == 1
+
+
+def test_latest_capture_keeper_and_ties(spark):
+    from datetime import datetime
+
+    from distributed_extraction_framework_spark.operators.scrub import (
+        latest_capture,
+    )
+
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    t2 = datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (0, "HTTP://WWW.Example.COM:80/a", t),
+        (1, "http://example.com/a", t2),      # same canonical, newer → keeper
+        (2, "http://example.com/a?utm_source=x", t2),  # ts tie → min id wins
+        (3, "https://other.com/b", t),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+    got = {r["canonical_url"]: r for r in latest_capture(df).collect()}
+    a = got["http://example.com/a"]
+    assert a["keeper_id"] == 1 and a["n_captures"] == 3
+    assert a["keeper_ts"] == t2
+    assert got["https://other.com/b"]["keeper_id"] == 3
