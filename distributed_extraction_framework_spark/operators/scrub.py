@@ -231,26 +231,44 @@ def latest_capture(df: DataFrame, url_col: str = "url",
 
     ``(canonical_url, keeper_id, keeper_ts, n_captures)`` with the
     keeper = max capture timestamp, ties broken by MIN id — fully
-    deterministic, and the argmax is a ``max(struct(ts, -id))`` inside
-    the one canonical-key groupBy (map-side partial agg, no window, no
-    second exchange). AQE handles hot canonical hosts the same way
-    url_dedup's groupBy does."""
+    deterministic. Numeric ids (the common case) take the fast path: a
+    ``max(struct(ts, -id))`` argmax inside the one canonical-key groupBy
+    (map-side partial agg, no window, no second exchange). String ids
+    (WARC record UUIDs, hex digests) can't be negated, so they take a
+    two-aggregate path with the same semantics: max-ts per key, then the
+    min id among that key's max-ts captures — still groupBys only, still
+    map-side combinable, one extra exchange instead of wrong results.
+    AQE handles hot canonical hosts the same way url_dedup's groupBy
+    does."""
+    from pyspark.sql.types import NumericType
+
     c = df.select(
         canonical_url(F.col(url_col)).alias("canonical_url"),
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),
     )
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        return (
+            c.groupBy("canonical_url")
+            .agg(
+                F.max(F.struct(F.col("ts").alias("ts"),
+                               (-F.col("id")).alias("nid"))).alias("_m"),
+                F.count("*").alias("n_captures"),
+            )
+            .select(
+                "canonical_url",
+                (-F.col("_m.nid")).alias("keeper_id"),
+                F.col("_m.ts").alias("keeper_ts"),
+                "n_captures",
+            )
+        )
+    tops = c.groupBy("canonical_url").agg(
+        F.max("ts").alias("keeper_ts"), F.count("*").alias("n_captures")
+    )
     return (
-        c.groupBy("canonical_url")
-        .agg(
-            F.max(F.struct(F.col("ts").alias("ts"),
-                           (-F.col("id")).alias("nid"))).alias("_m"),
-            F.count("*").alias("n_captures"),
-        )
-        .select(
-            "canonical_url",
-            (-F.col("_m.nid")).alias("keeper_id"),
-            F.col("_m.ts").alias("keeper_ts"),
-            "n_captures",
-        )
+        c.join(tops, ["canonical_url"])
+        .filter(F.col("ts") == F.col("keeper_ts"))
+        .groupBy("canonical_url", "keeper_ts", "n_captures")
+        .agg(F.min("id").alias("keeper_id"))
+        .select("canonical_url", "keeper_id", "keeper_ts", "n_captures")
     )

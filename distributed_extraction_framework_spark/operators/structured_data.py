@@ -80,6 +80,18 @@ def _html_str(df: DataFrame, html_col: str):
     return c
 
 
+def _check_keep_cols(keep_cols, reserved) -> None:
+    """Fail fast on silent duplicate output names: a kept column that
+    collides with an extractor output column would produce an
+    ambiguous-reference DataFrame downstream."""
+    bad = sorted(set(keep_cols) & set(reserved))
+    if bad:
+        raise ValueError(
+            f"keep_cols collide with extractor output columns: {bad}; "
+            f"rename them before extraction"
+        )
+
+
 _TRIPLE = StructType([
     StructField("subj", StringType(), False),
     StructField("pred", StringType(), False),
@@ -250,6 +262,7 @@ def extract_html_links(
     whole-stage codegen end to end, one explode, zero shuffles — link
     graphs at crawl scale are built by feeding this into
     operators/graph.py, which owns its own partitioning."""
+    _check_keep_cols(keep_cols, ("id", "href", "anchor"))
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
     pairs = F.arrays_zip(
         F.regexp_extract_all(h, F.lit(HTML_A_RE), F.lit(1)),
@@ -280,6 +293,7 @@ def extract_meta_tags(
     facts (title, type, canonical image, locale) a webtext KG attaches to
     the page node itself. Handles both attribute orders; one scan, zero
     Python, zero shuffles."""
+    _check_keep_cols(keep_cols, ("id", "key", "content"))
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
     kc = F.arrays_zip(
         F.regexp_extract_all(h, F.lit(META_KC_RE), F.lit(1)),
@@ -317,10 +331,13 @@ def web_page_triples(
       downstream sameAs/linking pass joins on.
 
     The page node is ``url_col``, attached via the extractors'
-    ``keep_cols`` passthrough (no join-back). Each channel is a
-    shuffle-free scan+project; the only exchange in the whole plan is
-    the slim (id, subj) anti-join that derives the JSON-LD ROOT nodes
-    (subjects never referenced as an object on the same page).
+    ``keep_cols`` passthrough (no join-back). The outlink and meta
+    channels are shuffle-free scan+projects; the JSON-LD channel is
+    materialized ONCE (``localCheckpoint`` — it feeds three plan
+    branches, and Spark does not dedupe shared non-exchange subtrees,
+    so without it the Arrow-batched flatten would run three times per
+    page); the root derivation adds the slim (id, subj) distinct +
+    anti-join exchanges on entity keys, never page bytes.
     """
     links = extract_html_links(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
@@ -336,7 +353,7 @@ def web_page_triples(
     )
     entities = extract_jsonld(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
-    )
+    ).localCheckpoint(eager=True)
     # root nodes = subjects never referenced as an object of a parent
     # link on the same page (bnode/uri children are linked by walk())
     objs = entities.filter(F.col("obj_kind").isin("bnode", "uri")).select(
@@ -348,7 +365,12 @@ def web_page_triples(
         .select(
             "id", F.col(url_col).alias("subj"),
             F.lit("has_entity").alias("pred"),
-            F.col("subj").alias("obj"), F.lit("uri").alias("obj_kind"),
+            F.col("subj").alias("obj"),
+            # a root without @id is a bnode — label it as one, so
+            # serializers/filters treat has_entity objects consistently
+            # with every other bnode object in the output
+            F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("uri")).alias("obj_kind"),
         )
     )
     return (

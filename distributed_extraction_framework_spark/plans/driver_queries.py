@@ -5344,7 +5344,7 @@ UNION ALL SELECT doc_id, b1, 'name', auth, 'literal' FROM base
 UNION ALL SELECT doc_id, b2, '{_RDF_TYPE}', 'WebSite', 'uri' FROM base
 UNION ALL SELECT doc_id, b2, 'url', site, 'literal' FROM base
 UNION ALL SELECT doc_id, s, 'has_entity', e, 'uri' FROM base
-UNION ALL SELECT doc_id, s, 'has_entity', b2, 'uri' FROM base
+UNION ALL SELECT doc_id, s, 'has_entity', b2, 'bnode' FROM base
 """
 
 QUERIES.update({"web_kg_triples": q_web_kg_triples})

@@ -115,3 +115,25 @@ def test_latest_capture_keeper_and_ties(spark):
     assert a["keeper_id"] == 1 and a["n_captures"] == 3
     assert a["keeper_ts"] == t2
     assert got["https://other.com/b"]["keeper_id"] == 3
+
+
+def test_latest_capture_string_ids(spark):
+    """WARC-style string record ids take the two-aggregate path — same
+    keeper semantics (max ts, ties -> min id), no numeric negation."""
+    from datetime import datetime
+
+    from distributed_extraction_framework_spark.operators.scrub import (
+        latest_capture,
+    )
+
+    t, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    rows = [
+        ("w-b", "http://example.com/a", t2),
+        ("w-a", "http://example.com/a?utm_source=x", t2),  # tie → min id
+        ("w-c", "HTTP://WWW.Example.COM:80/a", t),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+    got = latest_capture(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["keeper_id"], r["keeper_ts"], r["n_captures"]) == ("w-a", t2, 3)

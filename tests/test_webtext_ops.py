@@ -354,3 +354,26 @@ def test_label_propagation_two_triangles(spark):
     # converge to community 'a' = {a,b,c} and community 'c' = {d,e,f}
     assert got == {"a": "a", "b": "a", "c": "a",
                    "d": "c", "e": "c", "f": "c"}
+
+
+def test_web_page_triples_bnode_root_and_keep_cols_guard(spark):
+    import pytest
+
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_meta_tags,
+        web_page_triples,
+    )
+
+    # a ROOT node without @id is a bnode — its has_entity edge must say so
+    html = ('<script type="application/ld+json">'
+            '{"@type":"WebSite","u":"v"}</script>')
+    df = spark.createDataFrame([(0, "https://page/0", html)],
+                               ["page_id", "url", "html"])
+    got = {(r["pred"], r["obj"], r["obj_kind"])
+           for r in web_page_triples(df).collect()}
+    assert ("has_entity", "_:b0_0_0", "bnode") in got
+
+    # keep_cols colliding with output names fails fast, not ambiguously
+    with pytest.raises(ValueError, match="keep_cols collide"):
+        extract_meta_tags(df.withColumnRenamed("url", "key"),
+                          keep_cols=("key",))
