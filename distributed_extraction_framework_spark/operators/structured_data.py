@@ -378,3 +378,132 @@ def web_page_triples(
         .unionByName(entities.select("id", "subj", "pred", "obj", "obj_kind"))
         .unionByName(has_entity)
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-Catalyst HTML extractors: tables and main-content (boilerplate) blocks
+# ---------------------------------------------------------------------------
+# Same regex discipline as the link/meta extractors above: Java-regex ∩
+# RE2 (no lookaround, no backrefs in MATCH patterns) so DuckDB oracles
+# re-run the exact semantics. Nested <table> is a documented subset
+# limitation: the lazy body stops at the first </table> (crawl layout
+# tables nest rarely; a DOM build is not worth leaving codegen for).
+
+TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+CELL_RE = r"(?is)<t([dh])[^>]*>(.*?)</t[dh]\s*>"
+# block-level boundaries for main_content: split, don't match bodies
+BLOCK_SPLIT_RE = (r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|"
+                  r"section|article|aside|nav|header|footer|blockquote|"
+                  r"pre|figure)\b[^>]*>")
+
+
+def extract_tables(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """(id, table_idx, row_idx, col_idx, is_header, cell) for every
+    ``<td>``/``<th>`` cell of every ``<table>`` in ``html_col`` — the
+    relational facts web pages publish as HTML tables, in the cell-grid
+    form a downstream table-to-triples or table-QA stage consumes.
+
+    Three nested posexplodes over three ``regexp_extract_all`` levels —
+    whole-stage codegen end to end, zero Python, zero shuffles; indices
+    are 0-based document order at each level. ``is_header`` is true for
+    ``<th>`` cells: the tag letter and the body come from two capture
+    groups of the SAME pattern, so the arrays are index-aligned and
+    ``arrays_zip`` pairs them without re-matching. Cell text is
+    inner-tag-stripped and trimmed (colspan/rowspan attributes are
+    dropped with their tags — grid positions are source order, not
+    rendered geometry; documented subset)."""
+    _check_keep_cols(keep_cols, ("id", "table_idx", "row_idx", "col_idx",
+                                 "is_header", "cell"))
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    cells = F.arrays_zip(
+        F.regexp_extract_all(F.col("_row"), F.lit(CELL_RE), F.lit(1)),
+        F.regexp_extract_all(F.col("_row"), F.lit(CELL_RE), F.lit(2)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), *keep_cols,
+                  F.posexplode(F.regexp_extract_all(h, F.lit(TABLE_RE),
+                                                    F.lit(1)))
+                  .alias("table_idx", "_tbl"))
+        .select("id", *keep_cols, "table_idx",
+                F.posexplode(F.regexp_extract_all(F.col("_tbl"),
+                                                  F.lit(TR_RE), F.lit(1)))
+                .alias("row_idx", "_row"))
+        .select("id", *keep_cols, "table_idx", "row_idx",
+                F.posexplode(cells).alias("col_idx", "_c"))
+        .select(
+            "id", "table_idx", "row_idx", "col_idx",
+            (F.col("_c.0") == "h").alias("is_header"),
+            F.trim(F.regexp_replace(F.col("_c.1"), TAG_STRIP_RE, ""))
+            .alias("cell"),
+            *keep_cols,
+        )
+    )
+
+
+def main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    keep_cols: tuple = (),
+    min_chars: int = 30,
+    max_link_density: float = 0.4,
+) -> DataFrame:
+    """Boilerplate segmentation: split ``html_col`` at block-level tag
+    boundaries and score each block, the jusText/Boilerpipe-style
+    shallow-text-features heuristic (Kohlschütter et al., WSDM 2010 —
+    public algorithm; implemented from the paper's feature definitions,
+    not any codebase). A block is ``kept`` (main content) when its
+    stripped text has ≥ ``min_chars`` characters AND the fraction of
+    those characters inside ``<a>`` anchors is ≤ ``max_link_density`` —
+    short and link-dense blocks are navigation/footer chrome.
+
+    Returns (id, block_idx, text, n_chars, link_density, kept) for every
+    non-empty block; callers filter on ``kept`` (the full scored set is
+    returned so curation can audit what was dropped). One scan: split →
+    posexplode → per-block codegen expressions; the anchor-character sum
+    is ``aggregate`` over ``regexp_extract_all`` — all JVM-side, zero
+    Python, zero shuffles. ``link_density`` is clamped to 1.0: anchor
+    bodies keep inline-tag text that block text stripping also keeps, so
+    the ratio is exact, but a malformed page where the anchor regex
+    matches MORE text than the block (unterminated ``<a``) must not
+    produce >1 densities."""
+    _check_keep_cols(keep_cols, ("id", "block_idx", "text", "n_chars",
+                                 "link_density", "kept"))
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    text = F.trim(F.regexp_replace(F.col("_blk"), TAG_STRIP_RE, ""))
+    link_chars = F.aggregate(
+        F.transform(
+            F.regexp_extract_all(F.col("_blk"), F.lit(HTML_A_RE), F.lit(2)),
+            lambda a: F.length(F.trim(F.regexp_replace(a, TAG_STRIP_RE,
+                                                       ""))),
+        ),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), *keep_cols,
+                  F.posexplode(F.split(h, BLOCK_SPLIT_RE))
+                  .alias("block_idx", "_blk"))
+        .select("id", *keep_cols, "block_idx", text.alias("text"),
+                link_chars.alias("_lc"))
+        .filter(F.length("text") > 0)
+        .select(
+            "id", "block_idx", "text",
+            F.length("text").alias("n_chars"),
+            F.least(
+                F.lit(1.0),
+                F.col("_lc").cast("double") / F.length("text"),
+            ).alias("link_density"),
+            *keep_cols,
+        )
+        .withColumn(
+            "kept",
+            (F.col("n_chars") >= min_chars)
+            & (F.col("link_density") <= max_link_density),
+        )
+    )

@@ -5505,3 +5505,192 @@ FROM rk WHERE r = 1
 
 QUERIES.update({"latest_capture": q_latest_capture})
 ORACLES.update({"latest_capture": ORACLE_LATEST_CAPTURE})
+
+
+# --------------------------------------------------------------------------
+# eighth wave: microdata triples, HTML table grids, main-content blocks
+# --------------------------------------------------------------------------
+
+
+def q_microdata_extract(spark, sf_dir):
+    """HTML5 microdata markup → triples (operators/microdata.py): an
+    itemid'd Article carrying every value-resolution rule (text content
+    with inline tags, content=, href, nested itemscope with bnode
+    subject + parent link) plus a second itemid-less scope to pin the
+    document-order bnode sequence. The oracle reconstructs the expected
+    triples closed-form from the same documents columns (the WHATWG
+    subset itself is pinned by tests/test_html_extract.py)."""
+    from ..operators.microdata import extract_microdata
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
+    html = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article" '
+              'itemid="https://ex.org/md/'), d, F.lit('">'
+              '<h1 itemprop="headline">'), w1, F.lit(" <b>"), w2,
+        F.lit('</b></h1><meta itemprop="wordCount" content="'),
+        F.col("n_chars").cast("string"),
+        F.lit('"><a itemprop="url" href="https://ex.org/md/'), d,
+        F.lit('.html">x</a><span itemprop="author" itemscope '
+              'itemtype="https://schema.org/Person">'
+              '<span itemprop="name">auth'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</span></span></div><div itemscope>'
+              '<span itemprop="site">site'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("</span></div>"),
+    )
+    out = extract_microdata(docs.select("doc_id", html.alias("html")),
+                            id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "obj_kind")
+
+
+ORACLE_MICRODATA_EXTRACT = f"""
+WITH base AS (
+  SELECT doc_id,
+         'https://ex.org/md/' || doc_id AS a,
+         '_:m' || doc_id || '_0' AS b0,
+         '_:m' || doc_id || '_1' AS b1,
+         trim(split_part(text, ' ', 1) || ' '
+              || split_part(text, ' ', 2)) AS headline,
+         cast(n_chars AS varchar) AS nc,
+         'auth' || (doc_id % 5) AS auth,
+         'site' || (doc_id % 4) AS site
+  FROM documents
+)
+SELECT doc_id, a AS subj, '{_RDF_TYPE}' AS pred,
+       'https://schema.org/Article' AS obj, 'uri' AS obj_kind FROM base
+UNION ALL SELECT doc_id, a, 'headline', headline, 'literal' FROM base
+UNION ALL SELECT doc_id, a, 'wordCount', nc, 'literal' FROM base
+UNION ALL SELECT doc_id, a, 'url', a || '.html', 'uri' FROM base
+UNION ALL SELECT doc_id, a, 'author', b0, 'bnode' FROM base
+UNION ALL SELECT doc_id, b0, '{_RDF_TYPE}', 'https://schema.org/Person',
+       'uri' FROM base
+UNION ALL SELECT doc_id, b0, 'name', auth, 'literal' FROM base
+UNION ALL SELECT doc_id, b1, 'site', site, 'literal' FROM base
+"""
+
+
+def q_html_tables(spark, sf_dir):
+    """HTML table → cell grid (operators/structured_data.extract_tables):
+    a header row, inline-tag + padding cleanup, a <th>/<td> mix, and a
+    second (case-variant) table to pin table_idx ordering. Closed-form
+    oracle; regex nesting/case behavior is pinned by pytest."""
+    from ..operators.structured_data import extract_tables
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    html = F.concat(
+        F.lit('<table class="t"><tr><th>k</th><th>v</th></tr>'
+              "<tr><td><b>"), w1, F.lit("</b></td><td> "),
+        F.col("n_chars").cast("string"),
+        F.lit(" </td></tr><tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr></table><TABLE><tr><td>doc "), d,
+        F.lit("</td></tr></TABLE>"),
+    )
+    out = extract_tables(docs.select("doc_id", html.alias("html")),
+                         id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "table_idx", "row_idx",
+                      "col_idx", "is_header", "cell")
+
+
+ORACLE_HTML_TABLES = """
+WITH base AS (
+  SELECT doc_id, split_part(text, ' ', 1) AS w1,
+         cast(n_chars AS varchar) AS nc, lang
+  FROM documents
+)
+SELECT doc_id, cast(0 AS int) AS table_idx, cast(0 AS int) AS row_idx,
+       cast(0 AS int) AS col_idx, true AS is_header, 'k' AS cell FROM base
+UNION ALL SELECT doc_id, 0, 0, 1, true, 'v' FROM base
+UNION ALL SELECT doc_id, 0, 1, 0, false, w1 FROM base
+UNION ALL SELECT doc_id, 0, 1, 1, false, nc FROM base
+UNION ALL SELECT doc_id, 0, 2, 0, false, 'lang' FROM base
+UNION ALL SELECT doc_id, 0, 2, 1, false, lang FROM base
+UNION ALL SELECT doc_id, 1, 0, 0, false, 'doc ' || doc_id FROM base
+"""
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate segmentation (operators/structured_data.main_content):
+    a long clean block (kept), a link-dense nav block (dropped), a
+    too-short block (dropped), and a mixed text+anchor block — vs DuckDB
+    re-running the IDENTICAL split/strip/anchor regexes over
+    byte-identical pages (cross-engine regex + density-arithmetic
+    check)."""
+    from ..operators.structured_data import main_content
+
+    docs = _docs_tbl(spark, sf_dir)
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    html = F.concat(
+        F.lit("<div>"), F.substring("text", 1, 80),
+        F.lit('</div><div><a href="/n1">nav</a> <a href="/n2">menu</a>'
+              "</div><p>tiny</p><div>"),
+        F.substring("text", 101, 40),
+        F.lit(' <a href="/x">'), w1, F.lit("</a></div>"),
+    )
+    out = main_content(docs.select("doc_id", html.alias("html")),
+                       id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "block_idx", "text",
+                      "n_chars", "link_density", "kept")
+
+
+_MC_SPLIT_SQL = (
+    r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|"
+    r"section|article|aside|nav|header|footer|blockquote|pre|figure)"
+    r"\b[^>]*>"
+)
+_MC_A_SQL = (
+    "(?is)<a\\s[^>]*href\\s*=\\s*[\"'']([^\"'']+)[\"''][^>]*>(.*?)</a>"
+)
+
+ORACLE_MAIN_CONTENT = f"""
+WITH inj AS (
+  SELECT doc_id,
+         '<div>' || substr(text, 1, 80) ||
+         '</div><div><a href="/n1">nav</a> <a href="/n2">menu</a>' ||
+         '</div><p>tiny</p><div>' || substr(text, 101, 40) ||
+         ' <a href="/x">' || split_part(text, ' ', 1) || '</a></div>' AS h
+  FROM documents
+), segs AS (
+  SELECT doc_id, cast(z[2] AS int) - 1 AS block_idx, z[1] AS seg
+  FROM (
+    SELECT doc_id, unnest(list_zip(parts, range(1, len(parts) + 1))) AS z
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(h, '{_MC_SPLIT_SQL}') AS parts
+          FROM inj)
+  )
+), scored AS (
+  SELECT doc_id, block_idx,
+         trim(regexp_replace(seg, '<[^>]+>', '', 'g')) AS text,
+         coalesce(list_sum(list_transform(
+           regexp_extract_all(seg, '{_MC_A_SQL}', 2),
+           x -> length(trim(regexp_replace(x, '<[^>]+>', '', 'g'))))),
+           0) AS lc
+  FROM segs
+)
+SELECT doc_id, block_idx, text, n_chars, link_density,
+       (n_chars >= 30 AND link_density <= cast(0.4 AS double)) AS kept
+FROM (
+  SELECT doc_id, block_idx, text,
+         cast(length(text) AS int) AS n_chars,
+         least(cast(1.0 AS double),
+               cast(lc AS double) / length(text)) AS link_density
+  FROM scored WHERE length(text) > 0
+)
+"""
+
+QUERIES.update({
+    "microdata_extract": q_microdata_extract,
+    "html_tables": q_html_tables,
+    "main_content": q_main_content,
+})
+ORACLES.update({
+    "microdata_extract": ORACLE_MICRODATA_EXTRACT,
+    "html_tables": ORACLE_HTML_TABLES,
+    "main_content": ORACLE_MAIN_CONTENT,
+})

@@ -1,0 +1,154 @@
+"""Round-5 late-wave HTML extractors: microdata triples, table cell
+grids, main-content (boilerplate) segmentation."""
+
+from __future__ import annotations
+
+from distributed_extraction_framework_spark.operators.microdata import (
+    extract_microdata,
+)
+from distributed_extraction_framework_spark.operators.structured_data import (
+    RDF_TYPE,
+    extract_tables,
+    main_content,
+)
+
+_MD_PAGE = """<html><body>
+<div itemscope itemtype="https://schema.org/Article" itemid="https://e/a7">
+  <h1 itemprop="headline">Big   <b>bold</b> news</h1>
+  <meta itemprop="wordCount" content="42">
+  <a itemprop="url" href="https://e/a7.html">link</a>
+  <time itemprop="datePublished" datetime="2026-01-02">Jan 2</time>
+  <img itemprop="image" src="https://e/i.png">
+  <span itemprop="author" itemscope itemtype="https://schema.org/Person">
+    by <span itemprop="name">Ada</span>
+  </span>
+  <span itemprop="empty"/>
+</div>
+<p itemprop="orphan">no enclosing scope</p>
+<div itemscope><span itemprop="x">second scope</span></div>
+<script>var itemscope = '<span itemprop="fake">unreachable</span>';</script>
+</body></html>"""
+
+
+def test_extract_microdata_subset(spark):
+    df = spark.createDataFrame(
+        [(9, _MD_PAGE), (10, "<html><p>plain page</p></html>")],
+        ["page_id", "html"],
+    )
+    got = {
+        (r["id"], r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in extract_microdata(df).collect()
+    }
+    a = "https://e/a7"
+    assert (9, a, RDF_TYPE, "https://schema.org/Article", "uri") in got
+    # text content: inline tags dropped, whitespace collapsed
+    assert (9, a, "headline", "Big bold news", "literal") in got
+    # value resolution order: content > url attr > datetime > text
+    assert (9, a, "wordCount", "42", "literal") in got
+    assert (9, a, "url", "https://e/a7.html", "uri") in got
+    assert (9, a, "datePublished", "2026-01-02", "literal") in got
+    assert (9, a, "image", "https://e/i.png", "uri") in got
+    # nested itemscope: parent link + deterministic bnode label
+    assert (9, a, "author", "_:m9_0", "bnode") in got
+    assert (9, "_:m9_0", RDF_TYPE, "https://schema.org/Person", "uri") in got
+    assert (9, "_:m9_0", "name", "Ada", "literal") in got
+    # self-closed itemprop with no value source -> empty literal
+    assert (9, a, "empty", "", "literal") in got
+    # itemid-less scope after one bnode -> seq 1
+    assert (9, "_:m9_1", "x", "second scope", "literal") in got
+    # orphan itemprop (no open scope) and script bodies are ignored
+    assert not [t for t in got if t[2] in ("orphan", "fake")]
+    # page without 'itemscope' never reaches Python and emits nothing
+    assert not [t for t in got if t[0] == 10]
+
+
+def test_extract_microdata_multi_prop_and_hostility(spark):
+    rows = [
+        # space-separated itemprop fans out; itemref is ignored;
+        # unclosed elements implicitly close at EOF
+        (0, '<div itemscope><span itemprop="a b">v</span>'
+            '<i itemprop="tail">end'),
+        # stray close tag + '>' inside a quoted attribute value
+        (1, '</div><div itemscope>'
+            '<meta itemprop="k" content="x > y"></div>'),
+    ]
+    df = spark.createDataFrame(rows, ["page_id", "html"])
+    got = {
+        (r["id"], r["subj"], r["pred"], r["obj"])
+        for r in extract_microdata(df).collect()
+    }
+    assert (0, "_:m0_0", "a", "v") in got
+    assert (0, "_:m0_0", "b", "v") in got
+    assert (0, "_:m0_0", "tail", "end") in got
+    assert (1, "_:m1_0", "k", "x > y") in got
+
+
+_TBL_PAGE = """<div><table class="x">
+<tr><th>name</th><th>qty</th></tr>
+<tr><td><b>ant</b></td><td> 3 </td></tr>
+</table>
+noise
+<TABLE><tr><td>solo</td></tr></TABLE></div>"""
+
+
+def test_extract_tables_grid(spark):
+    df = spark.createDataFrame(
+        [(1, _TBL_PAGE), (2, "<p>no tables</p>")], ["page_id", "html"])
+    rows = {
+        (r["id"], r["table_idx"], r["row_idx"], r["col_idx"],
+         r["is_header"], r["cell"])
+        for r in extract_tables(df).collect()
+    }
+    assert rows == {
+        (1, 0, 0, 0, True, "name"),
+        (1, 0, 0, 1, True, "qty"),
+        (1, 0, 1, 0, False, "ant"),   # inner tags stripped
+        (1, 0, 1, 1, False, "3"),     # trimmed
+        (1, 1, 0, 0, False, "solo"),  # case-insensitive TABLE
+    }
+
+
+def test_main_content_density_rule(spark):
+    body = (
+        "<div>" + ("real content sentence. " * 4) + "</div>"
+        '<div><a href="/a">nav</a> <a href="/b">menu</a></div>'
+        "<p>tiny</p>"
+        "<div>" + ("mixed " * 10)
+        + '<a href="/c">one link inside long text</a></div>'
+    )
+    df = spark.createDataFrame([(5, body)], ["page_id", "html"])
+    out = {r["text"]: r for r in main_content(df).collect()}
+    long_block = ("real content sentence. " * 4).strip()
+    assert out[long_block]["kept"] is True
+    assert out[long_block]["link_density"] == 0.0
+    assert out["nav menu"]["kept"] is False            # link-dense chrome
+    assert out["nav menu"]["link_density"] > 0.4
+    assert out["tiny"]["kept"] is False                # below min_chars
+    mixed = [r for t, r in out.items() if t.startswith("mixed")][0]
+    assert mixed["kept"] is True                       # low link density
+    assert 0.0 < mixed["link_density"] <= 0.4
+    # every block scored, none silently dropped except empties
+    assert len(out) == 4
+
+
+def test_html_extractors_shuffle_free_and_prefiltered(spark):
+    df = spark.createDataFrame([(0, _TBL_PAGE)], ["page_id", "html"])
+    for op in (extract_tables, main_content):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    # microdata: no shuffle, and the itemscope prefilter is in the plan
+    # BEFORE the Python stage (pages without markup never cross Arrow)
+    plan = extract_microdata(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+    assert "itemscope" in plan
+    # tree printing is top-down (children BELOW parents): the filter
+    # being downstream in the string means upstream in execution
+    assert plan.index("itemscope") > plan.index("ArrowEvalPython")
+
+
+def test_microdata_binary_html(spark):
+    df = spark.createDataFrame(
+        [(3, bytearray(_MD_PAGE, "utf-8"))], "page_id long, html binary")
+    got = extract_microdata(df).collect()
+    assert any(r["pred"] == "headline" for r in got)
