@@ -145,7 +145,14 @@ def enrich_pages(prepared: DataFrame, with_parse: bool = True) -> DataFrame:
             "ilinks",
             F.transform(
                 F.regexp_extract_all("text", F.lit(W.INTERNAL_LINK_PATTERN), F.lit(1)),
-                lambda x: base_norm(F.split_part(x, F.lit("|"), F.lit(1))),
+                # substring_index, NOT split_part: Spark 4's collation-aware
+                # split_part routes through String.split with a quoted
+                # pattern, compiling a java.util.regex.Pattern PER ROW —
+                # measured 9× slower single-threaded, and the allocation
+                # storm collapses multi-core scaling (GC contention). The
+                # two agree for field 1: leftmost-delimiter prefix, whole
+                # string when the delimiter is absent.
+                lambda x: base_norm(F.substring_index(x, "|", 1)),
             ),
         )
         .withColumn(
@@ -329,9 +336,19 @@ def interlanguage_links(e) -> Column:
     tgts = F.filter(_c("ilinks"), _is_interlanguage)
     q = _uri_quads(
         "interlanguage_links", S.OWL_SAMEAS, tgts,
+        # substring_index forms of split_part(t,":",1/2) — split_part
+        # Pattern.compiles per row (see enrich_pages). Field 2 ≡
+        # everything between the 1st and 2nd ":" when a ":" exists,
+        # else split_part's out-of-range '' (interlanguage targets are
+        # pre-filtered to contain ":", but the guard keeps exact parity).
         lambda t: resource_uri(
-            F.split_part(t, F.lit(":"), F.lit(1)),
-            ucfirst(F.split_part(t, F.lit(":"), F.lit(2))),
+            F.substring_index(t, ":", 1),
+            ucfirst(
+                F.when(
+                    t.contains(":"),
+                    F.substring_index(F.substring_index(t, ":", 2), ":", -1),
+                ).otherwise(F.lit(""))
+            ),
         ),
     )
     return guard(_c("ns") == S.NS_MAIN, q)
@@ -466,7 +483,9 @@ def abstracts(e) -> Column:
     t = F.regexp_replace(t, r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]", r"$1")
     t = F.regexp_replace(t, r"\[\[([^\[\]]*)\]\]", r"$1")
     t = F.regexp_replace(t, r"'''", "")
-    first_para = F.trim(F.split_part(t, F.lit("\n\n"), F.lit(1)))
+    # substring_index ≡ split_part(t,"\n\n",1) without the per-row
+    # Pattern.compile of Spark 4's split_part (see enrich_pages)
+    first_para = F.trim(F.substring_index(t, "\n\n", 1))
     q = F.array(
         quad("abstracts", _c("subj"), S.DBO_ABSTRACT, first_para,
              lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context"))

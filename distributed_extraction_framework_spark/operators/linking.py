@@ -904,7 +904,9 @@ def anchor_priors(
             ).alias("l")
         )
     )
-    target = ucfirst(base_norm(F.split_part(l, F.lit("|"), F.lit(1))))
+    # substring_index ≡ split_part(l,"|",1) for field 1, without Spark 4
+    # split_part's per-row Pattern.compile (see extractors.enrich_pages)
+    target = ucfirst(base_norm(F.substring_index(l, "|", 1)))
     anchor = F.when(
         F.instr(l, "|") > 0,
         F.trim(F.substr(l, F.instr(l, "|") + F.lit(1))),

@@ -188,11 +188,41 @@ def _flatten_block_unsafe(raw: str, row_id, block_idx: int) -> list[tuple]:
     return out
 
 
+def _scan_page_blocks(blocks, rid, emit_roots: bool) -> list[tuple]:
+    """All triples of one page's JSON-LD blocks, in (block, pre-order)
+    document order — bnode labels keep the per-block ``_:b{id}_{block}_
+    {seq}`` scheme. With ``emit_roots``, appends one MARKER row per root
+    subject: a subject never referenced as a uri/bnode object anywhere
+    on the page (nested nodes are always objects of their parent link,
+    so this is exactly the set of independently-published entities).
+    Marker layout: (root_subj, "__root__", root_kind, "root") — the
+    ``obj_kind='root'`` sentinel cannot collide with real triples, whose
+    kind domain is {uri, literal, bnode}. Computing roots HERE, page-
+    locally in the same Python pass that parsed the blocks, is what lets
+    the composite stay shuffle-free: the former DataFrame derivation
+    (distinct + left-anti self-join over the triple set) re-keyed
+    millions of rows through two exchanges to answer a question each
+    page can answer about itself in O(page) memory."""
+    out: list[tuple] = []
+    for bidx, raw in enumerate(blocks):
+        out.extend(_flatten_block(raw, rid, bidx))
+    if emit_roots:
+        objs = {o for (_s, _p, o, k) in out if k in ("uri", "bnode")}
+        seen: set = set()
+        for s, _p, _o, _k in list(out):
+            if s not in objs and s not in seen:
+                seen.add(s)
+                kind = "bnode" if s.startswith("_:") else "uri"
+                out.append((s, "__root__", kind, "root"))
+    return out
+
+
 def extract_jsonld(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "page_id",
     keep_cols: tuple = (),
+    emit_roots: bool = False,
 ) -> DataFrame:
     """(id, subj, pred, obj, obj_kind[, *keep_cols]) triples from every
     JSON-LD block embedded in ``html_col`` — ``keep_cols`` pass through
@@ -201,7 +231,13 @@ def extract_jsonld(
     Block isolation runs JVM-side (``regexp_extract_all`` in whole-stage
     codegen); pages with no block are dropped before any Python runs,
     so at crawl scale the Arrow transfer carries only the JSON payloads
-    (typically <1% of page bytes). Zero shuffles.
+    (typically <1% of page bytes) — the html column itself never crosses
+    into Python. One vectorized UDF call per PAGE (not per block), one
+    explode, zero shuffles.
+
+    ``emit_roots=True`` appends the page-local root markers described in
+    :func:`_scan_page_blocks`; :func:`web_page_triples` rewrites them to
+    provenance edges in the same projection that consumes the triples.
     """
     blocks = (
         df.select(
@@ -211,20 +247,18 @@ def extract_jsonld(
             .alias("_blocks"),
         )
         .filter(F.size("_blocks") > 0)
-        .select("id", *keep_cols,
-                F.posexplode("_blocks").alias("_bidx", "_raw"))
     )
 
     @F.pandas_udf(ArrayType(_TRIPLE))
-    def flatten(raw: pd.Series, rid: pd.Series, bidx: pd.Series) -> pd.Series:
+    def flatten(blks: pd.Series, rid: pd.Series) -> pd.Series:
         return pd.Series([
-            _flatten_block(r, i, b)
-            for r, i, b in zip(raw, rid, bidx)
+            _scan_page_blocks(b, i, emit_roots)
+            for b, i in zip(blks, rid)
         ])
 
     return (
         blocks.select("id", *keep_cols,
-                      F.explode(flatten("_raw", "id", "_bidx")).alias("_t"))
+                      F.explode(flatten("_blocks", "id")).alias("_t"))
         .select("id", "_t.subj", "_t.pred", "_t.obj", "_t.obj_kind",
                 *keep_cols)
     )
@@ -331,13 +365,24 @@ def web_page_triples(
       downstream sameAs/linking pass joins on.
 
     The page node is ``url_col``, attached via the extractors'
-    ``keep_cols`` passthrough (no join-back). The outlink and meta
-    channels are shuffle-free scan+projects; the JSON-LD channel is
-    materialized ONCE (``localCheckpoint`` — it feeds three plan
-    branches, and Spark does not dedupe shared non-exchange subtrees,
-    so without it the Arrow-batched flatten would run three times per
-    page); the root derivation adds the slim (id, subj) distinct +
-    anti-join exchanges on entity keys, never page bytes.
+    ``keep_cols`` passthrough (no join-back). Every channel is a
+    shuffle-free scan+project; the JSON-LD channel computes its
+    page-local root markers INSIDE the flatten UDF
+    (:func:`extract_jsonld` ``emit_roots=True``) and ONE projection —
+    the sole consumer of the UDF output — rewrites each
+    ``obj_kind='root'`` marker to its ``(url, has_entity, root)``
+    provenance edge. Zero shuffles, zero checkpoints, nothing consumes
+    the Python stage twice. An earlier revision derived roots
+    relationally (eager localCheckpoint + distinct + left-anti
+    self-join over the triple set); the checkpoint barrier plus two
+    entity-keyed exchanges capped the composite's multi-core scaling at
+    ~0.4 while every individual channel scaled ≥0.8 — a page can answer
+    "which of my subjects are roots" in O(page) memory, so no
+    corpus-wide exchange should exist. (A fully fused single-scan
+    variant building per-channel struct arrays with ``F.transform`` was
+    also tried and rejected: higher-order array functions are
+    CodegenFallback — interpreted per row — and cost more than the
+    extra codegen'd scans they save.)
     """
     links = extract_html_links(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
@@ -351,33 +396,24 @@ def web_page_triples(
         "id", F.col(url_col).alias("subj"), F.col("key").alias("pred"),
         F.col("content").alias("obj"), F.lit("literal").alias("obj_kind"),
     )
-    entities = extract_jsonld(
-        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
-    ).localCheckpoint(eager=True)
-    # root nodes = subjects never referenced as an object of a parent
-    # link on the same page (bnode/uri children are linked by walk())
-    objs = entities.filter(F.col("obj_kind").isin("bnode", "uri")).select(
-        "id", F.col("obj").alias("subj")
-    ).distinct()
-    has_entity = (
-        entities.select("id", "subj", url_col).distinct()
-        .join(objs, ["id", "subj"], "left_anti")
-        .select(
-            "id", F.col(url_col).alias("subj"),
-            F.lit("has_entity").alias("pred"),
-            F.col("subj").alias("obj"),
-            # a root without @id is a bnode — label it as one, so
-            # serializers/filters treat has_entity objects consistently
-            # with every other bnode object in the output
-            F.when(F.col("subj").startswith("_:"), F.lit("bnode"))
-            .otherwise(F.lit("uri")).alias("obj_kind"),
-        )
+    ents = extract_jsonld(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,),
+        emit_roots=True,
     )
-    return (
-        links.unionByName(metas)
-        .unionByName(entities.select("id", "subj", "pred", "obj", "obj_kind"))
-        .unionByName(has_entity)
+    is_root = F.col("obj_kind") == "root"
+    entities = ents.select(
+        "id",
+        F.when(is_root, F.col(url_col)).otherwise(F.col("subj"))
+        .alias("subj"),
+        F.when(is_root, F.lit("has_entity")).otherwise(F.col("pred"))
+        .alias("pred"),
+        # marker layout (subj=root, obj=kind): the edge points AT the
+        # root and carries the root's own uri/bnode kind
+        F.when(is_root, F.col("subj")).otherwise(F.col("obj")).alias("obj"),
+        F.when(is_root, F.col("obj")).otherwise(F.col("obj_kind"))
+        .alias("obj_kind"),
     )
+    return links.unionByName(metas).unionByName(entities)
 
 
 # ---------------------------------------------------------------------------

@@ -8,10 +8,13 @@ show the pandas-UDF channel is linear and memory-flat — the failure
 mode it canaries is Arrow batch accumulation / Python-worker bloat on
 the flatten, which no sf0.1 gate would surface.
 
-HTML is synthesized IN the scan from the cached pages corpus (one
-JSON-LD entity with a bnode author, two outlinks, one OG tag per page —
-~0.4 KB of markup each), so the measured cost is extraction, not
-parquet IO of a second corpus.
+HTML comes from a crawl-style corpus materialized ONCE by
+``sources.synth.write_crawl_pages`` (one JSON-LD entity with a bnode
+author, two outlinks, one OG tag per page — ~0.4 KB of markup each) and
+scanned from parquet, the honest 100 TB model. An earlier revision
+synthesized the markup inside the timed scan with ``split_part``, which
+Pattern.compiles per row on Spark 4 and contaminates the measurement —
+see scripts/bench_webtext_scaling.py's docstring for the full diagnosis.
 
 Prints ONE JSON line and appends it to ENDURANCE.json at the repo root.
 Environment:
@@ -77,7 +80,9 @@ def main() -> None:
     from distributed_extraction_framework_spark.operators.structured_data import (
         web_page_triples,
     )
-    from distributed_extraction_framework_spark.sources.synth import write_pages
+    from distributed_extraction_framework_spark.sources.synth import (
+        write_crawl_pages,
+    )
 
     spark = get_spark(
         app_name="defs-webtext-endurance",
@@ -85,25 +90,11 @@ def main() -> None:
         shuffle_partitions=max(CPUS, 16),
         extra_conf={"spark.ui.enabled": "false"},
     )
-    path = f"/tmp/defs_scaling_pages_{N_PAGES}_p256"
+    path = f"/tmp/defs_crawl_pages_{N_PAGES}_p256"
     if not os.path.exists(path + "/_SUCCESS"):
-        write_pages(spark, N_PAGES, path, partitions=256)
-    pages = spark.read.parquet(path)
-
-    d = F.xxhash64("url").cast("string")
-    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
-    html = F.concat(
-        F.lit('<a href="https://out.example/'), d, F.lit('/a">'), w1,
-        F.lit(' <b>x</b></a>'),
-        F.lit("<a href='https://peer.example/"), d, F.lit("'>peer</a>"),
-        F.lit('<meta property="og:title" content="'), w1, F.lit('">'),
-        F.lit('<script type="application/ld+json">{"@id":"https://e/'),
-        d, F.lit('","@type":"Article","author":{"name":"'), w1,
-        F.lit('"}}</script>'),
-    )
-    crawl = pages.select(
-        "url", html.alias("html")
-    ).withColumn("page_id", F.xxhash64("url"))
+        write_crawl_pages(spark, N_PAGES, path, partitions=256)
+    crawl = spark.read.parquet(path).withColumn(
+        "page_id", F.xxhash64("url"))
 
     sampler = _RssSampler()
     sampler.start()
