@@ -543,3 +543,128 @@ def main_content(
             & (F.col("link_density") <= max_link_density),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pure-Catalyst HTML extractors: <link rel=…> relations and table→triples
+# ---------------------------------------------------------------------------
+
+# whole <link …> tags first; the per-tag attributes are then pulled with
+# scalar regexp_extract AFTER the explode — attribute ORDER in the wild
+# is arbitrary, and matching three attributes order-independently in one
+# pattern needs 6 alternations, while per-attribute extraction over the
+# (already tiny) exploded tag rows stays in whole-stage codegen.
+LINK_TAG_RE = r"(?is)<link\s[^>]*>"
+REL_ATTR_RE = r"""(?is)\brel\s*=\s*["']([^"']+)["']"""
+HREF_ATTR_RE = r"""(?is)\bhref\s*=\s*["']([^"']+)["']"""
+HREFLANG_ATTR_RE = r"""(?is)\bhreflang\s*=\s*["']([^"']+)["']"""
+
+
+def extract_link_rels(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """(id, rel, href, hreflang) for every ``<link rel=… href=…>`` tag —
+    rel=canonical is the page's self-asserted canonical URL (the input
+    ``operators/scrub.latest_capture``'s recrawl collapse keys on), and
+    rel=alternate + hreflang is the crawl-side analog of the reference's
+    InterLanguageLinksExtractor (reference: extraction/src/main/scala/
+    org/dbpedia/extraction/mappings/InterLanguageLinksExtractor.scala —
+    wiki dumps publish language editions as [[de:…]] links; web pages
+    publish them as hreflang alternates).
+
+    ``rel`` and ``hreflang`` are lower-cased (HTML attribute values are
+    case-insensitive for these enumerated types); ``rel`` may be
+    multi-valued ("alternate nofollow") and is returned verbatim after
+    casing — callers filter with ``contains``. Tags without both a rel
+    and an href are dropped. One scan, one explode, scalar
+    ``regexp_extract`` per attribute after the explode: whole-stage
+    codegen end to end, zero Python, zero shuffles."""
+    _check_keep_cols(keep_cols, ("id", "rel", "href", "hreflang"))
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    tag = F.col("_tag")
+    return (
+        df.select(F.col(id_col).alias("id"), *keep_cols,
+                  F.explode(F.regexp_extract_all(h, F.lit(LINK_TAG_RE),
+                                                 F.lit(0))).alias("_tag"))
+        .select(
+            "id",
+            F.lower(F.regexp_extract(tag, REL_ATTR_RE, 1)).alias("rel"),
+            F.regexp_extract(tag, HREF_ATTR_RE, 1).alias("href"),
+            F.lower(F.regexp_extract(tag, HREFLANG_ATTR_RE, 1))
+            .alias("hreflang"),
+            *keep_cols,
+        )
+        .filter((F.col("rel") != "") & (F.col("href") != ""))
+    )
+
+
+def table_triples(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Header-keyed HTML tables → (id, subj, pred, obj) triples: the
+    crawl-side analog of the reference's InfoboxExtractor (reference:
+    extraction/src/main/scala/org/dbpedia/extraction/mappings/
+    InfoboxExtractor.scala — wikitext key/value rows → properties; a web
+    page publishes the same relational facts as header-rowed tables).
+
+    Subset rule (deterministic, oracle-checkable): a table participates
+    iff its FIRST row consists of ``<th>`` cells only (≥1 cell, no
+    ``<td>``); every later row becomes one entity
+    ``{url}#table{t}-row{r}`` with one triple per cell, predicate = the
+    tag-stripped header of that column. Cells beyond the header width
+    are dropped (ragged bodies), as are empty predicates. Nested tables
+    share :data:`TABLE_RE`'s documented first-``</table>`` limitation.
+
+    Shape: posexplode tables → posexplode body rows → posexplode cells,
+    each level a ``regexp_extract_all`` in whole-stage codegen; the raw
+    header array rides along and the predicate is resolved per OUTPUT
+    row with scalar ``element_at`` + tag-strip (no higher-order
+    functions — they are CodegenFallback). Zero Python, zero shuffles.
+    """
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    rows_of = lambda c: F.regexp_extract_all(c, F.lit(TR_RE), F.lit(1))  # noqa: E731
+    hdr = F.element_at(F.col("_rows"), 1)
+    hdr_ok = (
+        (F.size(F.col("_hdr_cells")) > 0)
+        # a first row is a pure header iff every cell tag letter is 'h'
+        & ~F.array_contains(
+            F.regexp_extract_all(hdr, F.lit(CELL_RE), F.lit(1)), "d")
+    )
+    pred_raw = F.element_at(F.col("_hdrs"), F.col("col_idx") + 1)
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(url_col).alias("_u"),
+                  F.posexplode(F.regexp_extract_all(h, F.lit(TABLE_RE),
+                                                    F.lit(1)))
+                  .alias("table_idx", "_tbl"))
+        .select("id", "_u", "table_idx", rows_of(F.col("_tbl")).alias("_rows"))
+        .withColumn("_hdr_cells",
+                    F.regexp_extract_all(hdr, F.lit(CELL_RE), F.lit(2)))
+        .filter(hdr_ok)
+        .select("id", "_u", "table_idx", F.col("_hdr_cells").alias("_hdrs"),
+                F.posexplode(
+                    F.slice(F.col("_rows"), 2,
+                            F.greatest(F.size("_rows") - 1, F.lit(0))))
+                .alias("_ridx", "_row"))
+        .select("id", "_u", "table_idx", "_hdrs",
+                (F.col("_ridx") + 1).alias("row_idx"),
+                F.posexplode(F.regexp_extract_all(F.col("_row"),
+                                                  F.lit(CELL_RE), F.lit(2)))
+                .alias("col_idx", "_cell"))
+        .filter(F.col("col_idx") < F.size("_hdrs"))
+        .select(
+            "id",
+            F.concat(F.col("_u"), F.lit("#table"), F.col("table_idx"),
+                     F.lit("-row"), F.col("row_idx")).alias("subj"),
+            F.trim(F.regexp_replace(pred_raw, TAG_STRIP_RE, ""))
+            .alias("pred"),
+            F.trim(F.regexp_replace(F.col("_cell"), TAG_STRIP_RE, ""))
+            .alias("obj"),
+        )
+        .filter(F.col("pred") != "")
+    )

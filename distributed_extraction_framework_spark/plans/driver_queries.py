@@ -5694,3 +5694,116 @@ ORACLES.update({
     "html_tables": ORACLE_HTML_TABLES,
     "main_content": ORACLE_MAIN_CONTENT,
 })
+
+
+# --------------------------------------------------------------------------
+# ninth wave: <link rel> relations, header-keyed table triples
+# --------------------------------------------------------------------------
+
+
+def q_link_rels(spark, sf_dir):
+    """<link rel=…> extraction (operators/structured_data.
+    extract_link_rels): canonical, alternate+hreflang in BOTH attribute
+    orders and mixed case, a multi-valued rel, an href-less tag
+    (dropped) and a rel-less tag (dropped) — vs DuckDB re-running the
+    IDENTICAL tag/attribute regexes over byte-identical pages."""
+    from ..operators.structured_data import extract_link_rels
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<link rel="canonical" href="https://canon.example/'), d,
+        F.lit('"><link href="https://alt.example/'), d,
+        F.lit('/de" hreflang="DE" REL="alternate">'
+              "<link rel='Alternate am' href='https://alt.example/"), d,
+        F.lit("/am'><link rel=\"stylesheet\"><link href=\"https://x/"), d,
+        F.lit('">'),
+    )
+    out = extract_link_rels(docs.select("doc_id", html.alias("html")),
+                            id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "rel", "href", "hreflang")
+
+
+_LINKTAG_SQL = "(?is)<link\\s[^>]*>"
+_REL_SQL = "(?is)\\brel\\s*=\\s*[\"'']([^\"'']+)[\"'']"
+_HREF_SQL = "(?is)\\bhref\\s*=\\s*[\"'']([^\"'']+)[\"'']"
+_HREFLANG_SQL = "(?is)\\bhreflang\\s*=\\s*[\"'']([^\"'']+)[\"'']"
+
+ORACLE_LINK_RELS = f"""
+WITH inj AS (
+  SELECT doc_id,
+         '<link rel="canonical" href="https://canon.example/' || doc_id ||
+         '"><link href="https://alt.example/' || doc_id ||
+         '/de" hreflang="DE" REL="alternate">' ||
+         '<link rel=''Alternate am'' href=''https://alt.example/' ||
+         doc_id || '/am''><link rel="stylesheet"><link href="https://x/' ||
+         doc_id || '">' AS h
+  FROM documents
+), tags AS (
+  SELECT doc_id, unnest(regexp_extract_all(h, '{_LINKTAG_SQL}')) AS tag
+  FROM inj
+)
+SELECT doc_id,
+       lower(coalesce(regexp_extract(tag, '{_REL_SQL}', 1), '')) AS rel,
+       coalesce(regexp_extract(tag, '{_HREF_SQL}', 1), '') AS href,
+       lower(coalesce(regexp_extract(tag, '{_HREFLANG_SQL}', 1), ''))
+         AS hreflang
+FROM tags
+WHERE coalesce(regexp_extract(tag, '{_REL_SQL}', 1), '') <> ''
+  AND coalesce(regexp_extract(tag, '{_HREF_SQL}', 1), '') <> ''
+"""
+
+
+def q_table_triples(spark, sf_dir):
+    """Header-keyed table → triples (operators/structured_data.
+    table_triples): a th-header table (tag-stripped headers, two body
+    rows, one ragged cell dropped), a td-first table (skipped), and a
+    case-variant single-column table. Closed-form oracle; the regex
+    grid semantics are pinned by tests/test_html_extract.py."""
+    from ..operators.structured_data import table_triples
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    html = F.concat(
+        F.lit("<table><tr><th>word</th><th><i>chars</i></th></tr>"
+              "<tr><td><b>"), w1, F.lit("</b></td><td> "),
+        F.col("n_chars").cast("string"),
+        F.lit(" </td><td>ragged</td></tr><tr><td>"), F.col("lang"),
+        F.lit("</td></tr></table>"
+              "<table><tr><td>no</td><td>hdr</td></tr></table>"
+              "<TABLE><TR><TH>doc</TH></TR><TR><TD>"), d,
+        F.lit("</TD></TR></TABLE>"),
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://pages.example/"), d).alias("url"),
+        html.alias("html"),
+    )
+    out = table_triples(injected, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj")
+
+
+ORACLE_TABLE_TRIPLES = """
+WITH base AS (
+  SELECT doc_id, 'https://pages.example/' || doc_id AS u,
+         split_part(text, ' ', 1) AS w1,
+         cast(n_chars AS varchar) AS nc, lang
+  FROM documents
+)
+SELECT doc_id, u || '#table0-row1' AS subj, 'word' AS pred, w1 AS obj
+  FROM base
+UNION ALL SELECT doc_id, u || '#table0-row1', 'chars', nc FROM base
+UNION ALL SELECT doc_id, u || '#table0-row2', 'word', lang FROM base
+UNION ALL SELECT doc_id, u || '#table2-row1', 'doc', cast(doc_id AS varchar)
+  FROM base
+"""
+
+QUERIES.update({
+    "link_rels": q_link_rels,
+    "table_triples": q_table_triples,
+})
+ORACLES.update({
+    "link_rels": ORACLE_LINK_RELS,
+    "table_triples": ORACLE_TABLE_TRIPLES,
+})

@@ -152,3 +152,71 @@ def test_microdata_binary_html(spark):
         [(3, bytearray(_MD_PAGE, "utf-8"))], "page_id long, html binary")
     got = extract_microdata(df).collect()
     assert any(r["pred"] == "headline" for r in got)
+
+
+def test_extract_link_rels(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_link_rels,
+    )
+
+    html = (
+        '<link rel="canonical" href="https://e/c">'
+        '<link href="https://e/de" hreflang="DE" REL="alternate">'
+        "<link rel='Alternate NOFOLLOW' href='https://e/x'>"
+        '<link rel="stylesheet">'           # no href -> dropped
+        '<link href="https://e/orphan">'    # no rel  -> dropped
+    )
+    df = spark.createDataFrame([(7, html)], ["page_id", "html"])
+    got = {(r["rel"], r["href"], r["hreflang"])
+           for r in extract_link_rels(df).collect()}
+    assert got == {
+        ("canonical", "https://e/c", ""),
+        ("alternate", "https://e/de", "de"),        # order + case
+        ("alternate nofollow", "https://e/x", ""),  # multi-valued rel
+    }
+
+
+_T3_PAGE = (
+    "<table><tr><th>name</th><th><i>qty</i></th></tr>"
+    "<tr><td><b>ant</b></td><td> 3 </td><td>ragged</td></tr>"
+    "<tr><td>bee</td></tr></table>"
+    "<table><tr><td>no</td><td>header</td></tr><tr><td>x</td></tr></table>"
+    "<TABLE><TR><TH>k</TH></TR><TR><TD>v</TD></TR></TABLE>"
+)
+
+
+def test_table_triples_header_keying(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        table_triples,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://p/1", _T3_PAGE), (2, "https://p/2", "<p>none</p>")],
+        ["page_id", "url", "html"],
+    )
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in table_triples(df).collect()}
+    assert got == {
+        # table 0: th header keys both body rows; ragged cell dropped;
+        # header tags stripped
+        ("https://p/1#table0-row1", "name", "ant"),
+        ("https://p/1#table0-row1", "qty", "3"),
+        ("https://p/1#table0-row2", "name", "bee"),
+        # table 1 (td first row) contributes nothing
+        # table 2: case-insensitive tags
+        ("https://p/1#table2-row1", "k", "v"),
+    }
+
+
+def test_new_extractors_shuffle_free(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_link_rels,
+        table_triples,
+    )
+
+    df = spark.createDataFrame([(0, "https://p/0", _T3_PAGE)],
+                               ["page_id", "url", "html"])
+    for out in (extract_link_rels(df), table_triples(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
