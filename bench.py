@@ -242,6 +242,17 @@ def main() -> None:
     timed_extra(
         "latest_capture", lambda: _sink(Q.q_latest_capture(spark, SF_DIR))
     )
+    # round-5 late-wave HTML-channel additions
+    timed_extra(
+        "microdata_extract",
+        lambda: _sink(Q.q_microdata_extract(spark, SF_DIR)),
+    )
+    timed_extra("html_tables", lambda: _sink(Q.q_html_tables(spark, SF_DIR)))
+    timed_extra("main_content", lambda: _sink(Q.q_main_content(spark, SF_DIR)))
+    timed_extra("link_rels", lambda: _sink(Q.q_link_rels(spark, SF_DIR)))
+    timed_extra(
+        "table_triples", lambda: _sink(Q.q_table_triples(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

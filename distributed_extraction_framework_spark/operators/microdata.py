@@ -60,7 +60,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType
 
-from .structured_data import RDF_TYPE, _TRIPLE, _check_keep_cols, _html_str
+from .structured_data import (RDF_TYPE, _TRIPLE, _check_keep_cols,
+                              _html_str, append_root_markers)
 
 # quote-aware tag tokenizer: '>' inside a quoted attribute value does
 # not terminate the tag. Group 1 = '/' for closing tags, 2 = name,
@@ -105,13 +106,23 @@ def _parse_attrs(span: str) -> dict:
     return out
 
 
-def _scan_page(html: str, rid) -> list[tuple]:
+def _scan_page(html: str, rid, emit_roots: bool = False) -> list[tuple]:
     """One forward pass; returns (subj, pred, obj, obj_kind) in document
-    order. Never raises — see module docstring."""
+    order. Never raises — see module docstring. ``emit_roots`` appends
+    the page-local root markers shared with the JSON-LD channel
+    (structured_data.append_root_markers): top-level scopes are roots,
+    nested scopes are objects of their parent link and therefore are
+    not."""
     try:
-        return _scan_page_unsafe(html, rid)
+        out = _scan_page_unsafe(html, rid)
     except (ValueError, TypeError, RecursionError, MemoryError):
         return []
+    if emit_roots:
+        try:
+            append_root_markers(out)
+        except (ValueError, TypeError, MemoryError):
+            pass
+    return out
 
 
 def _scan_page_unsafe(html: str, rid) -> list[tuple]:
@@ -219,10 +230,13 @@ def extract_microdata(
     html_col: str = "html",
     id_col: str = "page_id",
     keep_cols: tuple = (),
+    emit_roots: bool = False,
 ) -> DataFrame:
     """(id, subj, pred, obj, obj_kind[, *keep_cols]) triples from HTML5
     microdata markup in ``html_col``. See module docstring for the
-    extraction subset and the scale shape."""
+    extraction subset and the scale shape. ``emit_roots=True`` appends
+    page-local root markers (structured_data.append_root_markers) that
+    ``web_page_triples`` rewrites to has_entity provenance edges."""
     _check_keep_cols(keep_cols, ("id", "subj", "pred", "obj", "obj_kind"))
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
     marked = df.select(
@@ -232,7 +246,7 @@ def extract_microdata(
     @F.pandas_udf(ArrayType(_TRIPLE))
     def scan(html: pd.Series, rid: pd.Series) -> pd.Series:
         return pd.Series(
-            [_scan_page(x, i) for x, i in zip(html, rid)]
+            [_scan_page(x, i, emit_roots) for x, i in zip(html, rid)]
         )
 
     return (

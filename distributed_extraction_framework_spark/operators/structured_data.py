@@ -207,14 +207,23 @@ def _scan_page_blocks(blocks, rid, emit_roots: bool) -> list[tuple]:
     for bidx, raw in enumerate(blocks):
         out.extend(_flatten_block(raw, rid, bidx))
     if emit_roots:
-        objs = {o for (_s, _p, o, k) in out if k in ("uri", "bnode")}
-        seen: set = set()
-        for s, _p, _o, _k in list(out):
-            if s not in objs and s not in seen:
-                seen.add(s)
-                kind = "bnode" if s.startswith("_:") else "uri"
-                out.append((s, "__root__", kind, "root"))
+        append_root_markers(out)
     return out
+
+
+def append_root_markers(out: list) -> None:
+    """Append one (root_subj, "__root__", root_kind, "root") marker per
+    root subject of a page's triple list, in first-appearance order —
+    shared by the JSON-LD and microdata channels (see
+    :func:`_scan_page_blocks` for the root definition and why this is
+    computed page-locally)."""
+    objs = {o for (_s, _p, o, k) in out if k in ("uri", "bnode")}
+    seen: set = set()
+    for s, _p, _o, _k in list(out):
+        if s not in objs and s not in seen:
+            seen.add(s)
+            kind = "bnode" if s.startswith("_:") else "uri"
+            out.append((s, "__root__", kind, "root"))
 
 
 def extract_jsonld(
@@ -360,19 +369,22 @@ def web_page_triples(
     * ``(page, links_to, href)`` for each ``<a href>`` outlink,
     * ``(page, <meta key>, content)`` for each Open Graph / name= tag,
     * the JSON-LD entity triples verbatim (their own @id/bnode subjects),
-    * ``(page, has_entity, <jsonld root>)`` anchoring each root JSON-LD
-      node to the page that published it — the provenance edge a
-      downstream sameAs/linking pass joins on.
+    * the HTML5 microdata entity triples (itemscope/itemprop —
+      ``operators/microdata``; its ``_:m…`` bnode labels are disjoint
+      from JSON-LD's ``_:b…`` by construction),
+    * ``(page, has_entity, <root>)`` anchoring each root JSON-LD node /
+      top-level microdata scope to the page that published it — the
+      provenance edge a downstream sameAs/linking pass joins on.
 
     The page node is ``url_col``, attached via the extractors'
     ``keep_cols`` passthrough (no join-back). Every channel is a
-    shuffle-free scan+project; the JSON-LD channel computes its
-    page-local root markers INSIDE the flatten UDF
-    (:func:`extract_jsonld` ``emit_roots=True``) and ONE projection —
-    the sole consumer of the UDF output — rewrites each
+    shuffle-free scan+project; the two entity channels compute their
+    page-local root markers INSIDE their scan UDFs (``emit_roots=True``
+    → :func:`append_root_markers`) and ONE projection per channel — the
+    sole consumer of each UDF output — rewrites each
     ``obj_kind='root'`` marker to its ``(url, has_entity, root)``
     provenance edge. Zero shuffles, zero checkpoints, nothing consumes
-    the Python stage twice. An earlier revision derived roots
+    a Python stage twice. An earlier revision derived roots
     relationally (eager localCheckpoint + distinct + left-anti
     self-join over the triple set); the checkpoint barrier plus two
     entity-keyed exchanges capped the composite's multi-core scaling at
@@ -384,6 +396,8 @@ def web_page_triples(
     CodegenFallback — interpreted per row — and cost more than the
     extra codegen'd scans they save.)
     """
+    from .microdata import extract_microdata
+
     links = extract_html_links(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
     ).select(
@@ -396,24 +410,37 @@ def web_page_triples(
         "id", F.col(url_col).alias("subj"), F.col("key").alias("pred"),
         F.col("content").alias("obj"), F.lit("literal").alias("obj_kind"),
     )
-    ents = extract_jsonld(
-        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,),
-        emit_roots=True,
+    entities = _rewrite_root_markers(
+        extract_jsonld(df, html_col=html_col, id_col=id_col,
+                       keep_cols=(url_col,), emit_roots=True),
+        url_col,
     )
+    micro = _rewrite_root_markers(
+        extract_microdata(df, html_col=html_col, id_col=id_col,
+                          keep_cols=(url_col,), emit_roots=True),
+        url_col,
+    )
+    return (links.unionByName(metas).unionByName(entities)
+            .unionByName(micro))
+
+
+def _rewrite_root_markers(ents: DataFrame, url_col: str) -> DataFrame:
+    """One projection turning each ``obj_kind='root'`` marker row into
+    its ``(url, has_entity, root, kind)`` provenance edge while passing
+    ordinary triples through — the single consumer of an entity-channel
+    UDF output (marker layout per :func:`append_root_markers`: subj =
+    root, obj = the root's own uri/bnode kind)."""
     is_root = F.col("obj_kind") == "root"
-    entities = ents.select(
+    return ents.select(
         "id",
         F.when(is_root, F.col(url_col)).otherwise(F.col("subj"))
         .alias("subj"),
         F.when(is_root, F.lit("has_entity")).otherwise(F.col("pred"))
         .alias("pred"),
-        # marker layout (subj=root, obj=kind): the edge points AT the
-        # root and carries the root's own uri/bnode kind
         F.when(is_root, F.col("subj")).otherwise(F.col("obj")).alias("obj"),
         F.when(is_root, F.col("obj")).otherwise(F.col("obj_kind"))
         .alias("obj_kind"),
     )
-    return links.unionByName(metas).unionByName(entities)
 
 
 # ---------------------------------------------------------------------------

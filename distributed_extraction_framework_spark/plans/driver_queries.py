@@ -5281,11 +5281,13 @@ ORACLES.update({"curation_pipeline": ORACLE_CURATION_PIPELINE})
 def q_web_kg_triples(spark, sf_dir):
     """The full crawl-page → KG composite (operators/structured_data.py:
     web_page_triples): outlinks + Open Graph metadata + JSON-LD entity
-    triples + has_entity provenance edges from ROOT JSON-LD nodes, page
-    node = url, all channels join-free via keep_cols passthrough. Oracle
-    reconstructs all four channels closed-form (incl. the root/non-root
-    bnode distinction: the author bnode is an object, so it must NOT get
-    a has_entity edge; the WebSite bnode must)."""
+    triples + HTML5 microdata entity triples + has_entity provenance
+    edges from ROOT nodes of both entity channels, page node = url, all
+    channels join-free via keep_cols passthrough. Oracle reconstructs
+    all five channels closed-form (incl. the root/non-root distinction:
+    the JSON-LD author bnode and the microdata maker bnode are objects,
+    so they must NOT get a has_entity edge; the WebSite bnode and the
+    Product itemid must)."""
     from ..operators.structured_data import web_page_triples
 
     docs = _docs_tbl(spark, sf_dir)
@@ -5305,7 +5307,15 @@ def q_web_kg_triples(spark, sf_dir):
         F.lit('<script type="application/ld+json">'
               '{"@type":"WebSite","url":"https://site'),
         (F.col("doc_id") % 4).cast("string"),
-        F.lit('.example.org"}</script>'),
+        F.lit('.example.org"}</script>'
+              '<div itemscope itemtype="https://schema.org/Product" '
+              'itemid="https://ex.org/prod/'), d,
+        F.lit('"><span itemprop="sku">sku'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('</span><span itemprop="maker" itemscope>'
+              '<span itemprop="name">m'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</span></span></div>"),
     )
     injected = docs.select(
         "doc_id",
@@ -5327,7 +5337,11 @@ WITH base AS (
          split_part(text, ' ', 1) AS w1,
          split_part(text, ' ', 2) AS w2,
          'auth' || (doc_id % 5) AS auth,
-         'https://site' || (doc_id % 4) || '.example.org' AS site
+         'https://site' || (doc_id % 4) || '.example.org' AS site,
+         'https://ex.org/prod/' || doc_id AS p,
+         '_:m' || doc_id || '_0' AS m0,
+         'sku' || (doc_id % 7) AS sku,
+         'm' || (doc_id % 3) AS mk
   FROM documents
 )
 SELECT doc_id, s AS subj, 'links_to' AS pred,
@@ -5345,6 +5359,12 @@ UNION ALL SELECT doc_id, b2, '{_RDF_TYPE}', 'WebSite', 'uri' FROM base
 UNION ALL SELECT doc_id, b2, 'url', site, 'literal' FROM base
 UNION ALL SELECT doc_id, s, 'has_entity', e, 'uri' FROM base
 UNION ALL SELECT doc_id, s, 'has_entity', b2, 'bnode' FROM base
+UNION ALL SELECT doc_id, p, '{_RDF_TYPE}', 'https://schema.org/Product',
+  'uri' FROM base
+UNION ALL SELECT doc_id, p, 'sku', sku, 'literal' FROM base
+UNION ALL SELECT doc_id, p, 'maker', m0, 'bnode' FROM base
+UNION ALL SELECT doc_id, m0, 'name', mk, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'has_entity', p, 'uri' FROM base
 """
 
 QUERIES.update({"web_kg_triples": q_web_kg_triples})

@@ -321,7 +321,9 @@ def test_web_page_triples_channels_and_roots(spark):
     html = ('<a href="https://out/1">link</a>'
             '<meta property="og:title" content="T">'
             '<script type="application/ld+json">'
-            '{"@id":"https://e/1","author":{"name":"A"}}</script>')
+            '{"@id":"https://e/1","author":{"name":"A"}}</script>'
+            '<div itemscope itemid="https://e/md">'
+            '<span itemprop="sku">S1</span></div>')
     df = spark.createDataFrame(
         [(0, "https://page/0", html), (1, "https://page/1", "<p>empty</p>")],
         ["page_id", "url", "html"],
@@ -335,6 +337,9 @@ def test_web_page_triples_channels_and_roots(spark):
     # object of a parent link, so it must not get a provenance edge
     assert ("https://page/0", "has_entity", "https://e/1", "uri") in got
     assert ("https://page/0", "has_entity", "_:b0_0_0", "uri") not in got
+    # the microdata channel contributes its triples AND its root edge
+    assert ("https://e/md", "sku", "S1", "literal") in got
+    assert ("https://page/0", "has_entity", "https://e/md", "uri") in got
     assert not any(s == "https://page/1" for (s, _, _, _) in got)
 
 
