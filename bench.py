@@ -253,6 +253,16 @@ def main() -> None:
     timed_extra(
         "table_triples", lambda: _sink(Q.q_table_triples(spark, SF_DIR))
     )
+    timed_extra(
+        "rdfa_extract", lambda: _sink(Q.q_rdfa_extract(spark, SF_DIR))
+    )
+    timed_extra(
+        "warc_roundtrip", lambda: _sink(Q.q_warc_roundtrip(spark, SF_DIR))
+    )
+    timed_extra("host_graph", lambda: _sink(Q.q_host_graph(spark, SF_DIR)))
+    timed_extra(
+        "anchor_texts", lambda: _sink(Q.q_anchor_texts(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -50,7 +50,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, StringType, StructField,
                                StructType)
@@ -372,13 +372,17 @@ def web_page_triples(
     * the HTML5 microdata entity triples (itemscope/itemprop —
       ``operators/microdata``; its ``_:m…`` bnode labels are disjoint
       from JSON-LD's ``_:b…`` by construction),
+    * the RDFa-lite entity triples (vocab/typeof/property —
+      ``operators/rdfa``; generated ``_:r…`` bnode labels, disjoint
+      from both),
     * ``(page, has_entity, <root>)`` anchoring each root JSON-LD node /
-      top-level microdata scope to the page that published it — the
-      provenance edge a downstream sameAs/linking pass joins on.
+      top-level microdata scope / root RDFa subject to the page that
+      published it — the provenance edge a downstream sameAs/linking
+      pass joins on.
 
     The page node is ``url_col``, attached via the extractors'
     ``keep_cols`` passthrough (no join-back). Every channel is a
-    shuffle-free scan+project; the two entity channels compute their
+    shuffle-free scan+project; the three entity channels compute their
     page-local root markers INSIDE their scan UDFs (``emit_roots=True``
     → :func:`append_root_markers`) and ONE projection per channel — the
     sole consumer of each UDF output — rewrites each
@@ -397,6 +401,7 @@ def web_page_triples(
     extra codegen'd scans they save.)
     """
     from .microdata import extract_microdata
+    from .rdfa import extract_rdfa
 
     links = extract_html_links(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
@@ -420,8 +425,13 @@ def web_page_triples(
                           keep_cols=(url_col,), emit_roots=True),
         url_col,
     )
+    rdfa = _rewrite_root_markers(
+        extract_rdfa(df, html_col=html_col, id_col=id_col,
+                     keep_cols=(url_col,), emit_roots=True),
+        url_col,
+    )
     return (links.unionByName(metas).unionByName(entities)
-            .unionByName(micro))
+            .unionByName(micro).unionByName(rdfa))
 
 
 def _rewrite_root_markers(ents: DataFrame, url_col: str) -> DataFrame:
@@ -694,4 +704,74 @@ def table_triples(
             .alias("obj"),
         )
         .filter(F.col("pred") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link analytics over the crawl link channel.
+# ---------------------------------------------------------------------------
+
+HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def host_graph(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level link graph of a
+    crawl, the input of the domain-granularity rank/spam passes (the
+    reference aggregates the page graph the same way for its
+    PageLinks post-processing — reference: extraction/src/main/scala/
+    org/dbpedia/extraction/mappings/PageLinksExtractor.scala semantics,
+    host-rolled). One scan + one explode (extract_html_links) feeding
+    ONE hash aggregation: Catalyst plans a map-side partial count before
+    the exchange, so shuffle volume is O(distinct host pairs), not
+    O(links) — the 100 TB shape. Relative hrefs (no scheme) roll into
+    the page's own host (intra-site links)."""
+    links = extract_html_links(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
+    )
+    src = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    dst_abs = F.regexp_extract(F.col("href"), HOST_RE, 1)
+    dst = F.when(dst_abs != "", dst_abs).otherwise(src)
+    return (
+        links.select(src.alias("src_host"), dst.alias("dst_host"))
+        .filter(F.col("src_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def anchor_text_index(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    k: int = 3,
+) -> DataFrame:
+    """(href, anchor, n, rank) — the top-``k`` anchor texts per link
+    target across the crawl, the web-side analog of the wiki anchor
+    priors (operators/linking.anchor_priors): what the web CALLS a URL
+    is the strongest naming signal for entity linking. Empty anchors
+    (image links) are dropped. Two-stage: ONE hash aggregation over
+    (href, anchor) with map-side partial counts, then a window ranked
+    (n desc, anchor asc — deterministic ties) partitioned by href over
+    the already-aggregated pair set, whose cardinality is
+    O(distinct pairs) — both exchanges are post-reduction, never
+    O(links). Hot targets (a URL the whole crawl links to) are a single
+    reduced row per distinct anchor by the time they reach the window,
+    so target-skew never concentrates raw link volume on one task."""
+    links = extract_html_links(df, html_col=html_col, id_col=id_col)
+    pairs = (
+        links.filter(F.col("anchor") != "")
+        .groupBy("href", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("href").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

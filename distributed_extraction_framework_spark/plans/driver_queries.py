@@ -5281,13 +5281,14 @@ ORACLES.update({"curation_pipeline": ORACLE_CURATION_PIPELINE})
 def q_web_kg_triples(spark, sf_dir):
     """The full crawl-page → KG composite (operators/structured_data.py:
     web_page_triples): outlinks + Open Graph metadata + JSON-LD entity
-    triples + HTML5 microdata entity triples + has_entity provenance
-    edges from ROOT nodes of both entity channels, page node = url, all
-    channels join-free via keep_cols passthrough. Oracle reconstructs
-    all five channels closed-form (incl. the root/non-root distinction:
-    the JSON-LD author bnode and the microdata maker bnode are objects,
-    so they must NOT get a has_entity edge; the WebSite bnode and the
-    Product itemid must)."""
+    triples + HTML5 microdata entity triples + RDFa-lite entity triples
+    + has_entity provenance edges from ROOT nodes of all three entity
+    channels, page node = url, all channels join-free via keep_cols
+    passthrough. Oracle reconstructs all six channels closed-form (incl.
+    the root/non-root distinction: the JSON-LD author bnode and the
+    microdata maker bnode are objects, so they must NOT get a has_entity
+    edge; the WebSite bnode, the Product itemid and the RDFa about
+    subject must)."""
     from ..operators.structured_data import web_page_triples
 
     docs = _docs_tbl(spark, sf_dir)
@@ -5315,7 +5316,11 @@ def q_web_kg_triples(spark, sf_dir):
         F.lit('</span><span itemprop="maker" itemscope>'
               '<span itemprop="name">m'),
         (F.col("doc_id") % 3).cast("string"),
-        F.lit("</span></span></div>"),
+        F.lit('</span></span></div>'
+              '<span about="https://ex.org/ra/'), d,
+        F.lit('" property="https://p/tag" content="t'),
+        (F.col("doc_id") % 6).cast("string"),
+        F.lit('"></span>'),
     )
     injected = docs.select(
         "doc_id",
@@ -5341,7 +5346,9 @@ WITH base AS (
          'https://ex.org/prod/' || doc_id AS p,
          '_:m' || doc_id || '_0' AS m0,
          'sku' || (doc_id % 7) AS sku,
-         'm' || (doc_id % 3) AS mk
+         'm' || (doc_id % 3) AS mk,
+         'https://ex.org/ra/' || doc_id AS ra,
+         't' || (doc_id % 6) AS ratag
   FROM documents
 )
 SELECT doc_id, s AS subj, 'links_to' AS pred,
@@ -5365,6 +5372,8 @@ UNION ALL SELECT doc_id, p, 'sku', sku, 'literal' FROM base
 UNION ALL SELECT doc_id, p, 'maker', m0, 'bnode' FROM base
 UNION ALL SELECT doc_id, m0, 'name', mk, 'literal' FROM base
 UNION ALL SELECT doc_id, s, 'has_entity', p, 'uri' FROM base
+UNION ALL SELECT doc_id, ra, 'https://p/tag', ratag, 'literal' FROM base
+UNION ALL SELECT doc_id, s, 'has_entity', ra, 'uri' FROM base
 """
 
 QUERIES.update({"web_kg_triples": q_web_kg_triples})
@@ -5826,4 +5835,211 @@ QUERIES.update({
 ORACLES.update({
     "link_rels": ORACLE_LINK_RELS,
     "table_triples": ORACLE_TABLE_TRIPLES,
+})
+
+
+# --------------------------------------------------------------------------
+# Round-5 close-out wave: the fourth structured-data syntax (RDFa-lite),
+# Common-Crawl container ingest (WARC/WET), and link analytics over the
+# crawl link channel.
+# --------------------------------------------------------------------------
+
+def q_rdfa_extract(spark, sf_dir):
+    """RDFa-lite markup → triples (operators/rdfa.py): vocab + prefix
+    scoping, a resource'd Article exercising every value-resolution rule
+    (text content with inline tags, content=, href, object chaining to a
+    generated bnode), an about'd paragraph with its own property+typeof,
+    and a CURIE predicate. Oracle reconstructs the expected triples
+    closed-form from the same documents columns (the RDFa-lite subset
+    itself is pinned by tests/test_html_extract.py)."""
+    from ..operators.rdfa import extract_rdfa
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    w2 = F.split_part(F.col("text"), F.lit(" "), F.lit(2))
+    html = F.concat(
+        F.lit('<html vocab="https://schema.org/" '
+              'prefix="dc: http://purl.org/dc/terms/"><body>'
+              '<div typeof="Article" resource="https://ex.org/ra/'), d,
+        F.lit('"><h1 property="headline">'), w1, F.lit(" <b>"), w2,
+        F.lit('</b></h1><meta property="wordCount" content="'),
+        F.col("n_chars").cast("string"),
+        F.lit('"><a property="url" href="https://ex.org/ra/'), d,
+        F.lit('.html">x</a><div property="author" typeof="Person">'
+              '<span property="name">auth'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</span></div><span property="dc:tag">t'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('</span></div><p about="https://ex.org/doc/'), d,
+        F.lit('" typeof="Note" property="dc:title">doc '), d,
+        F.lit("</p></body></html>"),
+    )
+    out = extract_rdfa(docs.select("doc_id", html.alias("html")),
+                       id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "obj_kind")
+
+
+ORACLE_RDFA_EXTRACT = f"""
+WITH base AS (
+  SELECT doc_id,
+         'https://ex.org/ra/' || doc_id AS a,
+         '_:r' || doc_id || '_0' AS b0,
+         'https://ex.org/doc/' || doc_id AS n,
+         trim(split_part(text, ' ', 1) || ' '
+              || split_part(text, ' ', 2)) AS headline,
+         cast(n_chars AS varchar) AS nc,
+         'auth' || (doc_id % 5) AS auth,
+         't' || (doc_id % 4) AS tag
+  FROM documents
+)
+SELECT doc_id, a AS subj, '{_RDF_TYPE}' AS pred,
+       'https://schema.org/Article' AS obj, 'uri' AS obj_kind FROM base
+UNION ALL SELECT doc_id, a, 'https://schema.org/headline', headline,
+  'literal' FROM base
+UNION ALL SELECT doc_id, a, 'https://schema.org/wordCount', nc,
+  'literal' FROM base
+UNION ALL SELECT doc_id, a, 'https://schema.org/url', a || '.html',
+  'uri' FROM base
+UNION ALL SELECT doc_id, a, 'https://schema.org/author', b0, 'bnode'
+  FROM base
+UNION ALL SELECT doc_id, b0, '{_RDF_TYPE}', 'https://schema.org/Person',
+  'uri' FROM base
+UNION ALL SELECT doc_id, b0, 'https://schema.org/name', auth, 'literal'
+  FROM base
+UNION ALL SELECT doc_id, a, 'http://purl.org/dc/terms/tag', tag,
+  'literal' FROM base
+UNION ALL SELECT doc_id, n, '{_RDF_TYPE}', 'https://schema.org/Note',
+  'uri' FROM base
+UNION ALL SELECT doc_id, n, 'http://purl.org/dc/terms/title',
+  'doc ' || doc_id, 'literal' FROM base
+"""
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WET-record render → parse roundtrip (sources/warc.py): documents
+    become conversion records (URI/Date/Content-Language headers +
+    text block), parse_warc_fragments — the same Catalyst projection
+    read_warc applies to lineSep-split fragments — recovers the pages
+    schema byte-exact. The file/split path (records straddling input
+    splits, response-record payloads, warcinfo skipping) is pinned by
+    tests/test_sources_warc.py."""
+    from ..sources.warc import parse_warc_fragments, render_warc
+
+    docs = _docs_tbl(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://w.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00")
+                             .cast("timestamp")) + F.col("doc_id")
+        ).alias("warc_ts"),
+        "text", "lang",
+    )
+    out = parse_warc_fragments(render_warc(pages), "record")
+    return out.select("url", "warc_ts", "text", "lang")
+
+
+ORACLE_WARC_ROUNDTRIP = """
+SELECT 'https://w.example/' || doc_id AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND
+         AS warc_ts,
+       text, lang
+FROM documents
+"""
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level link graph (operators/structured_data.host_graph): two
+    absolute outlinks (colliding across docs → real aggregation) plus a
+    relative link rolling into the page's own host. Oracle recomputes
+    the host roll-up from the same injected link set."""
+    from ..operators.structured_data import host_graph
+
+    docs = _docs_tbl(spark, sf_dir)
+    html = F.concat(
+        F.lit('<a href="https://h'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/x">a</a><a href="https://h'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example/y">b</a><a href="/local">c</a>'),
+    )
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 4).cast("string"),
+                   F.lit(".example/p"))
+    return host_graph(
+        docs.select("doc_id", html.alias("html"), url.alias("url")),
+        id_col="doc_id",
+    )
+
+
+ORACLE_HOST_GRAPH = """
+WITH base AS (
+  SELECT 'site' || (doc_id % 4) || '.example' AS s,
+         'h' || (doc_id % 5) || '.example' AS h1,
+         'h' || (doc_id % 7) || '.example' AS h2
+  FROM documents
+), links AS (
+  SELECT s, h1 AS d FROM base
+  UNION ALL SELECT s, h2 FROM base
+  UNION ALL SELECT s, s FROM base
+)
+SELECT s AS src_host, d AS dst_host, count(*) AS n_links
+FROM links GROUP BY 1, 2
+"""
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text index (operators/structured_data.anchor_text_index):
+    two anchor variants per target (colliding across docs), an
+    empty-anchor image link (dropped), top-2 per target with the
+    deterministic (n desc, anchor asc) tie-break the oracle replays."""
+    from ..operators.structured_data import anchor_text_index
+
+    docs = _docs_tbl(spark, sf_dir)
+    t = (F.col("doc_id") % 10).cast("string")
+    html = F.concat(
+        F.lit('<a href="https://t/'), t, F.lit('">name'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</a><a href="https://t/'), t, F.lit('">alt'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</a><a href="https://t/'), t,
+        F.lit('"><img src="i.png"></a>'),
+    )
+    return anchor_text_index(
+        docs.select("doc_id", html.alias("html")), id_col="doc_id", k=2
+    )
+
+
+ORACLE_ANCHOR_TEXTS = """
+WITH pairs AS (
+  SELECT 'https://t/' || (doc_id % 10) AS href,
+         'name' || (doc_id % 3) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://t/' || (doc_id % 10), 'alt' || (doc_id % 5)
+  FROM documents
+), agg AS (
+  SELECT href, anchor, count(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT href, anchor, n, rank FROM (
+  SELECT href, anchor, n,
+         row_number() OVER (PARTITION BY href
+                            ORDER BY n DESC, anchor) AS rank
+  FROM agg
+) WHERE rank <= 2
+"""
+
+QUERIES.update({
+    "rdfa_extract": q_rdfa_extract,
+    "warc_roundtrip": q_warc_roundtrip,
+    "host_graph": q_host_graph,
+    "anchor_texts": q_anchor_texts,
+})
+ORACLES.update({
+    "rdfa_extract": ORACLE_RDFA_EXTRACT,
+    "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
+    "host_graph": ORACLE_HOST_GRAPH,
+    "anchor_texts": ORACLE_ANCHOR_TEXTS,
 })

@@ -220,3 +220,138 @@ def test_new_extractors_shuffle_free(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+_RDFA_PAGE = """<html vocab="https://schema.org/"
+  prefix="dc: http://purl.org/dc/terms/ og: http://ogp.me/ns#"><body>
+<div typeof="Article" resource="https://e/ra7">
+  <h1 property="headline">Big   <b>bold</b> news</h1>
+  <meta property="wordCount" content="42">
+  <a property="url" href="https://e/ra7.html">link</a>
+  <span property="dc:tag">graphs</span>
+  <div property="author" typeof="Person"><span property="name">Ada</span></div>
+  <span property="sameAs" resource="https://other/ra7"></span>
+</div>
+<p about="https://e/doc" typeof="Note" property="dc:title">The Doc</p>
+<div typeof="Thing"><span property="x">orphanless</span></div>
+<meta property="og:title" content="document-level: meta channel owns it">
+<span property="orphan">no subject</span>
+<script>var typeof_decoy = '<b property="fake">unreachable</b>';</script>
+</body></html>"""
+
+
+def test_extract_rdfa_subset(spark):
+    from distributed_extraction_framework_spark.operators.rdfa import (
+        extract_rdfa,
+    )
+
+    df = spark.createDataFrame(
+        [(9, _RDFA_PAGE), (10, "<html><p>plain page</p></html>")],
+        ["page_id", "html"],
+    )
+    got = {
+        (r["id"], r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in extract_rdfa(df).collect()
+    }
+    a, s = "https://e/ra7", "https://schema.org/"
+    assert (9, a, RDF_TYPE, s + "Article", "uri") in got
+    # vocab-resolved term; text content: tags dropped, ws collapsed
+    assert (9, a, s + "headline", "Big bold news", "literal") in got
+    # value resolution order: resource > href/src > content > text
+    assert (9, a, s + "wordCount", "42", "literal") in got
+    assert (9, a, s + "url", "https://e/ra7.html", "uri") in got
+    assert (9, a, s + "sameAs", "https://other/ra7", "uri") in got
+    # CURIE through the prefix map
+    assert (9, a, "http://purl.org/dc/terms/tag", "graphs", "literal") in got
+    # object chaining: property+typeof -> generated bnode
+    assert (9, a, s + "author", "_:r9_0", "bnode") in got
+    assert (9, "_:r9_0", RDF_TYPE, s + "Person", "uri") in got
+    assert (9, "_:r9_0", s + "name", "Ada", "literal") in got
+    # @about: subject for its own property AND its typeof
+    assert (9, "https://e/doc", RDF_TYPE, s + "Note", "uri") in got
+    assert (9, "https://e/doc", "http://purl.org/dc/terms/title",
+            "The Doc", "literal") in got
+    # hanging typeof -> generated subject, properties attach beneath it
+    assert (9, "_:r9_1", RDF_TYPE, s + "Thing", "uri") in got
+    assert (9, "_:r9_1", s + "x", "orphanless", "literal") in got
+    # document-level og: meta and subject-less property are NOT emitted
+    # (extract_meta_tags owns them); script bodies are stripped
+    assert not [t for t in got
+                if t[2] in ("http://ogp.me/ns#title", s + "orphan",
+                            s + "fake", "orphan", "fake")]
+    # page without subject markers never reaches Python
+    assert not [t for t in got if t[0] == 10]
+
+
+def test_extract_rdfa_scoping_and_hostility(spark):
+    from distributed_extraction_framework_spark.operators.rdfa import (
+        extract_rdfa,
+    )
+
+    rows = [
+        # vocab/prefix restore on close: the second div has no vocab
+        (0, '<div vocab="https://v1/" typeof="A"></div>'
+            '<div typeof="https://v2/B" about="https://e/x">'
+            '<span property="p">v</span></div>'),
+        # stray close, unclosed at EOF, '>' in quoted attr
+        (1, '</p><div typeof="T" about="https://e/y">'
+            '<meta property="k" content="x > y"><i property="t">end'),
+        # absolute-IRI tokens bypass vocab/prefix resolution
+        (2, '<div vocab="https://v/" typeof="https://abs/T" '
+            'about="_:b"><span property="dc:loose">u</span></div>'),
+    ]
+    df = spark.createDataFrame(rows, ["page_id", "html"])
+    got = {
+        (r["id"], r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in extract_rdfa(df).collect()
+    }
+    assert (0, "_:r0_0", RDF_TYPE, "https://v1/A", "uri") in got
+    # outer vocab restored (none) -> verbatim type, term property verbatim
+    assert (0, "https://e/x", RDF_TYPE, "https://v2/B", "uri") in got
+    assert (0, "https://e/x", "p", "v", "literal") in got
+    assert (1, "https://e/y", "k", "x > y", "literal") in got
+    assert (1, "https://e/y", "t", "end", "literal") in got
+    assert (2, "_:b", RDF_TYPE, "https://abs/T", "uri") in got
+    # unmapped CURIE prefix stays verbatim; bnode about kind
+    assert (2, "_:b", "dc:loose", "u", "literal") in got
+
+
+def test_rdfa_link_analytics_plan_shape(spark):
+    from distributed_extraction_framework_spark.operators.rdfa import (
+        extract_rdfa,
+    )
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        anchor_text_index,
+        host_graph,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "https://s/a", '<a href="https://t/1">one</a>'
+                            '<a href="/rel">two</a>')],
+        ["page_id", "url", "html"],
+    )
+    # rdfa: prefilter + scan only — no exchange
+    plan = extract_rdfa(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # host_graph / anchor_text_index: exactly the post-reduction
+    # exchanges (1 for the hash agg; 2 incl. the window's) — the
+    # map-side partial keeps shuffle volume at distinct-pair cardinality
+    def final_plan(d):
+        # the AQE string repeats the pre-runtime plan under
+        # "== Initial Plan ==" — count exchanges in the final one only
+        s = d._jdf.queryExecution().executedPlan().toString()
+        return s.split("== Initial Plan ==")[0]
+
+    hg = host_graph(df)
+    hg.collect()
+    hplan = final_plan(hg)
+    assert hplan.count("Exchange") <= 1 and "partial_count" in hplan
+    at = anchor_text_index(df)
+    at.collect()
+    aplan = final_plan(at)
+    assert aplan.count("Exchange") <= 2 and "partial_count" in aplan
+    assert {(r["src_host"], r["dst_host"], r["n_links"])
+            for r in hg.collect()} == {("s", "t", 1), ("s", "s", 1)}
+    assert {(r["href"], r["anchor"], r["n"], r["rank"])
+            for r in at.collect()} == {("https://t/1", "one", 1, 1),
+                                       ("/rel", "two", 1, 1)}

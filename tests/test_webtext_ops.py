@@ -323,7 +323,9 @@ def test_web_page_triples_channels_and_roots(spark):
             '<script type="application/ld+json">'
             '{"@id":"https://e/1","author":{"name":"A"}}</script>'
             '<div itemscope itemid="https://e/md">'
-            '<span itemprop="sku">S1</span></div>')
+            '<span itemprop="sku">S1</span></div>'
+            '<span about="https://e/ra" property="https://p/t" '
+            'content="C"></span>')
     df = spark.createDataFrame(
         [(0, "https://page/0", html), (1, "https://page/1", "<p>empty</p>")],
         ["page_id", "url", "html"],
@@ -340,6 +342,9 @@ def test_web_page_triples_channels_and_roots(spark):
     # the microdata channel contributes its triples AND its root edge
     assert ("https://e/md", "sku", "S1", "literal") in got
     assert ("https://page/0", "has_entity", "https://e/md", "uri") in got
+    # the RDFa channel likewise
+    assert ("https://e/ra", "https://p/t", "C", "literal") in got
+    assert ("https://page/0", "has_entity", "https://e/ra", "uri") in got
     assert not any(s == "https://page/1" for (s, _, _, _) in got)
 
 
