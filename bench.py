@@ -263,6 +263,16 @@ def main() -> None:
     timed_extra(
         "anchor_texts", lambda: _sink(Q.q_anchor_texts(spark, SF_DIR))
     )
+    timed_extra(
+        "web_redirect_closure",
+        lambda: _sink(Q.q_web_redirect_closure(spark, SF_DIR)),
+    )
+    timed_extra(
+        "sitemap_urls", lambda: _sink(Q.q_sitemap_urls(spark, SF_DIR))
+    )
+    timed_extra(
+        "robots_rules", lambda: _sink(Q.q_robots_rules(spark, SF_DIR))
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -382,12 +382,17 @@ def web_page_triples(
 
     The page node is ``url_col``, attached via the extractors'
     ``keep_cols`` passthrough (no join-back). Every channel is a
-    shuffle-free scan+project; the three entity channels compute their
-    page-local root markers INSIDE their scan UDFs (``emit_roots=True``
-    → :func:`append_root_markers`) and ONE projection per channel — the
-    sole consumer of each UDF output — rewrites each
-    ``obj_kind='root'`` marker to its ``(url, has_entity, root)``
-    provenance edge. Zero shuffles, zero checkpoints, nothing consumes
+    shuffle-free scan+project, and the whole composite has exactly TWO
+    Python stages: the JSON-LD flatten (which ships only the extracted
+    script blocks through Arrow) and the fused microdata+RDFa scanner
+    (:func:`extract_entity_markup` — one html transfer for both
+    syntaxes; running them as separate channels re-ships the full html
+    column and measurably caps multi-core scaling). Entity channels
+    compute their page-local root markers INSIDE their scan UDFs
+    (``emit_roots=True`` → :func:`append_root_markers`) and ONE
+    projection per channel — the sole consumer of each UDF output —
+    rewrites each ``obj_kind='root'`` marker to its
+    ``(url, has_entity, root)`` provenance edge. Zero shuffles, zero checkpoints, nothing consumes
     a Python stage twice. An earlier revision derived roots
     relationally (eager localCheckpoint + distinct + left-anti
     self-join over the triple set); the checkpoint barrier plus two
@@ -400,9 +405,6 @@ def web_page_triples(
     CodegenFallback — interpreted per row — and cost more than the
     extra codegen'd scans they save.)
     """
-    from .microdata import extract_microdata
-    from .rdfa import extract_rdfa
-
     links = extract_html_links(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
     ).select(
@@ -420,18 +422,75 @@ def web_page_triples(
                        keep_cols=(url_col,), emit_roots=True),
         url_col,
     )
-    micro = _rewrite_root_markers(
-        extract_microdata(df, html_col=html_col, id_col=id_col,
-                          keep_cols=(url_col,), emit_roots=True),
-        url_col,
-    )
-    rdfa = _rewrite_root_markers(
-        extract_rdfa(df, html_col=html_col, id_col=id_col,
-                     keep_cols=(url_col,), emit_roots=True),
+    markup = _rewrite_root_markers(
+        extract_entity_markup(df, html_col=html_col, id_col=id_col,
+                              keep_cols=(url_col,), emit_roots=True),
         url_col,
     )
     return (links.unionByName(metas).unionByName(entities)
-            .unionByName(micro).unionByName(rdfa))
+            .unionByName(markup))
+
+
+def extract_entity_markup(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    keep_cols: tuple = (),
+    emit_roots: bool = False,
+) -> DataFrame:
+    """Microdata AND RDFa triples in ONE Python stage — the fused
+    attribute-markup channel ``web_page_triples`` uses.
+
+    The standalone operators (operators/microdata.extract_microdata,
+    operators/rdfa.extract_rdfa) each ship the FULL html column through
+    Arrow; on a page corpus that transfer — not the scan — dominates the
+    Python stage, so running them as separate channels pays it twice
+    plus a second scan stage and worker-pool round. This fusion sends
+    html once behind the union of the two prefilters and gates each
+    scanner per page with a plain substring/regex test (cheap against
+    the transfer it avoids). Root markers (``emit_roots``) are computed
+    over the COMBINED per-page triple list, which is strictly more
+    precise provenance: an entity referenced as an object by EITHER
+    syntax on the page is not a root. Bnode labels stay disjoint
+    (``_:m…`` vs ``_:r…``), so the two scanners cannot collide."""
+    import re as _re
+
+    from .microdata import _scan_page as _md_scan
+    from .rdfa import _PREFILTER_RE, _scan_page as _rdfa_scan
+
+    _check_keep_cols(keep_cols, ("id", "subj", "pred", "obj", "obj_kind"))
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    marked = df.select(
+        F.col(id_col).alias("id"), *keep_cols, h.alias("_h")
+    ).filter(
+        (F.instr("_h", "itemscope") > 0) | F.col("_h").rlike(_PREFILTER_RE)
+    )
+    rdfa_mark = _re.compile(_PREFILTER_RE)
+
+    @F.pandas_udf(ArrayType(_TRIPLE))
+    def scan(html: pd.Series, rid: pd.Series) -> pd.Series:
+        out = []
+        for x, i in zip(html, rid):
+            t: list = []
+            if x:
+                if "itemscope" in x:
+                    t.extend(_md_scan(x, i))
+                if rdfa_mark.search(x):
+                    t.extend(_rdfa_scan(x, i))
+                if emit_roots and t:
+                    try:
+                        append_root_markers(t)
+                    except (ValueError, TypeError, MemoryError):
+                        pass
+            out.append(t)
+        return pd.Series(out)
+
+    return (
+        marked.select("id", *keep_cols,
+                      F.explode(scan("_h", "id")).alias("_t"))
+        .select("id", "_t.subj", "_t.pred", "_t.obj", "_t.obj_kind",
+                *keep_cols)
+    )
 
 
 def _rewrite_root_markers(ents: DataFrame, url_col: str) -> DataFrame:

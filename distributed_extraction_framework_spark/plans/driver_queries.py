@@ -6043,3 +6043,139 @@ ORACLES.update({
     "host_graph": ORACLE_HOST_GRAPH,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
 })
+
+
+def q_web_redirect_closure(spark, sf_dir):
+    """Crawl-side redirect resolution end-to-end: synthetic WARC
+    response records (doc_id % 4 == 0 → 200 final target, else 301 →
+    Location one step down) are parsed (sources/warc.py — status +
+    Location from the HTTP header section only), 3xx pairs harvested
+    (web_redirects) and chains resolved by the SAME pointer-doubling
+    closure the wiki path uses (operators/redirects.transitive_closure).
+    Chains are length ≤ 3 by construction; the oracle maps every
+    non-target straight to its chain head."""
+    from ..operators.redirects import transitive_closure
+    from ..sources.warc import parse_warc_fragments, web_redirects
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    is_redir = (F.col("doc_id") % 4) != 0
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://r.example/"), d,
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n\r\nHTTP/1.1 "),
+        F.when(is_redir, F.lit("301 Moved Permanently\r\nLocation: "))
+        .otherwise(F.lit("200 OK\r\nServer: t")),
+        F.when(is_redir,
+               F.concat(F.lit("https://r.example/"),
+                        (F.col("doc_id") - 1).cast("string")))
+        .otherwise(F.lit("")),
+        F.lit("\r\n\r\n<html>body</html>\r\n\r\n"),
+    )
+    parsed = parse_warc_fragments(docs.select(rec.alias("record")),
+                                  "record")
+    return transitive_closure(web_redirects(parsed)).select("src", "dst")
+
+
+ORACLE_WEB_REDIRECT_CLOSURE = """
+SELECT 'https://r.example/' || doc_id AS src,
+       'https://r.example/' || (doc_id - (doc_id % 4)) AS dst
+FROM documents
+WHERE doc_id % 4 <> 0
+"""
+
+QUERIES.update({"web_redirect_closure": q_web_redirect_closure})
+ORACLES.update({"web_redirect_closure": ORACLE_WEB_REDIRECT_CLOSURE})
+
+
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap/sitemap-index parsing (sources/frontier.parse_sitemaps):
+    a urlset with a fully-attributed entry + a loc-only entry + a
+    loc-less entry (dropped), and an index entry (is_index=true), all
+    from one page in one pass. Closed-form oracle."""
+    from ..sources.frontier import parse_sitemaps
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>https://s.example/"), d,
+        F.lit("/a</loc><lastmod>2024-01-01</lastmod>"
+              "<changefreq>daily</changefreq><priority>0."),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</priority></url><url><loc> https://s.example/"), d,
+        F.lit("/b </loc></url><url><lastmod>2024</lastmod></url>"
+              "</urlset><sitemapindex><sitemap><loc>https://s.example/"),
+        d, F.lit("/s.xml</loc></sitemap></sitemapindex>"),
+    )
+    out = parse_sitemaps(docs.select("doc_id", xml.alias("xml")),
+                         id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "loc", "lastmod",
+                      "changefreq", "priority", "is_index")
+
+
+ORACLE_SITEMAP_URLS = """
+WITH base AS (
+  SELECT doc_id, 'https://s.example/' || doc_id AS u,
+         cast('0.' || (doc_id % 9) AS double) AS prio
+  FROM documents
+)
+SELECT doc_id, u || '/a' AS loc, '2024-01-01' AS lastmod,
+       'daily' AS changefreq, prio AS priority, false AS is_index
+FROM base
+UNION ALL SELECT doc_id, u || '/b', NULL, NULL, NULL, false FROM base
+UNION ALL SELECT doc_id, u || '/s.xml', NULL, NULL, NULL, true FROM base
+"""
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt group parsing (sources/frontier.parse_robots): a
+    two-agent group on even docs (every rule fans out to BOTH agents —
+    the RFC 9309 group model), comment/blank stripping, a second
+    wildcard group, and a group-independent Sitemap line. Closed-form
+    oracle replays the group fan-out."""
+    from ..sources.frontier import parse_robots
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("# robots for doc\nUser-agent: bot"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.when((F.col("doc_id") % 2) == 0,
+               F.lit("\nUser-agent: alt")).otherwise(F.lit("")),
+        F.lit("\nDisallow: /p"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("  # inline\nAllow: /p"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("/ok\n\nUser-agent: *\nCrawl-delay: "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("\nSitemap: https://s.example/"), d, F.lit(".xml\n"),
+    )
+    out = parse_robots(docs.select("doc_id", txt.alias("text")),
+                       id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "agent", "directive",
+                      "value")
+
+
+ORACLE_ROBOTS_RULES = """
+WITH base AS (
+  SELECT doc_id, 'bot' || (doc_id % 3) AS b, doc_id % 2 = 0 AS two,
+         '/p' || (doc_id % 4) AS p, cast(doc_id % 7 AS varchar) AS cd,
+         'https://s.example/' || doc_id || '.xml' AS sm
+  FROM documents
+), agents AS (
+  SELECT doc_id, b AS agent, p FROM base
+  UNION ALL SELECT doc_id, 'alt', p FROM base WHERE two
+)
+SELECT doc_id, agent, 'disallow' AS directive, p AS value FROM agents
+UNION ALL SELECT doc_id, agent, 'allow', p || '/ok' FROM agents
+UNION ALL SELECT doc_id, '*', 'crawl-delay', cd FROM base
+UNION ALL SELECT doc_id, NULL, 'sitemap', sm FROM base
+"""
+
+QUERIES.update({
+    "sitemap_urls": q_sitemap_urls,
+    "robots_rules": q_robots_rules,
+})
+ORACLES.update({
+    "sitemap_urls": ORACLE_SITEMAP_URLS,
+    "robots_rules": ORACLE_ROBOTS_RULES,
+})

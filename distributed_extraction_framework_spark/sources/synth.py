@@ -248,19 +248,34 @@ def write_pages(spark: SparkSession, n: int, path: str, partitions: int | None =
 def make_crawl_page(i: int, n: int) -> dict:
     """Deterministic crawl-style row: same (url, warc_ts, text, lang) as
     :func:`make_page`, html = real structured markup (two outlinks, one
-    og:title meta, one JSON-LD Article with a bnode author) — ~0.4 KB,
-    the markup mix ``web_page_triples`` consumes."""
+    og:title meta, one JSON-LD Article with a bnode author on every
+    page; every 3rd page adds an HTML5-microdata Product, every 4th an
+    RDFa-typed node — the realistic partial-coverage mix, so the
+    composite's three entity-channel prefilters and scan UDFs all do
+    real work at corpus scale) — ~0.4-0.6 KB, the markup mix
+    ``web_page_triples`` consumes."""
     import hashlib
 
     p = make_page(i, n)
     w1 = p["text"].split(" ", 1)[0] if p["text"] else "empty"
     d = hashlib.md5(p["url"].encode("utf-8")).hexdigest()[:16]
+    micro = (
+        f'<div itemscope itemtype="https://schema.org/Product" '
+        f'itemid="https://e/{d}/p"><span itemprop="sku">{w1}</span></div>'
+        if i % 3 == 0 else ""
+    )
+    rdfa = (
+        f'<p about="https://e/{d}/r" typeof="https://schema.org/Thing" '
+        f'property="https://schema.org/name" content="{w1}"></p>'
+        if i % 4 == 0 else ""
+    )
     html = (
         f'<a href="https://out.example/{d}/a">{w1} <b>x</b></a>'
         f"<a href='https://peer.example/{d}'>peer</a>"
         f'<meta property="og:title" content="{w1}">'
         f'<script type="application/ld+json">{{"@id":"https://e/{d}",'
         f'"@type":"Article","author":{{"name":"{w1}"}}}}</script>'
+        f"{micro}{rdfa}"
     ).encode("utf-8")
     p["html"] = html
     return p

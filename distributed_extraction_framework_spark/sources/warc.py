@@ -20,7 +20,9 @@ Record-type handling:
   ``WARC-Identified-Content-Language`` header when present (first tag);
 * ``response`` records (WARC files) → the block is an HTTP message:
   ``html`` = the bytes after the HTTP header section (cast to binary),
-  ``text`` null;
+  ``text`` null, plus ``http_status`` and ``http_location`` pulled from
+  the header section only — :func:`web_redirects` turns the 3xx subset
+  into (src, dst) pairs for ``redirects.transitive_closure``;
 * ``warcinfo``/``request``/``metadata`` records are filtered out
   JVM-side before any payload work.
 
@@ -64,8 +66,18 @@ def parse_warc_fragments(df: DataFrame, col: str = "value") -> DataFrame:
         F.regexp_extract(frag, _BLOCK_RE, 1), r"(\r\n)+$", ""
     )
     # response blocks are HTTP messages: payload follows the HTTP
-    # header section's blank line
+    # header section's blank line; status/Location come from the header
+    # section ONLY (substring_index, so a payload echoing "Location:"
+    # can't leak into the column)
     http_payload = F.regexp_extract(block, _BLOCK_RE, 1)
+    http_head = F.substring_index(block, "\r\n\r\n", 1)
+    status = F.nullif(
+        F.regexp_extract(http_head, r"^HTTP/[0-9.]+\s+(\d{3})", 1), F.lit("")
+    ).cast("int")
+    location = F.nullif(
+        F.regexp_extract(http_head, r"(?im)^location:\s*(\S+)", 1),
+        F.lit(""),
+    )
     lang = _header(frag, "WARC-Identified-Content-Language")
     return (
         df.filter(rtype.isin("response", "conversion"))
@@ -80,8 +92,30 @@ def parse_warc_fragments(df: DataFrame, col: str = "value") -> DataFrame:
             F.when(lang != "", F.substring_index(lang, ",", 1))
             .alias("lang"),
             rtype.alias("record_type"),
+            F.when(rtype == "response", status).alias("http_status"),
+            F.when(rtype == "response", location).alias("http_location"),
         )
         .filter(F.col("url") != "")
+    )
+
+
+def web_redirects(parsed: DataFrame) -> DataFrame:
+    """(src, dst) HTTP redirect pairs from parsed response records — the
+    crawl-side analog of the reference's wiki-redirect harvest
+    (reference: extraction/src/main/scala/org/dbpedia/extraction/
+    mappings/RedirectExtractor.scala semantics over 3xx + Location
+    instead of #REDIRECT wikitext). Feed the result straight into
+    ``operators.redirects.transitive_closure`` to resolve chains and
+    drop cycles; ``canonicalize``/``scrub.latest_capture`` then collapse
+    the crawl onto final targets. Pure projection — no shuffle here;
+    the closure owns its own join strategy."""
+    return (
+        parsed.filter(
+            (F.col("http_status").between(300, 399))
+            & F.col("http_location").isNotNull()
+        )
+        .select(F.col("url").alias("src"),
+                F.col("http_location").alias("dst"))
     )
 
 

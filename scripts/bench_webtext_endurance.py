@@ -10,7 +10,9 @@ the flatten, which no sf0.1 gate would surface.
 
 HTML comes from a crawl-style corpus materialized ONCE by
 ``sources.synth.write_crawl_pages`` (one JSON-LD entity with a bnode
-author, two outlinks, one OG tag per page — ~0.4 KB of markup each) and
+author, two outlinks, one OG tag per page; microdata on every 3rd page
+and RDFa on every 4th — all three entity-channel scan UDFs do real
+work — ~0.4-0.6 KB of markup each) and
 scanned from parquet, the honest 100 TB model. An earlier revision
 synthesized the markup inside the timed scan with ``split_part``, which
 Pattern.compiles per row on Spark 4 and contaminates the measurement —

@@ -1,0 +1,79 @@
+"""Crawl-frontier metadata parsers (sources/frontier.py): sitemap XML
+and robots.txt group semantics."""
+
+from __future__ import annotations
+
+from distributed_extraction_framework_spark.sources.frontier import (
+    parse_robots,
+    parse_sitemaps,
+)
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    sm = (
+        '<?xml version="1.0"?><urlset xmlns="https://sm.example/0.9">\n'
+        "<url><loc>https://x/1</loc><lastmod>2024-01-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>\n"
+        "<url><LOC>https://x/2</LOC></url>\n"       # case-insensitive
+        "<url><loc> https://x/3 </loc></url>\n"     # padded loc
+        "<url><lastmod>2024</lastmod></url>\n"      # loc-less: dropped
+        "</urlset>"
+    )
+    idx = ("<sitemapindex><sitemap><loc>https://x/s1.xml</loc>"
+           "<lastmod>2024-02-02T00:00:00Z</lastmod></sitemap>"
+           "</sitemapindex>")
+    df = spark.createDataFrame([(0, sm), (1, idx), (2, None)],
+                               "page_id long, xml string")
+    rows = {(r["id"], r["loc"], r["lastmod"], r["changefreq"],
+             r["priority"], r["is_index"])
+            for r in parse_sitemaps(df).collect()}
+    assert rows == {
+        (0, "https://x/1", "2024-01-01", "daily", 0.8, False),
+        (0, "https://x/2", None, None, None, False),
+        (0, "https://x/3", None, None, None, False),
+        (1, "https://x/s1.xml", "2024-02-02T00:00:00Z", None, None, True),
+    }
+    # pure Catalyst: no exchange, no Python
+    plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_parse_robots_groups(spark):
+    txt = (
+        "# top comment\n"
+        "User-agent: googlebot\n"
+        "User-agent: bingbot\n"          # two-agent group
+        "Disallow: /private\n"
+        "Allow: /private/ok   # inline comment\n"
+        "Crawl-delay: 10\r\n"            # CRLF tolerated
+        "\n"
+        "User-Agent: *\n"                # second group, case-variant key
+        "Disallow:\n"                    # empty value = allow-all marker
+        "Sitemap: https://x/sitemap.xml\n"
+    )
+    df = spark.createDataFrame([(0, txt)], "page_id long, text string")
+    rows = {(r["agent"], r["directive"], r["value"])
+            for r in parse_robots(df).collect()}
+    # every rule of the first group fans out to BOTH agents
+    for agent in ("googlebot", "bingbot"):
+        assert (agent, "disallow", "/private") in rows
+        assert (agent, "allow", "/private/ok") in rows
+        assert (agent, "crawl-delay", "10") in rows
+    assert ("*", "disallow", "") in rows
+    # rules never leak across the blank-line group boundary
+    assert ("googlebot", "disallow", "") not in rows
+    assert (None, "sitemap", "https://x/sitemap.xml") in rows
+    assert len(rows) == 8
+
+
+def test_parse_robots_rules_before_any_group(spark):
+    # hostile: rules before any User-agent line have no group -> dropped;
+    # empty / null files emit nothing
+    df = spark.createDataFrame(
+        [(0, "Disallow: /early\nUser-agent: a\nAllow: /x\n"),
+         (1, ""), (2, None)],
+        "page_id long, text string",
+    )
+    rows = {(r["id"], r["agent"], r["directive"], r["value"])
+            for r in parse_robots(df).collect()}
+    assert rows == {(0, "a", "allow", "/x")}

@@ -108,3 +108,44 @@ def test_render_parse_roundtrip(spark):
     # the whole parse is one codegen'd projection — no exchange, no Python
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_http_status_location_and_web_redirects(spark, tmp_path):
+    from distributed_extraction_framework_spark.sources.warc import (
+        web_redirects,
+    )
+
+    def _resp(url, status_line, extra_hdrs, body):
+        http = f"HTTP/1.1 {status_line}\r\n{extra_hdrs}\r\n{body}"
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: 2024-01-01T00:00:00Z"
+            f"\r\n\r\n{http}\r\n\r\n"
+        )
+
+    path = str(tmp_path / "r.warc")
+    write_warc_file(
+        [
+            _resp("https://r/1", "301 Moved Permanently",
+                  "Location: https://r/2\r\n", ""),
+            _resp("https://r/2", "302 Found",
+                  "location: https://r/3\r\n", ""),   # lower-case header
+            # payload echoing "Location:" must NOT leak into the column
+            _resp("https://r/3", "200 OK", "Server: t\r\n",
+                  "Location: https://bogus/"),
+            _wet("https://r/4", "2024-01-01T00:00:00Z", "text"),
+        ],
+        path,
+    )
+    got = {r["url"]: r for r in read_warc(spark, path).collect()}
+    assert got["https://r/1"]["http_status"] == 301
+    assert got["https://r/1"]["http_location"] == "https://r/2"
+    assert got["https://r/2"]["http_status"] == 302
+    assert got["https://r/2"]["http_location"] == "https://r/3"
+    assert got["https://r/3"]["http_status"] == 200
+    assert got["https://r/3"]["http_location"] is None
+    assert got["https://r/4"]["http_status"] is None  # conversion record
+    pairs = {(r["src"], r["dst"])
+             for r in web_redirects(read_warc(spark, path)).collect()}
+    assert pairs == {("https://r/1", "https://r/2"),
+                     ("https://r/2", "https://r/3")}
