@@ -273,6 +273,10 @@ def main() -> None:
     timed_extra(
         "robots_rules", lambda: _sink(Q.q_robots_rules(spark, SF_DIR))
     )
+    timed_extra(
+        "robots_admission",
+        lambda: _sink(Q.q_robots_admission(spark, SF_DIR)),
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -6179,3 +6179,86 @@ ORACLES.update({
     "sitemap_urls": ORACLE_SITEMAP_URLS,
     "robots_rules": ORACLE_ROBOTS_RULES,
 })
+
+
+def q_robots_admission(spark, sf_dir):
+    """Frontier fetch admission (sources/frontier.robots_admission):
+    rules from 20 synthetic robots groups over 5 hosts (mybot + * groups
+    both present — the specific group must shadow *), frontier URLs
+    hitting a disallowed prefix, a LONGER allow override, an unmatched
+    path, and a rule-less host. Oracle replays the longest-prefix /
+    allow-beats-disallow argmax (same lexicographic struct order)."""
+    from ..sources.frontier import robots_admission
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example"))
+    agent = F.when(d % 2 == 0, F.lit("mybot")).otherwise(F.lit("*"))
+    p = F.concat(F.lit("/p"), (d % 4).cast("string"))
+    rule_docs = docs.filter(d < 20)
+    rules = rule_docs.select(
+        host.alias("host"), agent.alias("agent"),
+        F.lit("disallow").alias("directive"), p.alias("value"),
+    ).unionByName(rule_docs.select(
+        host.alias("host"), agent.alias("agent"),
+        F.lit("allow").alias("directive"),
+        F.concat(p, F.lit("/ok")).alias("value"),
+    ))
+    url = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("https://h9.example/p0/x"), ds),
+    ).otherwise(F.concat(
+        F.lit("https://"), host,
+        F.when(d % 3 == 0, F.concat(p, F.lit("/x"), ds))
+        .when(d % 3 == 1, F.concat(p, F.lit("/ok/y"), ds))
+        .otherwise(F.concat(F.lit("/free"), ds)),
+    ))
+    frontier = docs.select(url.alias("url"))
+    return robots_admission(frontier, rules, agent="mybot")
+
+
+ORACLE_ROBOTS_ADMISSION = """
+WITH f AS (
+  SELECT CASE WHEN doc_id % 7 = 0
+              THEN 'https://h9.example/p0/x' || doc_id
+              ELSE 'https://h' || (doc_id % 5) || '.example' ||
+                CASE doc_id % 3
+                  WHEN 0 THEN '/p' || (doc_id % 4) || '/x' || doc_id
+                  WHEN 1 THEN '/p' || (doc_id % 4) || '/ok/y' || doc_id
+                  ELSE '/free' || doc_id END
+         END AS url,
+         CASE WHEN doc_id % 7 = 0 THEN 'h9.example'
+              ELSE 'h' || (doc_id % 5) || '.example' END AS host,
+         CASE WHEN doc_id % 7 = 0 THEN '/p0/x' || doc_id
+              ELSE CASE doc_id % 3
+                  WHEN 0 THEN '/p' || (doc_id % 4) || '/x' || doc_id
+                  WHEN 1 THEN '/p' || (doc_id % 4) || '/ok/y' || doc_id
+                  ELSE '/free' || doc_id END
+         END AS path
+  FROM documents
+), r AS (
+  SELECT DISTINCT 'h' || (doc_id % 5) || '.example' AS host,
+         'disallow' AS directive, '/p' || (doc_id % 4) AS rule_path
+  FROM documents WHERE doc_id < 20 AND doc_id % 2 = 0
+  UNION
+  SELECT DISTINCT 'h' || (doc_id % 5) || '.example',
+         'allow', '/p' || (doc_id % 4) || '/ok'
+  FROM documents WHERE doc_id < 20 AND doc_id % 2 = 0
+), m AS (
+  SELECT f.url, r.directive, r.rule_path
+  FROM f JOIN r ON f.host = r.host
+  WHERE f.path LIKE r.rule_path || '%'
+  QUALIFY row_number() OVER (
+    PARTITION BY f.url
+    ORDER BY length(r.rule_path) DESC,
+             (r.directive = 'allow') DESC, r.rule_path DESC) = 1
+)
+SELECT f.url,
+       coalesce(m.directive = 'allow', true) AS allowed,
+       m.rule_path
+FROM f LEFT JOIN m ON f.url = m.url
+"""
+
+QUERIES.update({"robots_admission": q_robots_admission})
+ORACLES.update({"robots_admission": ORACLE_ROBOTS_ADMISSION})

@@ -142,3 +142,84 @@ def parse_robots(
         .select("id", F.col("g_agent").alias("agent"), "directive", "value")
         .unionByName(sitemaps)
     )
+
+
+def robots_admission(
+    frontier: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, allowed, rule_path) — fetch admission for a URL frontier
+    against a parsed rules table (:func:`parse_robots` output plus a
+    ``host`` column), RFC 9309 evaluation reduced to the prefix subset:
+
+    * the applicable group is the requested ``agent``'s if that host
+      has one, else the ``*`` group (exact-name-else-star — the RFC's
+      longest-agent-substring refinement is a documented simplification);
+    * among matching rules the LONGEST path prefix wins; ``allow``
+      beats ``disallow`` on equal length; no matching rule → allowed
+      (and for hosts with no rules at all — the left join's null arm);
+    * rule paths are literal prefixes (the original robots.txt model;
+      the ``*``/``$`` wildcard extension is out of scope — translating
+      per-rule wildcards to a regex column would Pattern.compile per
+      JOINED ROW, the Spark 4 ``split_part`` trap).
+
+    Scale shape: one aggregation over the RULES table (host-keyed,
+    tiny next to the frontier) picks each host's group, one equi-join
+    on host fans rules onto frontier URLs (rules-per-host is bounded
+    by robots.txt size, so the fan-out is a small constant), and one
+    ``max(struct(...))`` argmax per URL collapses it — map-side
+    partial agg, no window, frontier never self-joins."""
+    host = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+    )
+    path0 = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    urls = frontier.select(
+        F.col(url_col).alias("url"), host.alias("_host"),
+        F.when(path0 == "", "/").otherwise(path0).alias("_path"),
+    )
+    r = rules.filter(F.col("directive").isin("allow", "disallow")).select(
+        F.col("host").alias("_host"), "agent", "directive",
+        F.col("value").alias("rule_path"),
+    )
+    w_specific = r.groupBy("_host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("_has_specific")
+    )
+    grp = (
+        r.join(F.broadcast(w_specific), "_host")
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("_has_specific") == 0) & (F.col("agent") == "*"))
+        )
+        .select("_host", "directive", "rule_path")
+    )
+    joined = urls.join(grp, "_host", "left").withColumn(
+        "_match",
+        F.col("rule_path").isNotNull()
+        & ((F.col("rule_path") == "")
+           | F.col("_path").startswith(F.col("rule_path"))),
+    )
+    best = (
+        joined.groupBy("url")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_match"),
+                    F.struct(
+                        F.length("rule_path").alias("l"),
+                        (F.col("directive") == "allow").cast("int")
+                        .alias("a"),
+                        F.col("rule_path").alias("p"),
+                    ),
+                )
+            ).alias("_best")
+        )
+    )
+    return best.select(
+        "url",
+        F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("_best.p").alias("rule_path"),
+    )

@@ -77,3 +77,52 @@ def test_parse_robots_rules_before_any_group(spark):
     rows = {(r["id"], r["agent"], r["directive"], r["value"])
             for r in parse_robots(df).collect()}
     assert rows == {(0, "a", "allow", "/x")}
+
+
+def test_robots_admission_semantics(spark):
+    from distributed_extraction_framework_spark.sources.frontier import (
+        robots_admission,
+    )
+
+    rules = spark.createDataFrame(
+        [
+            # h1: specific group for 'mybot' AND a * group — specific wins
+            ("h1", "mybot", "disallow", "/private"),
+            ("h1", "mybot", "allow", "/private/ok"),
+            ("h1", "*", "disallow", "/"),          # must be shadowed
+            # h2: only a * group
+            ("h2", "*", "disallow", "/blocked"),
+            # equal-length tie on h3: allow beats disallow
+            ("h3", "mybot", "disallow", "/t/a"),
+            ("h3", "mybot", "allow", "/t/b"),
+            ("h3", "mybot", "allow", "/t/"),
+            ("h3", "mybot", "disallow", "/t/"),
+            # crawl-delay rows are not admission rules
+            ("h1", "mybot", "crawl-delay", "10"),
+        ],
+        "host string, agent string, directive string, value string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://h1/private/x",), ("https://h1/private/ok/y",),
+         ("https://h1/pub",), ("https://h2/blocked/z",),
+         ("https://h2/open",), ("https://h3/t/c",),
+         ("https://h4/anything",), ("https://h1",)],
+        "url string",
+    )
+    got = {r["url"]: (r["allowed"], r["rule_path"])
+           for r in robots_admission(frontier, rules, agent="mybot")
+           .collect()}
+    assert got["https://h1/private/x"] == (False, "/private")
+    # longest prefix wins: the allow overrides the shorter disallow
+    assert got["https://h1/private/ok/y"] == (True, "/private/ok")
+    # no mybot rule matches /pub; the * group is shadowed entirely
+    assert got["https://h1/pub"] == (True, None)
+    # host without a specific group falls back to *
+    assert got["https://h2/blocked/z"] == (False, "/blocked")
+    assert got["https://h2/open"] == (True, None)
+    # equal-length tie: allow beats disallow
+    assert got["https://h3/t/c"] == (True, "/t/")
+    # rule-less host and bare-host URL (path normalized to /)
+    assert got["https://h4/anything"] == (True, None)
+    assert got["https://h1"] == (True, None)
+    assert len(got) == 8
