@@ -277,6 +277,10 @@ def main() -> None:
         "robots_admission",
         lambda: _sink(Q.q_robots_admission(spark, SF_DIR)),
     )
+    timed_extra(
+        "webkg_pipeline",
+        lambda: _sink(Q.q_webkg_pipeline(spark, SF_DIR)),
+    )
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -5291,6 +5291,16 @@ def q_web_kg_triples(spark, sf_dir):
     subject must)."""
     from ..operators.structured_data import web_page_triples
 
+    out = web_page_triples(_webkg_injected(spark, sf_dir), id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "obj_kind")
+
+
+def _webkg_injected(spark, sf_dir):
+    """The six-channel synthetic crawl page shared by the batch
+    (web_kg_triples) and streaming (stream_web_triples) composite gates
+    — ONE construction so both run against byte-identical pages and the
+    SAME oracle."""
     docs = _docs_tbl(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
@@ -5322,14 +5332,11 @@ def q_web_kg_triples(spark, sf_dir):
         (F.col("doc_id") % 6).cast("string"),
         F.lit('"></span>'),
     )
-    injected = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(F.lit("https://pages.example/"), d).alias("url"),
         html.alias("html"),
     )
-    out = web_page_triples(injected, id_col="doc_id")
-    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
-                      "obj_kind")
 
 
 ORACLE_WEB_KG_TRIPLES = f"""
@@ -6262,3 +6269,92 @@ FROM f LEFT JOIN m ON f.url = m.url
 
 QUERIES.update({"robots_admission": q_robots_admission})
 ORACLES.update({"robots_admission": ORACLE_ROBOTS_ADMISSION})
+
+
+def q_webkg_pipeline(spark, sf_dir):
+    """The orchestrated WEBTEXT KG DAG (plans/webkg.py) end-to-end:
+    recrawl collapse → HTTP redirect closure (301 pages synthesized on
+    doc_id%5==1) → shuffle-free crawl composite → closure-resolved
+    triples → skolemized N-Triples export — run TWICE against the same
+    warehouse (second run must resume: n_runs=1 per stage). Oracle =
+    every stage's lineage row total re-derived closed-form."""
+    import tempfile
+
+    from .webkg import WebKGConfig, WebKGPipeline
+
+    wh = tempfile.mkdtemp(prefix="defs_webkg_gate_")
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    is_redir = d % 5 == 1
+    html = F.when(is_redir, F.lit(None).cast("string")).otherwise(F.concat(
+        F.lit('<a href="https://w.example/'), (d + 1).cast("string"),
+        F.lit('">n</a><meta property="og:t" content="c'),
+        (d % 3).cast("string"),
+        F.lit('"><script type="application/ld+json">'
+              '{"@id":"https://ent.example/'), ds,
+        F.lit('","k":"v"}</script>'),
+    ))
+    pages = docs.select(
+        F.concat(F.lit("https://w.example/"), ds).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        html.alias("html"),
+        F.when(is_redir, F.lit(301)).otherwise(F.lit(200))
+        .alias("http_status"),
+        F.when(is_redir, F.concat(F.lit("https://w.example/"),
+                                  (d - 1).cast("string")))
+        .alias("http_location"),
+    )
+    cfg = WebKGConfig(warehouse=wh, output_formats={"nt": "n-triples"})
+    WebKGPipeline(spark, cfg).run(pages)
+    WebKGPipeline(spark, cfg).run(pages)  # must resume, not recompute
+    lin = spark.read.parquet(wh + "/lineage")
+    return lin.groupBy("stage").agg(
+        F.countDistinct("run_id").alias("n_runs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+ORACLE_WEBKG_PIPELINE = """
+WITH c AS (
+  SELECT count(*) AS n_pages,
+         count(*) FILTER (doc_id % 5 = 1) AS n_redir,
+         count(*) FILTER (doc_id % 5 <> 1) AS n_html
+  FROM documents
+)
+SELECT stage, cast(1 AS bigint) AS n_runs, cast(n_rows AS bigint) AS n_rows
+FROM (
+  SELECT 'web_pages' AS stage, n_pages AS n_rows FROM c
+  UNION ALL SELECT 'web_redirect_closure', n_redir FROM c
+  UNION ALL SELECT 'web_triples', 4 * n_html FROM c
+  UNION ALL SELECT 'web_triples_resolved', 4 * n_html FROM c
+  UNION ALL SELECT 'exports', 4 * n_html FROM c
+)
+"""
+
+QUERIES.update({"webkg_pipeline": q_webkg_pipeline})
+ORACLES.update({"webkg_pipeline": ORACLE_WEBKG_PIPELINE})
+
+
+def q_stream_web_triples(spark, sf_dir):
+    """The crawl-page → KG composite run as a STREAM (parquet source,
+    maxFilesPerTrigger=1 → genuinely incremental micro-batches, memory
+    sink driven to completion) over the SAME injected pages as
+    web_kg_triples, gated against the SAME batch oracle — streaming
+    parity for the webtext path is hash-exact, not rows-only."""
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="defs_stream_crawl_")
+    _webkg_injected(spark, sf_dir).repartition(4).write.mode(
+        "overwrite").parquet(d)
+    q = STR.stream_web_triples(spark, d)
+    name = f"defs_stream_webkg_{uuid.uuid4().hex[:8]}"
+    STR.run_to_memory(q, name)
+    return spark.table(name).select(
+        F.col("id").alias("doc_id"), "subj", "pred", "obj", "obj_kind"
+    )
+
+
+QUERIES.update({"stream_web_triples": q_stream_web_triples})
+ORACLES.update({"stream_web_triples": ORACLE_WEB_KG_TRIPLES})

@@ -148,6 +148,34 @@ class Pipeline:
         df.write.mode("append").parquet(self._stage_path("lineage"))
         self._lineage_rows = []
 
+    def _write_stage_schema(self, path: str, df: DataFrame) -> None:
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path + "/_schema.json")
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        stream = fs.create(p, True)
+        stream.write(bytearray(df.schema.json().encode("utf-8")))
+        stream.close()
+
+    def _read_stage(self, path: str) -> DataFrame:
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            from pyspark.sql.types import StructType
+
+            jvm = self.spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path + "/_schema.json")
+            fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            stream = fs.open(p)
+            try:
+                raw = bytes(
+                    self.spark._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            schema = StructType.fromJson(__import__("json").loads(raw))
+            return self.spark.read.schema(schema).parquet(path)
+
     def _run_stage(
         self,
         stage: str,
@@ -159,7 +187,7 @@ class Pipeline:
         """Run-or-resume one stage; returns the stage output DataFrame."""
         path = self._stage_path(stage)
         if self._committed(stage, fingerprint):
-            return self.spark.read.parquet(path)
+            return self._read_stage(path)
         self._fresh.add(stage)
         t0 = time.time()
         df = build()
@@ -167,7 +195,12 @@ class Pipeline:
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
-        out = self.spark.read.parquet(path)
+        # an EMPTY partitioned stage writes _SUCCESS but zero part files;
+        # persist the schema so read-back (this run and resumes) can't hit
+        # UNABLE_TO_INFER_SCHEMA — a degenerate-but-legal corpus (e.g. all
+        # captures are redirects → zero triples) must flow through the DAG
+        self._write_stage_schema(path, df)
+        out = self._read_stage(path)
         wall = int((time.time() - t0) * 1000)
         if partition_col:
             for r in out.groupBy(partition_col).count().collect():

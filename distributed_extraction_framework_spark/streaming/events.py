@@ -214,3 +214,29 @@ def stream_to_parquet(df: DataFrame, out_path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+CRAWL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("html", StringType()),
+    ]
+)
+
+
+def stream_web_triples(spark: SparkSession, pages_path: str) -> DataFrame:
+    """The crawl-page → KG composite over a pages STREAM. Every channel
+    of ``web_page_triples`` is a stateless scan+project (the pandas-UDF
+    scanners included), so the identical plan slots under ``readStream``
+    unchanged — streaming parity for the webtext path, mirroring
+    :func:`stream_extract` for the wiki path."""
+    from ..operators.structured_data import web_page_triples
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(CRAWL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(pages_path)
+    )
+    return web_page_triples(stream, id_col="doc_id")
