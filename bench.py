@@ -281,6 +281,10 @@ def main() -> None:
         "webkg_pipeline",
         lambda: _sink(Q.q_webkg_pipeline(spark, SF_DIR)),
     )
+    for _name in ("cdx_index", "canonical_collapse", "hreflang_clusters",
+                  "pagination_chains", "fetch_schedule", "feed_entries"):
+        timed_extra(_name,
+                    lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     out = {
         "metric": "headline_suite_sec",
         "value": total,

@@ -1,0 +1,457 @@
+"""Crawl-index operators: SURT keys, CDX records, canonical/hreflang
+collapse, pagination chains, and per-host politeness scheduling.
+
+The web-archive bookkeeping layer of a Common-Crawl-style pipeline — the
+crawl-side analog of the reference's dump bookkeeping (reference:
+download/src/main/scala/org/dbpedia/extraction/dump/download/
+DumpDownload.scala resolves WHAT exists before any payload work;
+core/src/main/scala/org/dbpedia/extraction/util/Finder.scala locates a
+dump file by (lang, date) the way a CDX index locates a capture by
+(surt, ts)).
+
+Everything here is pure Catalyst — whole-stage codegen scans, zero
+Python; the only shuffles are the irreducible keyed ones
+(:func:`fetch_schedule`'s per-host window, :func:`canonical_clusters`'
+groupBy, :func:`pagination_chains`' chain-sized closure) and each is on
+a key whose group size is bounded by a single host/chain, not the
+corpus. Regexes stay in the Java∩RE2 subset (no lookaround, no pattern
+backrefs) so DuckDB oracles can replay identical semantics.
+
+Scale notes (10^12 pages):
+
+* :func:`surt_key` / :func:`cdx_index` are stateless projections —
+  cost scales with bytes scanned, no shuffle.
+* :func:`write_cdx` range-partitions on the SURT key before the
+  per-file sort, so the output is globally ordered across lexically
+  ordered part files — the property CDX binary-search lookup needs —
+  with one repartitionByRange exchange (AQE splits hot key ranges).
+* :func:`canonical_collapse` is per-page; :func:`canonical_clusters`
+  groups on the canonical URL — a skewed canonical target (one URL
+  asserted by millions of pages) is a single hot GROUP BY key, which
+  map-side partial aggregation absorbs (count/min are algebraic).
+* :func:`fetch_schedule`'s window partitions by host; a giant host is
+  one partition but the window functions are single-pass, and
+  ``max_per_host`` bounds emitted rows per host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from .redirects import transitive_closure
+from .scrub import TRACKING_PARAM_RE
+from .structured_data import HREF_ATTR_RE, LINK_TAG_RE, _html_str
+
+# rel values are matched as the WHOLE single-valued attribute for
+# canonical/next (the multi-valued forms are vanishingly rare for these
+# and ambiguous), but as a word within the attribute for alternate
+# (where "alternate nofollow" is common).
+REL_CANONICAL_RE = r"""(?is)\brel\s*=\s*["']canonical["']"""
+REL_NEXT_RE = r"""(?is)\brel\s*=\s*["']next["']"""
+REL_ALTERNATE_WORD_RE = r"""(?is)\brel\s*=\s*["'][^"']*\balternate\b[^"']*["']"""
+HREFLANG_PRESENT_RE = r"""(?is)\bhreflang\s*=\s*["'][^"']+["']"""
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_ORIGIN_RE = r"^(https?://[^/?#]+)"
+
+
+# ---------------------------------------------------------------------------
+# SURT + CDX
+# ---------------------------------------------------------------------------
+
+def surt_key(url: Column) -> Column:
+    """Sort-friendly URI Reordering Transform of a URL, as one Catalyst
+    expression tree: ``https://www.a.example.com:443/P?b=2&a=1#f`` →
+    ``com,example,a)/P?a=1&b=2``.
+
+    1. fragment stripped, scheme dropped (captures of the same page over
+       http/https collate together — the point of SURT);
+    2. host lowercased, leading ``www.`` label dropped, scheme-default
+       port dropped (``:80`` http, ``:443`` https; other ports kept,
+       appended after the reversed host);
+    3. host labels REVERSED and comma-joined, then ``)`` — so all of a
+       registrable domain's subdomains are one contiguous key range;
+    4. path kept verbatim (case-significant per RFC 3986), empty → ``/``;
+    5. query params: tracking params dropped (same
+       :data:`~distributed_extraction_framework_spark.operators.scrub.TRACKING_PARAM_RE`
+       set as ``canonical_url``), survivors SORTED bytewise, ``?``
+       dropped when none survive.
+
+    Deterministic and idempotent on its own output domain. URLs without
+    a scheme are treated as scheme-relative (the whole string is
+    authority+path), which keeps the transform total.
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    keyhost = F.concat(
+        rev,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        keyhost, F.lit(")"), path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def cdx_index(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    status_col: str | None = None,
+    mime_col: str | None = None,
+) -> DataFrame:
+    """One CDX-style record per capture: ``(surt, ts, url, mime, status,
+    digest, length)`` — the web-archive lookup index (CDX[J] file
+    semantics: captures keyed by (SURT, 14-digit timestamp) with a
+    payload digest for revisit detection).
+
+    * ``ts`` — ``yyyyMMddHHmmss`` (the CDX timestamp form);
+    * ``mime`` — ``mime_col`` verbatim when given, else sniffed: payload
+      whose first non-space byte is ``<`` → ``text/html``, else
+      ``text/plain`` (deterministic, oracle-checkable; a real crawl
+      carries the WARC Content-Type and passes ``mime_col``);
+    * ``status`` — ``status_col`` or 200;
+    * ``digest`` — md5 hex of the payload bytes (the revisit/dedup key;
+      CDX files commonly carry sha1-b32 — md5 is the same role with an
+      engine-portable function);
+    * ``length`` — payload byte length.
+
+    Stateless projection: zero shuffles, whole-stage codegen.
+    """
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    mime = (
+        F.col(mime_col)
+        if mime_col
+        else F.when(
+            F.substring(F.ltrim(h), 1, 1) == "<", F.lit("text/html")
+        ).otherwise(F.lit("text/plain"))
+    )
+    status = (
+        F.col(status_col).cast("int") if status_col else F.lit(200)
+    )
+    return df.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts"),
+        F.col(url_col).alias("url"),
+        mime.alias("mime"),
+        status.alias("status"),
+        F.md5(h).alias("digest"),
+        F.octet_length(h).cast("bigint").alias("length"),
+    )
+
+
+def write_cdx(cdx: DataFrame, path: str, num_files: int = 32) -> None:
+    """Materialize a CDX DataFrame as space-separated text, globally
+    ordered by ``(surt, ts)`` across lexically ordered part files — the
+    property CDX binary-search lookup requires. One
+    ``repartitionByRange`` exchange (boundaries sampled; AQE splits hot
+    SURT ranges), then a spillable per-file sort."""
+    (
+        cdx.repartitionByRange(num_files, "surt", "ts")
+        .sortWithinPartitions("surt", "ts")
+        .select(
+            F.concat_ws(
+                " ", "surt", "ts", "url", "mime",
+                F.col("status").cast("string"), "digest",
+                F.col("length").cast("string"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel=canonical collapse
+# ---------------------------------------------------------------------------
+
+def _first_tag_href(h: Column, rel_re: str) -> Column:
+    """href of the FIRST <link> tag matching ``rel_re`` (null if none) —
+    per-page array ops over the handful of link tags a page carries."""
+    tags = F.regexp_extract_all(h, F.lit(LINK_TAG_RE), F.lit(0))
+    tag = F.get(F.filter(tags, lambda t: t.rlike(rel_re)), 0)
+    href = F.regexp_extract(F.coalesce(tag, F.lit("")), HREF_ATTR_RE, 1)
+    return F.nullif(href, F.lit(""))
+
+
+def _resolve_href(href: Column, base_url: Column) -> Column:
+    """Absolute http(s) hrefs pass through; root-relative (``/…``)
+    resolve against the base URL's origin; anything else (protocol-
+    relative, dotted-relative, non-http schemes) → null — the caller
+    falls back. Deterministic subset of RFC 3986 §5 resolution; full
+    dot-segment merging is out of scope (crawl-quality canonical/next
+    links are overwhelmingly absolute or root-relative)."""
+    origin = F.regexp_extract(base_url, _ORIGIN_RE, 1)
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(
+            href.startswith("/") & ~href.startswith("//") & (origin != ""),
+            F.concat(origin, href),
+        )
+    )
+
+
+def canonical_collapse(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """(id, url, canonical, is_self): each page's self-asserted
+    canonical URL — the first ``<link rel="canonical">`` href (absolute
+    or root-relative-resolved; missing/unresolvable → the page's own
+    URL). The crawl-side analog of the reference's redirect resolution
+    (reference: core/src/main/scala/org/dbpedia/extraction/transform/
+    Quad.scala subjects are post-redirect; a crawl corpus's "redirects"
+    include rel=canonical assertions): downstream KG stages key on
+    ``canonical`` instead of ``url`` to collapse print/mobile/tracking
+    variants. Stateless projection, zero shuffles."""
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    url = F.col(url_col)
+    resolved = _resolve_href(
+        _first_tag_href(h, REL_CANONICAL_RE), url
+    )
+    canonical = F.coalesce(resolved, url)
+    return df.select(
+        F.col(id_col).alias("id"),
+        url.alias("url"),
+        canonical.alias("canonical"),
+        (canonical == url).alias("is_self"),
+    )
+
+
+def canonical_clusters(collapsed: DataFrame) -> DataFrame:
+    """(canonical, keeper_url, n_members) over :func:`canonical_collapse`
+    output — the dedup decision table (keeper = min url,
+    deterministic). One map-side-combined groupBy on the canonical key;
+    a hot canonical target is absorbed by partial aggregation."""
+    return (
+        collapsed.groupBy("canonical")
+        .agg(
+            F.min("url").alias("keeper_url"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate clusters
+# ---------------------------------------------------------------------------
+
+def hreflang_clusters(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """(id, url, cluster_id, n_alternates): language-edition clustering
+    from ``rel=alternate hreflang`` links — the crawl-side analog of the
+    reference's InterLanguageLinksExtractor sameAs graph (reference:
+    extraction/src/main/scala/org/dbpedia/extraction/mappings/
+    InterLanguageLinksExtractor.scala).
+
+    ``cluster_id`` = the bytewise-least member of the page's declared
+    alternate set (its own URL included) — under the hreflang contract
+    (every member lists the full set) all members compute the SAME id
+    with zero shuffles, no connected-components iteration. Pages whose
+    declarations disagree split into per-declaration clusters;
+    :func:`hreflang_reciprocity` surfaces those. Stateless projection.
+    """
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    tags = F.regexp_extract_all(h, F.lit(LINK_TAG_RE), F.lit(0))
+    alt = F.filter(
+        tags,
+        lambda t: t.rlike(REL_ALTERNATE_WORD_RE)
+        & t.rlike(HREFLANG_PRESENT_RE),
+    )
+    hrefs = F.filter(
+        F.transform(alt, lambda t: F.regexp_extract(t, HREF_ATTR_RE, 1)),
+        lambda x: x != "",
+    )
+    url = F.col(url_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        url.alias("url"),
+        F.least(F.array_min(hrefs), url).alias("cluster_id"),
+        F.size(hrefs).alias("n_alternates"),
+    )
+
+
+def hreflang_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, hreflang, href) — one row per declared alternate."""
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    tag = F.col("_tag")
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            F.explode(
+                F.regexp_extract_all(h, F.lit(LINK_TAG_RE), F.lit(0))
+            ).alias("_tag"),
+        )
+        .filter(
+            tag.rlike(REL_ALTERNATE_WORD_RE)
+            & tag.rlike(HREFLANG_PRESENT_RE)
+        )
+        .select(
+            "url",
+            F.lower(
+                F.regexp_extract(
+                    tag, r"""(?is)\bhreflang\s*=\s*["']([^"']+)["']""", 1
+                )
+            ).alias("hreflang"),
+            F.regexp_extract(tag, HREF_ATTR_RE, 1).alias("href"),
+        )
+        .filter(F.col("href") != "")
+    )
+
+
+def hreflang_reciprocity(edges: DataFrame) -> DataFrame:
+    """Non-reciprocal hreflang declarations: (url, href) pairs where the
+    target page does not declare the source back — the standard hreflang
+    QA check (search engines ignore one-sided annotations). One
+    self-anti-join on the (bounded-per-page) edge set; self-referential
+    rows are trivially reciprocal and excluded."""
+    fwd = edges.select("url", "href").filter(F.col("url") != F.col("href"))
+    rev = fwd.select(
+        F.col("href").alias("url"), F.col("url").alias("href")
+    )
+    return fwd.join(rev, ["url", "href"], "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# pagination chains
+# ---------------------------------------------------------------------------
+
+def pagination_chains(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(chain_id, url): group multi-page documents by following
+    ``rel=next`` links; ``chain_id`` is the chain's head (the page no
+    other page points next-to). The crawl analog of the reference's
+    multistream page reassembly (reference: core/src/main/scala/org/
+    dbpedia/extraction/sources/XMLSource.scala stitches one logical
+    article from dump stream fragments) — downstream text ops
+    concatenate members per chain_id before quality scoring so
+    paginated articles aren't judged page-by-page.
+
+    Mechanics: first rel=next href per page (absolute or root-relative)
+    → next edges; REVERSED edges feed the same pointer-doubling closure
+    the redirect resolver uses (each member chases predecessors to the
+    head in O(log chain_len) rounds; cyclic "chains" drop, exactly like
+    redirect cycles). The closure runs on the chain table (≪ corpus) —
+    the corpus itself is touched by one scan. Pages in no chain are
+    their own chain head and are NOT emitted (callers union them back
+    trivially); assumes ≤1 incoming next per page (true of real
+    pagination; a fork would duplicate membership rows).
+    """
+    h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    url = F.col(url_col)
+    nxt = _resolve_href(_first_tag_href(h, REL_NEXT_RE), url)
+    edges = (
+        df.select(url.alias("src"), nxt.alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    prev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    closure = transitive_closure(prev)  # member -> head
+    heads = (
+        closure.select(F.col("dst").alias("chain_id"))
+        .distinct()
+        .select("chain_id", F.col("chain_id").alias("url"))
+    )
+    members = closure.select(
+        F.col("dst").alias("chain_id"), F.col("src").alias("url")
+    )
+    return members.unionByName(heads)
+
+
+# ---------------------------------------------------------------------------
+# per-host politeness scheduling
+# ---------------------------------------------------------------------------
+
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """(url, host, slot, scheduled_at): assign every frontier URL a
+    per-host fetch slot honoring crawl-delay politeness — the scheduling
+    the reference's download module does with a mutex per wiki
+    (reference: download/src/main/scala/org/dbpedia/extraction/dump/
+    download/DumpDownload.scala downloads one dump per language serially),
+    generalized to per-host serial slots over a distributed frontier.
+
+    * ``host`` — lowercased authority of the URL;
+    * ``slot`` — 0-based rank within the host, highest ``priority_col``
+      first (URL as the deterministic tiebreak; pure URL order when no
+      priority column);
+    * ``scheduled_at`` — ``slot × crawl_delay(host)`` seconds from the
+      host's first fetch (``delays`` is the per-host ``(host,
+      crawl_delay)`` table from ``parse_robots``; missing hosts use
+      ``default_delay``);
+    * ``max_per_host`` — optional per-cycle cap (the crawl-budget
+      analog of ``curation.domain_cap``).
+
+    One window shuffle partitioned by host — the irreducible politeness
+    key; the window functions are single-pass so a mega-host costs one
+    linear partition, and the cap bounds what it emits. ``delays`` is
+    host-cardinality → broadcast."""
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), _SCHEME_RE + r"([^/?#]+)", 2)
+    )
+    if priority_col is not None:
+        df = frontier.select(
+            F.col(url_col).alias("url"), F.col(priority_col).alias("_prio")
+        ).withColumn("host", host)
+        order = [F.desc_nulls_last("_prio"), F.asc("url")]
+    else:
+        df = frontier.select(F.col(url_col).alias("url")).withColumn(
+            "host", host
+        )
+        order = [F.asc("url")]
+    w = Window.partitionBy("host").orderBy(*order)
+    df = df.withColumn("slot", (F.row_number().over(w) - 1).cast("bigint"))
+    if delays is not None:
+        df = df.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    else:
+        delay = F.lit(float(default_delay))
+    df = df.withColumn("scheduled_at", F.col("slot") * delay)
+    if max_per_host is not None:
+        df = df.filter(F.col("slot") < max_per_host)
+    return df.select("url", "host", "slot", "scheduled_at")

@@ -6358,3 +6358,266 @@ def q_stream_web_triples(spark, sf_dir):
 
 QUERIES.update({"stream_web_triples": q_stream_web_triples})
 ORACLES.update({"stream_web_triples": ORACLE_WEB_KG_TRIPLES})
+
+
+# --------------------------------------------------------------------------
+# Crawl-index wave: SURT/CDX records, canonical + hreflang collapse,
+# pagination chains, per-host politeness scheduling, feed parsing.
+# --------------------------------------------------------------------------
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX record generation (operators/webarchive.cdx_index): SURT key
+    (case-fold, www/default-port strip, label reversal, tracking-param
+    drop + bytewise query sort), 14-digit timestamp, mime sniff, md5
+    digest, byte length — closed-form oracle (the SURT of the injected
+    URL is string-arithmetic derivable; hostile forms are pinned by
+    tests/test_webarchive.py)."""
+    from ..operators.webarchive import cdx_index
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    pages = docs.select(
+        F.concat(F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".Example.COM:443/p/"), d,
+                 F.lit("?utm_source=x&b=2&a=1#f")).alias("url"),
+        F.lit("2024-01-02 03:04:05").cast("timestamp").alias("warc_ts"),
+        F.concat(F.lit("<p>doc "), d, F.lit("</p>")).alias("html"),
+    )
+    return cdx_index(pages)
+
+
+ORACLE_CDX_INDEX = """
+SELECT 'com,example,site' || (doc_id % 7) || ')/p/' || doc_id ||
+         '?a=1&b=2' AS surt,
+       '20240102030405' AS ts,
+       'HTTPS://WWW.Site' || (doc_id % 7) || '.Example.COM:443/p/' ||
+         doc_id || '?utm_source=x&b=2&a=1#f' AS url,
+       'text/html' AS mime,
+       cast(200 AS int) AS status,
+       md5('<p>doc ' || doc_id || '</p>') AS digest,
+       cast(strlen('<p>doc ' || doc_id || '</p>') AS bigint) AS length
+FROM documents
+"""
+
+
+def q_canonical_collapse(spark, sf_dir):
+    """rel=canonical collapse (operators/webarchive.canonical_collapse):
+    absolute canonical (pages collapse in groups of 3), root-relative
+    resolved against the page origin, tag-less pages self-canonical.
+    First-wins / non-http / dotted-relative behavior is pinned by
+    tests/test_webarchive.py."""
+    from ..operators.webarchive import canonical_collapse
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://h"), (d % 4).cast("string"),
+                   F.lit(".example/p/"), ds)
+    html = (
+        F.when(d % 3 == 0, F.lit("<p>none</p>"))
+        .when(d % 9 == 1, F.lit('<link rel="canonical" href="/base"><p>x</p>'))
+        .otherwise(F.concat(
+            F.lit('<link rel="canonical" href="https://c.example/'),
+            (d - d % 3).cast("string"), F.lit('"><p>x</p>'),
+        ))
+    )
+    out = canonical_collapse(
+        docs.select("doc_id", url.alias("url"), html.alias("html")),
+        id_col="doc_id",
+    )
+    return out.select(F.col("id").alias("doc_id"), "url", "canonical",
+                      "is_self")
+
+
+ORACLE_CANONICAL_COLLAPSE = """
+WITH base AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 4) || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       CASE WHEN doc_id % 3 = 0 THEN url
+            WHEN doc_id % 9 = 1
+              THEN 'https://h' || (doc_id % 4) || '.example/base'
+            ELSE 'https://c.example/' || (doc_id - doc_id % 3)
+       END AS canonical,
+       doc_id % 3 = 0 AS is_self
+FROM base
+"""
+
+
+def q_hreflang_clusters(spark, sf_dir):
+    """hreflang alternate clustering (operators/webarchive.
+    hreflang_clusters): two alternate declarations per page (attribute
+    order and case varied, one multi-valued rel), cluster id = bytewise-
+    least member of the declared set — identical for every member, zero
+    shuffles; alternate-without-hreflang exclusion pinned by
+    tests/test_webarchive.py."""
+    from ..operators.webarchive import hreflang_clusters
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    g = (d - d % 2).cast("string")
+    url = F.concat(F.lit("https://z.example/"), d.cast("string"))
+    html = F.when(d % 5 == 0, F.lit("<p>no alts</p>")).otherwise(F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="https://a.example/'),
+        g, F.lit('/en"><link hreflang="DE" rel="alternate nofollow" '
+                 'href="https://a.example/'), g, F.lit('/de">'),
+    ))
+    out = hreflang_clusters(
+        docs.select("doc_id", url.alias("url"), html.alias("html")),
+        id_col="doc_id",
+    )
+    return out.select(F.col("id").alias("doc_id"), "url", "cluster_id",
+                      F.col("n_alternates").cast("int").alias("n_alternates"))
+
+
+ORACLE_HREFLANG_CLUSTERS = """
+SELECT doc_id,
+       'https://z.example/' || doc_id AS url,
+       CASE WHEN doc_id % 5 = 0 THEN 'https://z.example/' || doc_id
+            ELSE 'https://a.example/' || (doc_id - doc_id % 2) || '/de'
+       END AS cluster_id,
+       cast(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 END AS int)
+         AS n_alternates
+FROM documents
+"""
+
+
+def q_pagination_chains(spark, sf_dir):
+    """rel=next chain assembly (operators/webarchive.pagination_chains):
+    pages form chains of 4 (head = doc_id - doc_id%4) via the reversed-
+    edge pointer-doubling closure; every page is emitted with its chain
+    head. Cycle-drop / standalone / root-relative behavior pinned by
+    tests/test_webarchive.py."""
+    from ..operators.webarchive import pagination_chains
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://p.example/"), d.cast("string"))
+    html = F.when(d % 4 < 3, F.concat(
+        F.lit('<link rel="next" href="https://p.example/'),
+        (d + 1).cast("string"), F.lit('">'),
+    )).otherwise(F.lit("<p>end</p>"))
+    return pagination_chains(
+        docs.select(url.alias("url"), html.alias("html"))
+    )
+
+
+ORACLE_PAGINATION_CHAINS = """
+SELECT 'https://p.example/' || (doc_id - doc_id % 4) AS chain_id,
+       'https://p.example/' || doc_id AS url
+FROM documents
+"""
+
+
+def q_fetch_schedule(spark, sf_dir):
+    """Per-host politeness scheduling (operators/webarchive.
+    fetch_schedule): slot = priority-then-URL rank within host,
+    scheduled_at = slot x robots crawl-delay (host-keyed broadcast
+    join; one host missing from the delay table exercises the
+    default)."""
+    from ..operators.webarchive import fetch_schedule
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("https://h"), (d % 5).cast("string"),
+                 F.lit(".example/p/"), d.cast("string")).alias("url"),
+        (d % 7).cast("double").alias("prio"),
+    )
+    delays = spark.range(4).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        ((F.col("id") + 1).cast("double") * F.lit(0.5))
+        .alias("crawl_delay"),
+    )
+    return fetch_schedule(frontier, delays, priority_col="prio",
+                          default_delay=1.0)
+
+
+ORACLE_FETCH_SCHEDULE = """
+WITH f AS (
+  SELECT 'https://h' || (doc_id % 5) || '.example/p/' || doc_id AS url,
+         'h' || (doc_id % 5) || '.example' AS host,
+         cast(doc_id % 7 AS double) AS prio,
+         doc_id % 5 AS hk
+  FROM documents
+), s AS (
+  SELECT url, host,
+         cast(row_number() OVER (PARTITION BY host
+                                 ORDER BY prio DESC, url) - 1 AS bigint)
+           AS slot,
+         CASE WHEN hk < 4 THEN cast(hk + 1 AS double) * cast(0.5 AS double)
+              ELSE cast(1.0 AS double) END AS delay
+  FROM f
+)
+SELECT url, host, slot, slot * delay AS scheduled_at FROM s
+"""
+
+
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed parsing (sources/feeds.parse_feeds): even docs get
+    an RSS feed (CDATA title, whitespace-padded link, a link-less item
+    occupying an index but dropped), odd docs an Atom feed (href-
+    attribute link, self-closing); closed-form oracle by parity."""
+    from ..sources.feeds import parse_feeds
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title><![CDATA[T"), ds,
+        F.lit("]]></title><link> https://f.example/"), ds,
+        F.lit("/1 </link><guid>g"), ds,
+        F.lit("</guid><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>"
+              "</item><item><title>nolink</title></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><entry><title>A"), ds,
+        F.lit('</title><link rel="alternate" href="https://f.example/'), ds,
+        F.lit('/a"/><id>urn:'), ds,
+        F.lit("</id><updated>2024-01-01T00:00:00Z</updated></entry></feed>"),
+    )
+    feeds = docs.select(
+        "doc_id",
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("xml"),
+    )
+    out = parse_feeds(feeds, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "kind", "entry_idx",
+                      "title", "link", "entry_id", "ts_raw")
+
+
+ORACLE_FEED_ENTRIES = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       cast(0 AS int) AS entry_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'T' || doc_id
+            ELSE 'A' || doc_id END AS title,
+       CASE WHEN doc_id % 2 = 0 THEN 'https://f.example/' || doc_id || '/1'
+            ELSE 'https://f.example/' || doc_id || '/a' END AS link,
+       CASE WHEN doc_id % 2 = 0 THEN 'g' || doc_id
+            ELSE 'urn:' || doc_id END AS entry_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'Mon, 01 Jan 2024 00:00:00 GMT'
+            ELSE '2024-01-01T00:00:00Z' END AS ts_raw
+FROM documents
+"""
+
+
+QUERIES.update({
+    "cdx_index": q_cdx_index,
+    "canonical_collapse": q_canonical_collapse,
+    "hreflang_clusters": q_hreflang_clusters,
+    "pagination_chains": q_pagination_chains,
+    "fetch_schedule": q_fetch_schedule,
+    "feed_entries": q_feed_entries,
+})
+ORACLES.update({
+    "cdx_index": ORACLE_CDX_INDEX,
+    "canonical_collapse": ORACLE_CANONICAL_COLLAPSE,
+    "hreflang_clusters": ORACLE_HREFLANG_CLUSTERS,
+    "pagination_chains": ORACLE_PAGINATION_CHAINS,
+    "fetch_schedule": ORACLE_FETCH_SCHEDULE,
+    "feed_entries": ORACLE_FEED_ENTRIES,
+})

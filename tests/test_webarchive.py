@@ -1,0 +1,251 @@
+"""Crawl-index operators (operators/webarchive.py) and feed parsing
+(sources/feeds.py): SURT/CDX, canonical collapse, hreflang clusters,
+pagination chains, politeness scheduling, RSS/Atom entries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators.webarchive import (
+    canonical_clusters,
+    canonical_collapse,
+    cdx_index,
+    fetch_schedule,
+    hreflang_clusters,
+    hreflang_edges,
+    hreflang_reciprocity,
+    pagination_chains,
+    surt_key,
+    write_cdx,
+)
+from distributed_extraction_framework_spark.sources.feeds import parse_feeds
+
+
+def _surts(spark, *urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["s"] for r in
+            df.select(surt_key(F.col("url")).alias("s")).collect()]
+
+
+def test_surt_key_forms(spark):
+    got = _surts(
+        spark,
+        "HTTPS://WWW.A.Example.COM:443/P/q?utm_source=x&b=2&a=1#f",
+        "http://example.com:8080",
+        "https://example.com/?utm_campaign=z&gclid=1",
+        "no-scheme.example/path",
+        "https://example.com:8443/x",
+    )
+    # case-folded host, www/default-port stripped, labels reversed,
+    # PATH case kept, tracking params dropped, survivors sorted
+    assert got[0] == "com,example,a)/P/q?a=1&b=2"
+    # non-default port kept after the reversed host; empty path -> /
+    assert got[1] == "com,example:8080)/"
+    # all params tracking -> no '?'
+    assert got[2] == "com,example)/"
+    # scheme-less input stays total: whole prefix is the authority
+    assert got[3] == "example,no-scheme)/path"
+    # non-default port on https kept
+    assert got[4] == "com,example:8443)/x"
+
+
+def test_surt_key_idempotent_on_canonical_urls(spark):
+    one = _surts(spark, "https://b.example/x?b=2&a=1")
+    two = _surts(spark, "https://b.example/x?a=1&b=2")
+    assert one == two == ["example,b)/x?a=1&b=2"]
+
+
+def test_cdx_index_sniff_digest_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("https://www.e.example/a", "2024-03-04 05:06:07",
+          "<html>x</html>", 301),
+         ("https://e.example/b", "2024-03-04 05:06:08", "plain", 200),
+         ("https://e.example/c", "2024-03-04 05:06:09", None, 200)],
+        "url string, warc_ts string, html string, http_status int",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    rows = {r["url"]: r for r in
+            cdx_index(df, status_col="http_status").collect()}
+    a = rows["https://www.e.example/a"]
+    assert (a["surt"], a["ts"], a["mime"], a["status"], a["length"]) == (
+        "example,e)/a", "20240304050607", "text/html", 301, 14)
+    assert rows["https://e.example/b"]["mime"] == "text/plain"
+    c = rows["https://e.example/c"]          # null payload -> empty-bytes row
+    assert (c["length"], c["mime"]) == (0, "text/plain")
+    import hashlib
+    assert c["digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_write_cdx_global_order(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame(
+        [(f"https://h{i % 7}.example/p/{i}",
+          "2024-01-01 00:00:00", f"<p>{i}</p>")
+         for i in range(200)],
+        "url string, warc_ts string, html string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = str(tmp_path / "cdx")
+    write_cdx(cdx_index(df), out, num_files=4)
+    lines = []
+    for part in sorted(glob.glob(out + "/part-*")):
+        with open(part) as fh:
+            lines += [ln.rstrip("\n") for ln in fh]
+    assert len(lines) == 200
+    keys = [tuple(ln.split(" ", 2)[:2]) for ln in lines]
+    assert keys == sorted(keys)   # globally ordered across part files
+
+
+def test_canonical_collapse_rules(spark):
+    rows = [
+        # first canonical wins over a later one
+        (0, "https://s.example/a",
+         '<link rel="canonical" href="https://c.example/1">'
+         '<link rel="canonical" href="https://c.example/2">'),
+        # root-relative resolves against the page origin
+        (1, "https://s.example:8080/b",
+         "<link rel='canonical' href='/base'>"),
+        # protocol-relative / non-http / dotted-relative -> self
+        (2, "https://s.example/c",
+         '<link rel="canonical" href="//cdn.example/x">'),
+        (3, "https://s.example/d",
+         '<link rel="canonical" href="ftp://f.example/x">'),
+        (4, "https://s.example/e",
+         '<link rel="canonical" href="sub/page">'),
+        # no canonical tag -> self
+        (5, "https://s.example/f", "<p>none</p>"),
+        (6, "https://s.example/g", None),
+    ]
+    df = spark.createDataFrame(rows, "page_id long, url string, html string")
+    got = {r["id"]: (r["canonical"], r["is_self"])
+           for r in canonical_collapse(df).collect()}
+    assert got[0] == ("https://c.example/1", False)
+    assert got[1] == ("https://s.example:8080/base", False)
+    for i in (2, 3, 4, 5, 6):
+        assert got[i] == (rows[i][1], True)
+    cl = {r["canonical"]: (r["keeper_url"], r["n_members"])
+          for r in canonical_clusters(canonical_collapse(df)).collect()}
+    assert cl["https://c.example/1"] == ("https://s.example/a", 1)
+
+
+def test_hreflang_clusters_and_reciprocity(spark):
+    alt = (
+        '<link rel="alternate" hreflang="en" href="https://a.example/en">'
+        '<link hreflang="DE" rel="alternate nofollow" '
+        'href="https://a.example/de">'
+    )
+    rows = [
+        ("https://a.example/en", alt),
+        ("https://a.example/de", alt),
+        # alternate WITHOUT hreflang (an RSS autodiscovery link) ignored
+        ("https://b.example/solo",
+         '<link rel="alternate" href="https://b.example/feed.xml">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    df = df.withColumn("page_id", F.xxhash64("url"))
+    got = {r["url"]: (r["cluster_id"], r["n_alternates"])
+           for r in hreflang_clusters(df).collect()}
+    # both members compute the SAME cluster id, with zero shuffles
+    assert got["https://a.example/en"] == ("https://a.example/de", 2)
+    assert got["https://a.example/de"] == ("https://a.example/de", 2)
+    assert got["https://b.example/solo"] == ("https://b.example/solo", 0)
+    edges = hreflang_edges(df)
+    assert edges.count() == 4
+    assert {r["hreflang"] for r in edges.collect()} == {"en", "de"}
+    # one-sided declaration: /en lists /fr but /fr doesn't exist
+    oneside = spark.createDataFrame(
+        [("https://a.example/en", "fr", "https://a.example/fr"),
+         ("https://a.example/en", "de", "https://a.example/de"),
+         ("https://a.example/de", "en", "https://a.example/en")],
+        "url string, hreflang string, href string",
+    )
+    bad = {(r["url"], r["href"])
+           for r in hreflang_reciprocity(oneside).collect()}
+    assert bad == {("https://a.example/en", "https://a.example/fr")}
+
+
+def test_pagination_chains(spark):
+    def page(u, nxt=None):
+        h = f'<link rel="next" href="{nxt}">' if nxt else "<p>end</p>"
+        return (u, h)
+
+    rows = [
+        page("https://p/1", "https://p/2"),
+        page("https://p/2", "https://p/3"),
+        page("https://p/3"),
+        # a 2-cycle must drop, like redirect cycles
+        page("https://c/1", "https://c/2"),
+        page("https://c/2", "https://c/1"),
+        # standalone page: not emitted
+        page("https://s/1"),
+        # root-relative next resolves against the origin
+        page("https://q.example/a", "/b"),
+        page("https://q.example/b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {(r["chain_id"], r["url"])
+           for r in pagination_chains(df).collect()}
+    assert got == {
+        ("https://p/1", "https://p/1"),
+        ("https://p/1", "https://p/2"),
+        ("https://p/1", "https://p/3"),
+        ("https://q.example/a", "https://q.example/a"),
+        ("https://q.example/a", "https://q.example/b"),
+    }
+
+
+def test_fetch_schedule(spark):
+    frontier = spark.createDataFrame(
+        [(f"https://h{i % 2}.example/p/{i}", float(i % 3))
+         for i in range(6)],
+        "url string, prio double",
+    )
+    delays = spark.createDataFrame(
+        [("h0.example", 2.0)], "host string, crawl_delay double"
+    )
+    got = {r["url"]: (r["host"], r["slot"], r["scheduled_at"])
+           for r in fetch_schedule(frontier, delays,
+                                   priority_col="prio").collect()}
+    # h0: ids 0,2,4 with prio 0,2,1 -> order 2,4,0; delay 2.0
+    assert got["https://h0.example/p/2"] == ("h0.example", 0, 0.0)
+    assert got["https://h0.example/p/4"] == ("h0.example", 1, 2.0)
+    assert got["https://h0.example/p/0"] == ("h0.example", 2, 4.0)
+    # h1 missing from delays -> default 1.0
+    assert got["https://h1.example/p/1"][2] == got["https://h1.example/p/1"][1] * 1.0
+    capped = fetch_schedule(frontier, delays, priority_col="prio",
+                            max_per_host=2)
+    assert capped.count() == 4
+    assert capped.groupBy("host").count().agg(
+        F.max("count")).collect()[0][0] == 2
+
+
+def test_parse_feeds(spark):
+    rss = (
+        "<rss><channel>"
+        "<item><title><![CDATA[Hello & Co]]></title>"
+        "<link> https://f/1 </link><guid isPermaLink=\"false\">g1</guid>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title>no link</title></item>"
+        "<item><title>t3</title><link>https://f/3</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        "<feed><entry><title>A1</title>"
+        '<link rel="alternate" href="https://g/1"/>'
+        "<id>urn:1</id><updated>2024-01-01T00:00:00Z</updated></entry>"
+        "<entry><title>A2</title><link href='https://g/2'/></entry>"
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [(0, rss), (1, atom), (2, None)], "feed_id long, xml string"
+    )
+    got = {(r["id"], r["kind"], r["entry_idx"]):
+           (r["title"], r["link"], r["entry_id"], r["ts_raw"])
+           for r in parse_feeds(df).collect()}
+    assert got[(0, "rss", 0)] == ("Hello & Co", "https://f/1", "g1",
+                                  "Mon, 01 Jan 2024 00:00:00 GMT")
+    # the link-less item occupies index 1 but is dropped
+    assert got[(0, "rss", 2)] == ("t3", "https://f/3", None, None)
+    assert got[(1, "atom", 0)] == ("A1", "https://g/1", "urn:1",
+                                   "2024-01-01T00:00:00Z")
+    assert got[(1, "atom", 1)] == ("A2", "https://g/2", None, None)
+    assert len(got) == 4
