@@ -282,7 +282,8 @@ def main() -> None:
         lambda: _sink(Q.q_webkg_pipeline(spark, SF_DIR)),
     )
     for _name in ("cdx_index", "canonical_collapse", "hreflang_clusters",
-                  "pagination_chains", "fetch_schedule", "feed_entries"):
+                  "pagination_chains", "fetch_schedule", "feed_entries",
+                  "recrawl_diff", "frontier_novel"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     out = {

@@ -12,9 +12,11 @@ dump file by (lang, date) the way a CDX index locates a capture by
 Everything here is pure Catalyst — whole-stage codegen scans, zero
 Python; the only shuffles are the irreducible keyed ones
 (:func:`fetch_schedule`'s per-host window, :func:`canonical_clusters`'
-groupBy, :func:`pagination_chains`' chain-sized closure) and each is on
-a key whose group size is bounded by a single host/chain, not the
-corpus. Regexes stay in the Java∩RE2 subset (no lookaround, no pattern
+groupBy, :func:`pagination_chains`' chain-sized closure,
+:func:`recrawl_diff`'s co-partitioned set-diff join, and
+:func:`frontier_novel`'s tier-2 anti-join over the bucket-filter
+survivors only) and each is on a key whose group size is bounded by a
+single host/chain/URL, not the corpus. Regexes stay in the Java∩RE2 subset (no lookaround, no pattern
 backrefs) so DuckDB oracles can replay identical semantics.
 
 Scale notes (10^12 pages):
@@ -455,3 +457,84 @@ def fetch_schedule(
     if max_per_host is not None:
         df = df.filter(F.col("slot") < max_per_host)
     return df.select("url", "host", "slot", "scheduled_at")
+
+
+# ---------------------------------------------------------------------------
+# recrawl diff + frontier novelty
+# ---------------------------------------------------------------------------
+
+def recrawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """(key, change, old_digest, new_digest): classify every URL across
+    two crawl snapshots as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by payload digest — CDX revisit detection across
+    crawls, and the crawl-side analog of the wiki incremental extract
+    (operators/delta.quad_diff diffs the EMITTED triples of two dumps;
+    this diffs the CAPTURES so only changed pages re-enter extraction).
+
+    One full-outer equi-join on the capture key: both sides shuffle on
+    the same key (co-partitioned — one exchange each, no residual), and
+    at 10^12 captures the join is the minimal possible data movement
+    for a set diff. Inputs must be 1 row per key (use
+    ``scrub.latest_capture`` first on multi-capture snapshots)."""
+    o = old.select(F.col(key_col).alias("key"),
+                   F.col(digest_col).alias("old_digest"))
+    n = new.select(F.col(key_col).alias("key"),
+                   F.col(digest_col).alias("new_digest"))
+    j = o.join(n, "key", "full_outer")
+    change = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("key", change.alias("change"), "old_digest",
+                    "new_digest")
+
+
+def frontier_novel(
+    frontier: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    filter_buckets: int = 1 << 22,
+) -> DataFrame:
+    """Frontier rows whose URL is NOT in ``seen`` — EXACT semantics with
+    a probabilistic pre-filter doing the heavy lifting (the only
+    workable shape when ``seen`` is 10^12 URLs and the frontier
+    re-discovers almost all of them every cycle).
+
+    Tier 1 is a single-hash Bloom-style bucket filter built as plain
+    DataFrames (Spark's ``bloom_filter_agg`` is not SQL-registered, and
+    a distinct-bucket table gets the same no-false-negative guarantee
+    inside Catalyst): ``distinct(xxhash64(url) % filter_buckets)`` over
+    ``seen`` — AT MOST ``filter_buckets`` longs regardless of history
+    size (map-side partial distinct bounds the shuffle the same way) —
+    broadcasts to the frontier scan, and URLs whose bucket is absent
+    are DEFINITELY novel: they pass through a map-only anti-join
+    without ever shuffling. Tier 2 confirms the bucket-hit survivors
+    (≈ fpp · |frontier| + |truly seen ∩ frontier|, with
+    fpp ≈ |seen|/filter_buckets for a k=1 filter) by an exact left-anti
+    equi-join — the only place frontier rows shuffle.
+
+    The result is exact for ANY ``filter_buckets``; sizing only moves
+    rows between tiers. The frontier is scanned twice (once per tier)
+    — at crawl scale that is the winning trade against shuffling the
+    entire frontier, and callers looping per-cycle can ``.persist()``
+    the frontier first. At extreme history size, shard ``seen`` and
+    intersect bucket tables per shard; each stays broadcast-sized.
+    """
+    m = int(filter_buckets)
+    b = F.pmod(F.xxhash64(F.col(url_col)), F.lit(m))
+    buckets = seen.select(b.alias("_b")).distinct()
+    tagged = frontier.withColumn("_b", b)
+    sure = tagged.join(F.broadcast(buckets), "_b", "left_anti").drop("_b")
+    maybe = tagged.join(F.broadcast(buckets), "_b", "left_semi").drop("_b")
+    confirmed = maybe.join(
+        seen.select(F.col(url_col).alias(url_col)), url_col, "left_anti"
+    )
+    return sure.unionByName(confirmed)

@@ -6621,3 +6621,84 @@ ORACLES.update({
     "fetch_schedule": ORACLE_FETCH_SCHEDULE,
     "feed_entries": ORACLE_FEED_ENTRIES,
 })
+
+
+def q_recrawl_diff(spark, sf_dir):
+    """Capture diff across two crawl snapshots (operators/webarchive.
+    recrawl_diff): co-partitioned full-outer join on the capture key
+    classifying added / removed / changed / unchanged by payload digest
+    — doc_id%5==0 vanishes from the new crawl, %3==0 survivors change
+    payload, %7==0 contributes brand-new URLs."""
+    from ..operators.webarchive import recrawl_diff
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://r.example/"), ds)
+    old = docs.select(url.alias("url"),
+                      F.md5(F.concat(F.lit("v"), ds)).alias("digest"))
+    new = docs.filter(d % 5 != 0).select(
+        url.alias("url"),
+        F.md5(F.concat(
+            F.when(d % 3 == 0, F.lit("w")).otherwise(F.lit("v")), ds
+        )).alias("digest"),
+    ).unionByName(docs.filter(d % 7 == 0).select(
+        F.concat(F.lit("https://r.example/x"), ds).alias("url"),
+        F.md5(F.concat(F.lit("x"), ds)).alias("digest"),
+    ))
+    return recrawl_diff(old, new)
+
+
+ORACLE_RECRAWL_DIFF = """
+SELECT 'https://r.example/' || doc_id AS key,
+       CASE WHEN doc_id % 5 = 0 THEN 'removed'
+            WHEN doc_id % 3 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       md5('v' || doc_id) AS old_digest,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN md5('w' || doc_id)
+            ELSE md5('v' || doc_id) END AS new_digest
+FROM documents
+UNION ALL
+SELECT 'https://r.example/x' || doc_id, 'added', NULL, md5('x' || doc_id)
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def q_frontier_novel(spark, sf_dir):
+    """Frontier novelty with the bucket pre-filter (operators/
+    webarchive.frontier_novel): seen = every 3rd URL; the filter is
+    deliberately small (4096 buckets for ~167 seen) so tier 2 handles
+    real false positives — the result must equal the exact anti-join
+    regardless (saturation-exactness also pinned by
+    tests/test_webarchive.py)."""
+    from ..operators.webarchive import frontier_novel
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("https://n.example/"), d.cast("string"))
+        .alias("url"),
+        (d % 9).cast("int").alias("depth"),
+    )
+    seen = docs.filter(d % 3 == 0).select(
+        F.concat(F.lit("https://n.example/"), d.cast("string")).alias("url")
+    )
+    return frontier_novel(frontier, seen, filter_buckets=4096)
+
+
+ORACLE_FRONTIER_NOVEL = """
+SELECT 'https://n.example/' || doc_id AS url,
+       cast(doc_id % 9 AS int) AS depth
+FROM documents WHERE doc_id % 3 <> 0
+"""
+
+
+QUERIES.update({
+    "recrawl_diff": q_recrawl_diff,
+    "frontier_novel": q_frontier_novel,
+})
+ORACLES.update({
+    "recrawl_diff": ORACLE_RECRAWL_DIFF,
+    "frontier_novel": ORACLE_FRONTIER_NOVEL,
+})

@@ -61,6 +61,11 @@ class WebKGConfig:
     output_formats: dict | None = None
     url_col: str = "url"
     skolem_base: str = "https://defs.invalid"
+    # write a globally-ordered CDX capture index of the INPUT (all
+    # captures, redirects included — an archive index covers what was
+    # fetched, not what survived collapse) as a resumable stage
+    cdx: bool = False
+    cdx_files: int = 32
     extra: dict = field(default_factory=dict)
 
 
@@ -118,6 +123,24 @@ class WebKGPipeline(Pipeline):
         cur = pages
         if "page_id" not in cur.columns:
             cur = cur.withColumn("page_id", F.xxhash64(cfg.url_col))
+
+        if cfg.cdx and not self._lineage_complete("cdx", fp):
+            from ..operators.webarchive import cdx_index, write_cdx
+
+            t0 = time.time()
+            recs = cdx_index(
+                pages, url_col=cfg.url_col,
+                status_col="http_status"
+                if "http_status" in pages.columns else None,
+            )
+            path = self._stage_path("cdx")
+            write_cdx(recs, path, num_files=cfg.cdx_files)
+            # line-count the written text (one cheap output scan) rather
+            # than re-scanning + re-projecting the input
+            n_cdx = self.spark.read.text(path).count()
+            self._record("cdx", "all", n_cdx,
+                         int((time.time() - t0) * 1000), fp)
+            self._flush_lineage()
 
         if cfg.latest_only:
             def build_latest() -> DataFrame:

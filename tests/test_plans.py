@@ -323,3 +323,51 @@ def test_rdfs_entailment_rules_are_broadcast_joins(spark):
     plan = _plan(rdfs_entailment(quads, subclass=sc, domains=dom))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_crawl_index_ops_are_shuffle_free(spark):
+    """The per-page crawl-index projections (CDX records, canonical
+    collapse, hreflang clustering, feed parsing) must stay single-stage:
+    zero Exchanges, zero Python."""
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        canonical_collapse,
+        cdx_index,
+        hreflang_clusters,
+    )
+    from distributed_extraction_framework_spark.sources.feeds import (
+        parse_feeds,
+    )
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/x", "2024-01-01 00:00:00",
+          '<link rel="canonical" href="/c">')],
+        "page_id long, url string, warc_ts string, html string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    feeds = pages.select(F.col("page_id").alias("feed_id"),
+                         F.col("html").alias("xml"))
+    for df in (cdx_index(pages), canonical_collapse(pages),
+               hreflang_clusters(pages), parse_feeds(feeds)):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
+
+
+def test_fetch_schedule_one_shuffle_and_broadcast_delays(spark):
+    """fetch_schedule: exactly ONE data shuffle (the per-host window
+    partitioning — the irreducible politeness key) and the delay table
+    joins as a broadcast, never a shuffled join."""
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        fetch_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/{i}", float(i)) for i in range(30)],
+        "url string, prio double",
+    )
+    delays = spark.createDataFrame(
+        [("h0.example", 2.0)], "host string, crawl_delay double"
+    )
+    plan = _plan(fetch_schedule(frontier, delays, priority_col="prio"))
+    assert len(re.findall(r"Exchange hashpartitioning\(host", plan)) == 1
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

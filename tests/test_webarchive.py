@@ -249,3 +249,49 @@ def test_parse_feeds(spark):
                                    "2024-01-01T00:00:00Z")
     assert got[(1, "atom", 1)] == ("A2", "https://g/2", None, None)
     assert len(got) == 4
+
+
+def test_recrawl_diff_classes(spark):
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")],
+        "url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")],
+        "url string, digest string",
+    )
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        recrawl_diff,
+    )
+
+    got = {r["key"]: (r["change"], r["old_digest"], r["new_digest"])
+           for r in recrawl_diff(old, new).collect()}
+    assert got == {
+        "u1": ("unchanged", "d1", "d1"),
+        "u2": ("changed", "d2", "dX"),
+        "u3": ("removed", "d3", None),
+        "u4": ("added", None, "d4"),
+    }
+
+
+def test_frontier_novel_exact_even_with_tiny_bloom(spark):
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        frontier_novel,
+    )
+
+    frontier = spark.createDataFrame(
+        [(f"https://f.example/{i}", i) for i in range(300)],
+        "url string, depth int",
+    )
+    seen = spark.createDataFrame(
+        [(f"https://f.example/{i}",) for i in range(0, 300, 3)],
+        "url string",
+    )
+    # a deliberately saturated filter (8 buckets for 100 items) floods
+    # tier 2 with false positives — the result must STILL be exact
+    got = frontier_novel(frontier, seen, filter_buckets=8)
+    want = frontier.join(seen, "url", "left_anti")
+    assert got.count() == want.count() == 200
+    assert got.exceptAll(want).count() == 0
+    # non-url columns ride through both tiers
+    assert set(got.columns) == {"url", "depth"}

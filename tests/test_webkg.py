@@ -104,3 +104,30 @@ def test_webkg_empty_stage_and_resume(spark, tmp_path):
     assert out2["web_triples_resolved"].columns == [
         "id", "subj", "pred", "obj", "obj_kind", "url",
     ][:len(out2["web_triples_resolved"].columns)]
+
+
+def test_webkg_cdx_stage_and_resume(spark, tmp_path):
+    import glob
+
+    wh = str(tmp_path / "wh")
+    cfg = WebKGConfig(warehouse=wh, cdx=True, cdx_files=2,
+                      output_formats=None)
+    WebKGPipeline(spark, cfg).run(_pages(spark))
+    parts = sorted(glob.glob(wh + "/cdx/part-*"))
+    lines = [ln for p in parts for ln in open(p).read().splitlines()]
+    assert len(lines) == 8                     # ALL captures, 301s included
+    keys = [tuple(ln.split(" ", 2)[:2]) for ln in lines]
+    assert keys == sorted(keys)                # globally ordered shards
+    # redirect captures carry their status and the empty-payload digest
+    import hashlib
+    redirs = [ln for ln in lines if " 301 " in ln]
+    assert len(redirs) == 2
+    assert all(hashlib.md5(b"").hexdigest() in ln for ln in redirs)
+    # second run resumes the cdx stage too (one lineage run per stage)
+    WebKGPipeline(spark, cfg).run(_pages(spark))
+    lin = spark.read.parquet(wh + "/lineage")
+    runs = {r["stage"]: r["n"] for r in lin.groupBy("stage")
+            .agg(F.countDistinct("run_id").alias("n")).collect()}
+    assert runs["cdx"] == 1
+    cdx_rows = lin.filter("stage = 'cdx'").collect()
+    assert len(cdx_rows) == 1 and cdx_rows[0]["n_rows"] == 8
