@@ -6702,3 +6702,61 @@ ORACLES.update({
     "recrawl_diff": ORACLE_RECRAWL_DIFF,
     "frontier_novel": ORACLE_FRONTIER_NOVEL,
 })
+
+
+def q_webkg_incremental(spark, sf_dir):
+    """Incremental KG maintenance (plans/webkg.incremental_web_triples):
+    v1 triples patched to crawl v2 — doc_id%5==0 pages vanish, %3==0
+    survivors change their outlink, %7==0 adds new pages — and the gate
+    oracle is the FULL v2 extraction recomputed closed-form, so the
+    hash asserts the invariant: patch(old, diff) == recompute(v2),
+    while only the changed slice went through extraction."""
+    from ..operators.structured_data import web_page_triples
+    from .webkg import incremental_web_triples
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(F.lit("https://i.example/"), ds)
+
+    def html(target):
+        return F.concat(
+            F.lit('<a href="https://t.example/'), target,
+            F.lit('">x</a><meta property="og:k" content="c'),
+            (d % 3).cast("string"), F.lit('">'),
+        )
+
+    v1 = docs.select(url.alias("url"), html(ds).alias("html"))
+    v2 = docs.filter(d % 5 != 0).select(
+        url.alias("url"),
+        html(F.when(d % 3 == 0, (d + 7).cast("string")).otherwise(ds))
+        .alias("html"),
+    ).unionByName(docs.filter(d % 7 == 0).select(
+        F.concat(F.lit("https://i.example/x"), ds).alias("url"),
+        F.concat(F.lit('<a href="https://t.example/x'), ds,
+                 F.lit('">y</a>')).alias("html"),
+    ))
+    old = web_page_triples(v1, id_col="url")
+    return incremental_web_triples(old, v1, v2)
+
+
+ORACLE_WEBKG_INCREMENTAL = """
+WITH s AS (
+  SELECT doc_id, 'https://i.example/' || doc_id AS u
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT u AS id, u AS subj, 'links_to' AS pred,
+       'https://t.example/' ||
+         (CASE WHEN doc_id % 3 = 0 THEN doc_id + 7 ELSE doc_id END) AS obj,
+       'uri' AS obj_kind
+FROM s
+UNION ALL SELECT u, u, 'og:k', 'c' || (doc_id % 3), 'literal' FROM s
+UNION ALL
+SELECT 'https://i.example/x' || doc_id, 'https://i.example/x' || doc_id,
+       'links_to', 'https://t.example/x' || doc_id, 'uri'
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+QUERIES.update({"webkg_incremental": q_webkg_incremental})
+ORACLES.update({"webkg_incremental": ORACLE_WEBKG_INCREMENTAL})

@@ -131,3 +131,43 @@ def test_webkg_cdx_stage_and_resume(spark, tmp_path):
     assert runs["cdx"] == 1
     cdx_rows = lin.filter("stage = 'cdx'").collect()
     assert len(cdx_rows) == 1 and cdx_rows[0]["n_rows"] == 8
+
+
+def test_incremental_web_triples_patches_not_reextracts(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (  # noqa: E501
+        web_page_triples,
+    )
+    from distributed_extraction_framework_spark.plans.webkg import (
+        incremental_web_triples,
+    )
+
+    def pg(u, target):
+        return (u, f'<a href="https://t/{target}">x</a>'.encode())
+
+    # html as BINARY — the input_hint crawl schema
+    v1 = spark.createDataFrame(
+        [pg("https://w/keep", "k"), pg("https://w/change", "old"),
+         pg("https://w/drop", "d")],
+        "url string, html binary",
+    )
+    v2 = spark.createDataFrame(
+        [pg("https://w/keep", "k"), pg("https://w/change", "new"),
+         pg("https://w/add", "a")],
+        "url string, html binary",
+    )
+    old = web_page_triples(v1, id_col="url")
+    # plant a sentinel on the UNCHANGED page: if the patch re-extracted
+    # it, the sentinel would be overwritten — surviving proves the
+    # unchanged slice never went back through extraction
+    old = old.withColumn(
+        "obj",
+        F.when(F.col("id") == "https://w/keep", F.lit("SENTINEL"))
+        .otherwise(F.col("obj")),
+    )
+    got = {(r["id"], r["pred"], r["obj"])
+           for r in incremental_web_triples(old, v1, v2).collect()}
+    assert got == {
+        ("https://w/keep", "links_to", "SENTINEL"),
+        ("https://w/change", "links_to", "https://t/new"),
+        ("https://w/add", "links_to", "https://t/a"),
+    }
