@@ -605,3 +605,83 @@ def duplicate_span_stats(
             "dup_frac",
         )
     )
+
+
+def strip_host_boilerplate(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_docs: int = 2,
+    max_doc_fraction: float = 0.5,
+) -> DataFrame:
+    """(id, clean_text, n_removed): strip paragraphs that repeat across
+    a large fraction of the SAME host's pages — the CCNet/RefinedWeb
+    per-domain boilerplate pass. :func:`paragraph_dedup` keeps the
+    corpus-wide FIRST occurrence; this removes EVERY occurrence of a
+    paragraph once ≥ ``min_docs`` documents and ≥ ``max_doc_fraction``
+    of the host's pages carry it (nav/footer/cookie chrome repeats
+    within a site, not across the corpus — host scoping is what keeps
+    legitimate cross-site quotes alive).
+
+    Paragraph identity is the trimmed split on ``sep``; empty splits
+    drop. Documents whose every paragraph is boilerplate come back with
+    ``clean_text = ''`` (callers typically drop them next).
+
+    Shuffle shape: paragraphs aggregate by (host, paragraph) with
+    map-side partial ``count(distinct id)`` → per-host page counts are a
+    host-cardinality aggregate → the boilerplate set (distinct chrome
+    paragraphs per host — tiny next to the corpus) BROADCASTS back onto
+    the exploded paragraphs for the anti-join, so the corpus-sized side
+    shuffles only for the per-document reassembly groupBy. A mega-host
+    is absorbed by partial aggregation; no window over the corpus.
+    """
+    host = F.col(host_col)
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"), host.alias("_h"),
+            F.posexplode(F.split(F.col(text_col), F.lit(sep)))
+            .alias("pos", "_raw"),
+        )
+        .select("id", "_h", "pos", F.trim(F.col("_raw")).alias("para"))
+        .filter(F.col("para") != "")
+    )
+    hostn = df.groupBy(host.alias("_h")).agg(
+        F.count("*").alias("_np")
+    )
+    freq = paras.groupBy("_h", "para").agg(
+        F.count_distinct("id").alias("_nd")
+    )
+    boiler = (
+        freq.join(hostn, "_h")
+        .filter(
+            (F.col("_nd") >= min_docs)
+            & (F.col("_nd") / F.col("_np") >= max_doc_fraction)
+        )
+        .select("_h", "para")
+    )
+    kept = paras.join(F.broadcast(boiler), ["_h", "para"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = paras.groupBy("id").agg(F.count("*").alias("_n_paras"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.coalesce(F.col("_n_paras"), F.lit(0))
+             - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int").alias("n_removed"),
+        )
+    )

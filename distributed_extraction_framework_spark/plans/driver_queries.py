@@ -6760,3 +6760,79 @@ FROM documents WHERE doc_id % 7 = 0
 
 QUERIES.update({"webkg_incremental": q_webkg_incremental})
 ORACLES.update({"webkg_incremental": ORACLE_WEBKG_INCREMENTAL})
+
+
+def q_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate stripping (operators/dedup.
+    strip_host_boilerplate — the CCNet/RefinedWeb per-domain pass,
+    distinct from paragraph_dedup's corpus-wide keep-first): a chrome
+    paragraph on EVERY page of its host (removed everywhere), a 'semi'
+    paragraph on ~half the host's pages (below the 0.6 fraction —
+    kept), and a unique paragraph per page. The oracle re-runs the
+    whole frequency computation in SQL, not constants."""
+    from ..operators.dedup import strip_host_boilerplate
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    k = (d % 3).cast("string")
+    text = F.concat(
+        F.lit("common-h"), k, F.lit("\n\nunique-"), d.cast("string"),
+        F.when(d % 2 == 0, F.concat(F.lit("\n\nsemi-h"), k))
+        .otherwise(F.lit("")),
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), k).alias("host"),
+        text.alias("text"),
+    )
+    return strip_host_boilerplate(injected, max_doc_fraction=0.6)
+
+
+ORACLE_HOST_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % 3) AS host,
+         'common-h' || (doc_id % 3) || chr(10) || chr(10) || 'unique-' ||
+         doc_id ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || chr(10) || 'semi-h' || (doc_id % 3)
+              ELSE '' END AS t
+  FROM documents
+), p0 AS (
+  SELECT doc_id, host, cast(z[2] AS int) AS pos, trim(z[1]) AS para
+  FROM (
+    SELECT doc_id, host,
+           unnest(list_zip(paras, range(1, len(paras) + 1))) AS z
+    FROM (SELECT doc_id, host,
+                 string_split(t, chr(10) || chr(10)) AS paras FROM d)
+  )
+), p AS (SELECT * FROM p0 WHERE para <> ''),
+hostn AS (SELECT host, count(*) AS np FROM d GROUP BY host),
+freq AS (
+  SELECT host, para, count(DISTINCT doc_id) AS nd
+  FROM p GROUP BY host, para
+), boiler AS (
+  SELECT f.host, f.para
+  FROM freq f JOIN hostn h USING (host)
+  WHERE f.nd >= 2
+    AND cast(f.nd AS double) / cast(h.np AS double) >= cast(0.6 AS double)
+), kept AS (
+  SELECT p.doc_id, p.pos, p.para
+  FROM p LEFT JOIN boiler b ON p.host = b.host AND p.para = b.para
+  WHERE b.para IS NULL
+), tot AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+kn AS (
+  SELECT doc_id, count(*) AS n,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS ct
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       coalesce(kn.ct, '') AS clean_text,
+       cast(coalesce(tot.n, 0) - coalesce(kn.n, 0) AS int) AS n_removed
+FROM d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN kn ON d.doc_id = kn.doc_id
+"""
+
+
+QUERIES.update({"host_boilerplate": q_host_boilerplate})
+ORACLES.update({"host_boilerplate": ORACLE_HOST_BOILERPLATE})

@@ -295,3 +295,33 @@ def test_frontier_novel_exact_even_with_tiny_bloom(spark):
     assert got.exceptAll(want).count() == 0
     # non-url columns ride through both tiers
     assert set(got.columns) == {"url", "depth"}
+
+
+def test_strip_host_boilerplate(spark):
+    from distributed_extraction_framework_spark.operators.dedup import (
+        strip_host_boilerplate,
+    )
+
+    rows = [
+        # host A (4 pages): "nav" on 4/4 (stripped everywhere), "promo"
+        # on 2/4 = 0.5 < 0.6 (fraction threshold keeps it), uniques kept
+        (0, "a", "nav\n\nu0-first\n\npromo\n\nu0-second"),
+        (1, "a", "nav\n\npromo\n\nu1"),
+        (2, "a", "nav\n\nu2"),
+        # host B carries the SAME "nav" text but only on 1/2 pages ->
+        # host scoping keeps it (a cross-site quote must survive)
+        (3, "b", "nav\n\nu3"),
+        (4, "b", "u4"),
+        # all-boilerplate doc -> empty clean_text
+        (5, "a", "nav"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r["id"]: (r["clean_text"], r["n_removed"])
+           for r in strip_host_boilerplate(
+               df, max_doc_fraction=0.6).collect()}
+    assert got[0] == ("u0-first\n\npromo\n\nu0-second", 1)  # order kept
+    assert got[1] == ("promo\n\nu1", 1)
+    assert got[2] == ("u2", 1)
+    assert got[3] == ("nav\n\nu3", 0)               # host-scoped!
+    assert got[4] == ("u4", 0)
+    assert got[5] == ("", 1)
