@@ -89,6 +89,9 @@ def surt_key(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    # userinfo dropped (RFC 3986 §3.2.1) — and a numeric password must
+    # not be mistaken for a port by the split below
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     hostport = F.when(
         scheme == "http", F.regexp_replace(hostport, r":80$", "")
@@ -146,6 +149,15 @@ def cdx_index(
     Stateless projection: zero shuffles, whole-stage codegen.
     """
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    # digest/length over the RAW bytes when the payload column is
+    # binary (a lossy utf-8 cast would collapse distinct payloads);
+    # string payloads hash their utf-8 encoding
+    from pyspark.sql.types import BinaryType
+
+    if isinstance(df.schema[html_col].dataType, BinaryType):
+        raw = F.coalesce(F.col(html_col), F.lit(b""))
+    else:
+        raw = h
     mime = (
         F.col(mime_col)
         if mime_col
@@ -162,8 +174,8 @@ def cdx_index(
         F.col(url_col).alias("url"),
         mime.alias("mime"),
         status.alias("status"),
-        F.md5(h).alias("digest"),
-        F.octet_length(h).cast("bigint").alias("length"),
+        F.md5(raw).alias("digest"),
+        F.octet_length(raw).cast("bigint").alias("length"),
     )
 
 

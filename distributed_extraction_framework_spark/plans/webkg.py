@@ -256,12 +256,15 @@ def incremental_web_triples(
     from ..operators.webarchive import recrawl_diff
 
     def caps(pages: DataFrame) -> DataFrame:
-        h = F.col(html_col)
+        # digest RAW bytes for binary payloads — a lossy utf-8 cast
+        # would alias distinct payloads into one digest
         if dict(pages.dtypes).get(html_col) == "binary":
-            h = h.cast("string")
+            h = F.coalesce(F.col(html_col), F.lit(b""))
+        else:
+            h = F.coalesce(F.col(html_col), F.lit(""))
         return pages.select(
             F.col(url_col).alias("key"),
-            F.md5(F.coalesce(h, F.lit(""))).alias("digest"),
+            F.md5(h).alias("digest"),
         )
 
     diff = recrawl_diff(caps(pages_v1), caps(pages_v2), key_col="key")
