@@ -6836,3 +6836,43 @@ LEFT JOIN kn ON d.doc_id = kn.doc_id
 
 QUERIES.update({"host_boilerplate": q_host_boilerplate})
 ORACLES.update({"host_boilerplate": ORACLE_HOST_BOILERPLATE})
+
+
+def q_crawl_delays(spark, sf_dir):
+    """Effective per-host Crawl-delay (sources/frontier.crawl_delays)
+    end-to-end THROUGH parse_robots: one synthetic robots.txt per host
+    — a ``*`` group always, a specific-agent group on doc_id%3==0
+    (which must SHADOW ``*``), and a second ``*`` group with a
+    non-numeric delay on doc_id%11==0 (dropped by try_cast, not fatal
+    under ANSI)."""
+    from ..sources.frontier import crawl_delays, parse_robots
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (d % 7 + 1).cast("string"),
+        F.lit("\nDisallow: /tmp\n"),
+        F.when(d % 3 == 0, F.lit(
+            "User-agent: defsbot\nCrawl-delay: 0.5\nDisallow: /x\n"
+        )).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit(
+            "User-agent: *\nCrawl-delay: soon\n"
+        )).otherwise(F.lit("")),
+    )
+    rules = parse_robots(
+        docs.select("doc_id", txt.alias("text")), id_col="doc_id"
+    ).withColumn("host", F.concat(F.lit("h"), F.col("id").cast("string")))
+    return crawl_delays(rules, agent="defsbot")
+
+
+ORACLE_CRAWL_DELAYS = """
+SELECT 'h' || doc_id AS host,
+       CASE WHEN doc_id % 3 = 0 THEN cast(0.5 AS double)
+            ELSE cast(doc_id % 7 + 1 AS double) END AS crawl_delay
+FROM documents
+"""
+
+
+QUERIES.update({"crawl_delays": q_crawl_delays})
+ORACLES.update({"crawl_delays": ORACLE_CRAWL_DELAYS})

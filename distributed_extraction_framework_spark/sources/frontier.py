@@ -223,3 +223,38 @@ def robots_admission(
         F.coalesce(F.col("_best.a") == 1, F.lit(True)).alias("allowed"),
         F.col("_best.p").alias("rule_path"),
     )
+
+
+def crawl_delays(rules: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, crawl_delay) — the effective ``Crawl-delay`` per host for
+    the requested agent, completing the robots → politeness path
+    (:func:`parse_robots` → here → ``operators.webarchive.
+    fetch_schedule``'s ``delays`` input).
+
+    Group choice mirrors :func:`robots_admission`: the exact-name
+    agent's group shadows ``*``. Non-numeric values drop (``try_cast``
+    — a hostile robots.txt must not kill the job under ANSI mode);
+    several delay lines in the winning group collapse to the MAX
+    (conservative: the politest reading). ``rules`` is the parse output
+    plus a ``host`` column; everything here is host-cardinality — one
+    broadcast of the has-specific flags and one map-side-combined max.
+    """
+    r = (
+        rules.filter(F.col("directive") == "crawl-delay")
+        .select(
+            "host", "agent",
+            F.expr("try_cast(value AS double)").alias("_d"),
+        )
+        .filter(F.col("_d").isNotNull())
+    )
+    has_specific = r.groupBy("host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("_has_specific")
+    )
+    grp = (
+        r.join(F.broadcast(has_specific), "host")
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("_has_specific") == 0) & (F.col("agent") == "*"))
+        )
+    )
+    return grp.groupBy("host").agg(F.max("_d").alias("crawl_delay"))

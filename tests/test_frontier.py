@@ -126,3 +126,30 @@ def test_robots_admission_semantics(spark):
     assert got["https://h4/anything"] == (True, None)
     assert got["https://h1"] == (True, None)
     assert len(got) == 8
+
+
+def test_crawl_delays_shadowing_and_hostile_values(spark):
+    from distributed_extraction_framework_spark.sources.frontier import (
+        crawl_delays,
+        parse_robots,
+    )
+
+    robots = {
+        # specific group shadows *; max of the winning group's delays
+        "a": "User-agent: bot\nCrawl-delay: 2\nCrawl-delay: 3\n"
+             "Disallow: /x\nUser-agent: *\nCrawl-delay: 9\n",
+        # only *; non-numeric line drops, numeric survives
+        "b": "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 1.5\n",
+        # only non-numeric -> host absent from the output
+        "c": "User-agent: *\nCrawl-delay: soon\n",
+        # no crawl-delay at all -> absent
+        "d": "User-agent: *\nDisallow: /\n",
+    }
+    df = spark.createDataFrame(list(robots.items()),
+                               "page_id string, text string")
+    from pyspark.sql import functions as F
+
+    rules = parse_robots(df).withColumn("host", F.col("id"))
+    got = {r["host"]: r["crawl_delay"]
+           for r in crawl_delays(rules, agent="bot").collect()}
+    assert got == {"a": 3.0, "b": 1.5}
