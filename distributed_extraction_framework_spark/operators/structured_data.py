@@ -834,3 +834,56 @@ def anchor_text_index(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def corpus_from_crawl(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "page_id",
+    sep: str = "\n\n",
+    min_chars: int = 30,
+    max_link_density: float = 0.4,
+) -> DataFrame:
+    """(doc_id, url, text, n_chars, n_blocks): the crawl → TRAINING-
+    CORPUS bridge — :func:`main_content`'s kept blocks reassembled in
+    document order into the ``documents`` schema the curation stack
+    consumes (``plans/curate.CurationPipeline``: hygiene → gopher →
+    dedup → pack), the way the wiki path's AbstractExtractor feeds text
+    datasets (reference: extraction/src/main/scala/org/dbpedia/
+    extraction/mappings/ — page markup in, publishable text out).
+
+    Pages with ZERO kept blocks (pure chrome) are DROPPED — a document
+    with no main content has nothing to train on, and emitting empty
+    rows would poison downstream length statistics.
+
+    Shape: the segmentation is the same zero-shuffle scan
+    ``main_content`` runs; the only added shuffle is the per-page
+    reassembly groupBy (map-side combined collect_list over the few
+    kept blocks a page has)."""
+    blocks = main_content(
+        df, html_col=html_col, id_col=id_col, keep_cols=(url_col,),
+        min_chars=min_chars, max_link_density=max_link_density,
+    )
+    rebuilt = (
+        blocks.filter(F.col("kept"))
+        .groupBy("id")
+        .agg(
+            F.min(url_col).alias("url"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").alias("n_blocks"),
+        )
+    )
+    return rebuilt.select(
+        F.col("id").alias("doc_id"), "url", "text",
+        F.length("text").alias("n_chars"),
+        F.col("n_blocks").cast("int").alias("n_blocks"),
+    )

@@ -6876,3 +6876,61 @@ FROM documents
 
 QUERIES.update({"crawl_delays": q_crawl_delays})
 ORACLES.update({"crawl_delays": ORACLE_CRAWL_DELAYS})
+
+
+def q_crawl_corpus(spark, sf_dir):
+    """Crawl → training-corpus bridge (operators/structured_data.
+    corpus_from_crawl): kept main-content blocks reassembled in document
+    order into the documents schema — one long clean block, a link-only
+    nav block (dropped: short AND density 1), a second clean block on
+    even pages (pins ordering), a too-short block; pure-chrome pages
+    never reach the corpus. Closed-form oracle."""
+    from ..operators.structured_data import corpus_from_crawl
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    first = F.concat(F.lit("Long body text for document number "), ds,
+                     F.lit(" with enough characters."))
+    second = F.concat(F.lit("Second paragraph for "), ds,
+                      F.lit(" with plenty of characters too."))
+    html = F.concat(
+        F.lit("<div>"), first,
+        F.lit('</div><div><a href="/n">navigation menu links</a></div>'),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("<div>"), second, F.lit("</div>")))
+        .otherwise(F.lit("")),
+        F.lit("<p>hi</p>"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://c.example/"), ds).alias("url"),
+        html.alias("html"),
+    )
+    return corpus_from_crawl(pages, id_col="doc_id")
+
+
+ORACLE_CRAWL_CORPUS = """
+WITH b AS (
+  SELECT doc_id,
+         'Long body text for document number ' || doc_id ||
+         ' with enough characters.' AS first,
+         'Second paragraph for ' || doc_id ||
+         ' with plenty of characters too.' AS second
+  FROM documents
+)
+SELECT doc_id,
+       'https://c.example/' || doc_id AS url,
+       CASE WHEN doc_id % 2 = 0
+            THEN first || chr(10) || chr(10) || second
+            ELSE first END AS text,
+       cast(strlen(CASE WHEN doc_id % 2 = 0
+                        THEN first || chr(10) || chr(10) || second
+                        ELSE first END) AS int) AS n_chars,
+       cast(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS int) AS n_blocks
+FROM b
+"""
+
+
+QUERIES.update({"crawl_corpus": q_crawl_corpus})
+ORACLES.update({"crawl_corpus": ORACLE_CRAWL_CORPUS})

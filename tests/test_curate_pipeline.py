@@ -86,3 +86,43 @@ def test_curation_resume_rebuilds_on_config_change(spark, corpus, tmp_path):
     out2 = p2.run(corpus)
     assert "docs_admitted" in p2._fresh          # rebuilt, not resumed
     assert out2["docs_admitted"].count() == 0    # new threshold applied
+
+
+def test_crawl_to_training_corpus_end_to_end(spark, tmp_path):
+    """The full webtext TRAINING path: crawl html in -> main-content
+    reassembly (corpus_from_crawl) -> CurationPipeline (hygiene ->
+    exact dedup -> pack) -> packed sequences out, one resumable run."""
+    from pyspark.sql import functions as F
+
+    from distributed_extraction_framework_spark.operators.structured_data import (  # noqa: E501
+        corpus_from_crawl,
+    )
+    from distributed_extraction_framework_spark.plans.curate import (
+        CurationConfig,
+        CurationPipeline,
+    )
+
+    body = ("This is a long and perfectly reasonable paragraph of "
+            "running text that should survive content segmentation.")
+    pages = spark.createDataFrame(
+        [(i,
+          f"https://c/{i}",
+          f"<div>{body} Variant {i % 3}.</div>"
+          '<div><a href="/nav">menu menu</a></div><p>x</p>')
+         for i in range(9)],
+        "page_id long, url string, html string",
+    )
+    corpus = corpus_from_crawl(pages)
+    assert corpus.count() == 9
+    cfg = CurationConfig(warehouse=str(tmp_path / "wh"), scrub=False,
+                         gopher=None, pack_seq_len=64)
+    out = CurationPipeline(spark, cfg).run(corpus)
+    # 9 pages -> 3 distinct texts after the exact-dedup stage
+    assert out["docs_unique"].count() == 3
+    assert "docs_packed" in out and out["docs_packed"].count() >= 1
+    # resume: second run adds no lineage runs
+    CurationPipeline(spark, cfg).run(corpus)
+    lin = spark.read.parquet(str(tmp_path / "wh") + "/lineage")
+    runs = lin.groupBy("stage").agg(
+        F.countDistinct("run_id").alias("n")).collect()
+    assert all(r["n"] == 1 for r in runs)
