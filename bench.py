@@ -284,7 +284,8 @@ def main() -> None:
     for _name in ("cdx_index", "canonical_collapse", "hreflang_clusters",
                   "pagination_chains", "fetch_schedule", "feed_entries",
                   "recrawl_diff", "frontier_novel", "webkg_incremental",
-                  "host_boilerplate", "crawl_delays", "crawl_corpus"):
+                  "host_boilerplate", "crawl_delays", "crawl_corpus",
+                  "frontier_expand"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     out = {

@@ -550,3 +550,63 @@ def frontier_novel(
         seen.select(F.col(url_col).alias(url_col)), url_col, "left_anti"
     )
     return sure.unionByName(confirmed)
+
+
+def expand_frontier(
+    pages: DataFrame,
+    seen: DataFrame | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+    filter_buckets: int = 1 << 22,
+    scheme_re: str = r"^https?://",
+) -> DataFrame:
+    """(url, n_sources): the NEXT crawl cycle's frontier from this
+    cycle's fetched pages — the step that closes the crawler loop
+    (frontier → robots admission → politeness schedule → fetch →
+    extract → HERE → next frontier), the role the reference's download
+    module's link-following plays for dump mirrors (reference:
+    download/src/main/scala/org/dbpedia/extraction/dump/download/
+    DumpDownload.scala resolves the next fetchables from listing pages).
+
+    * outlinks from :func:`~distributed_extraction_framework_spark.operators.structured_data.extract_html_links`
+      (one scan);
+    * hrefs resolve like the canonical/next logic: ``scheme_re``
+      matches pass through, root-relative resolves against the source
+      page's origin (http(s) only), the rest drop;
+    * URLs canonicalize
+      (:func:`~distributed_extraction_framework_spark.operators.scrub.canonical_url`
+      — fragment/tracking-param variants collapse BEFORE the dedup, so
+      the frontier never carries duplicate work);
+    * within-cycle dedup = one groupBy on the canonical URL whose
+      ``count_distinct(source)`` comes free as ``n_sources`` — a ready
+      priority signal for :func:`fetch_schedule` (more discovering
+      pages ≈ more important);
+    * already-crawled URLs drop via :func:`frontier_novel`'s
+      bucket-prefiltered EXACT anti-join when ``seen`` is given.
+    """
+    from .scrub import canonical_url
+    from .structured_data import extract_html_links
+
+    links = extract_html_links(pages, html_col=html_col, id_col=url_col)
+    href = F.col("href")
+    src = F.col("id")
+    origin = F.regexp_extract(src, _ORIGIN_RE, 1)
+    resolved = (
+        F.when(href.rlike(scheme_re), href)
+        .when(
+            href.startswith("/") & ~href.startswith("//") & (origin != ""),
+            F.concat(origin, href),
+        )
+    )
+    cand = (
+        links.select(resolved.alias("_u"), src.alias("_src"))
+        .filter(F.col("_u").isNotNull())
+        .select(canonical_url(F.col("_u")).alias("url"), "_src")
+    )
+    out = cand.groupBy("url").agg(
+        F.count_distinct("_src").alias("n_sources")
+    )
+    if seen is not None:
+        out = frontier_novel(out, seen, url_col="url",
+                             filter_buckets=filter_buckets)
+    return out

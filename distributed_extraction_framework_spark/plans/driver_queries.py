@@ -6934,3 +6934,43 @@ FROM b
 
 QUERIES.update({"crawl_corpus": q_crawl_corpus})
 ORACLES.update({"crawl_corpus": ORACLE_CRAWL_CORPUS})
+
+
+def q_frontier_expand(spark, sf_dir):
+    """Crawler-loop closure (operators/webarchive.expand_frontier):
+    outlinks → resolved → canonicalized (a utm-tracking variant
+    collapses) → within-cycle dedup with n_sources (4 pages per shared
+    target) → already-crawled targets dropped through the bucket-
+    prefiltered exact anti-join."""
+    from ..operators.webarchive import expand_frontier
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    g = (d - d % 4).cast("string")
+    html = F.concat(
+        F.lit('<a href="https://e.example/t/'), g,
+        F.lit('?utm_source=z">x</a><a href="/r/'), ds, F.lit('">y</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://e.example/p/"), ds).alias("url"),
+        html.alias("html"),
+    )
+    seen = docs.filter(d % 8 == 0).select(
+        F.concat(F.lit("https://e.example/t/"), ds).alias("url")
+    )
+    return expand_frontier(pages, seen, filter_buckets=4096)
+
+
+ORACLE_FRONTIER_EXPAND = """
+SELECT 'https://e.example/t/' || g AS url, cast(4 AS bigint) AS n_sources
+FROM (SELECT DISTINCT doc_id - doc_id % 4 AS g FROM documents)
+WHERE g % 8 = 4
+UNION ALL
+SELECT 'https://e.example/r/' || doc_id, cast(1 AS bigint)
+FROM documents
+"""
+
+
+QUERIES.update({"frontier_expand": q_frontier_expand})
+ORACLES.update({"frontier_expand": ORACLE_FRONTIER_EXPAND})

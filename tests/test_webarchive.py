@@ -341,3 +341,62 @@ def test_surt_key_userinfo_and_binary_digest(spark):
     r = cdx_index(df).collect()[0]
     assert r["digest"] == hashlib.md5(bytes([0xFF, 0x00, 0x41])).hexdigest()
     assert r["length"] == 3
+
+
+def test_crawl_loop_two_cycles_file_urls(spark, tmp_path):
+    """The closed crawler loop over a local file:// site: fetch the
+    seed, expand outlinks into the next frontier (minus crawled), fetch
+    that, expand again — three cycles discover the whole 4-page site
+    and the frontier then runs dry."""
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        expand_frontier,
+    )
+    from distributed_extraction_framework_spark.sources.fetch import (
+        fetch_urls,
+    )
+
+    site = tmp_path / "site"
+    site.mkdir()
+
+    def w(name, hrefs):
+        (site / name).write_text(
+            "".join(f'<a href="file://{site}/{h}">l</a>' for h in hrefs)
+            + "<p>body</p>"
+        )
+
+    w("seed.html", ["a.html", "b.html"])
+    w("a.html", ["b.html", "c.html"])
+    w("b.html", [])
+    w("c.html", [])
+
+    def pages_of(frontier):
+        fetched = fetch_urls(frontier)
+        return fetched.filter(F.col("status") == "ok").select(
+            "url", F.col("payload").cast("string").alias("html")
+        )
+
+    crawled = spark.createDataFrame(
+        [(f"file://{site}/seed.html",)], "url string"
+    )
+    frontier = crawled
+    seen_urls = {f"file://{site}/seed.html"}
+    discovered = []
+    for _ in range(4):
+        pages = pages_of(frontier)
+        nxt = expand_frontier(pages, seen=crawled,
+                              scheme_re=r"^file://").collect()
+        if not nxt:
+            break
+        discovered.append({r["url"] for r in nxt})
+        frontier = spark.createDataFrame(
+            [(r["url"],) for r in nxt], "url string"
+        )
+        crawled = crawled.unionByName(frontier)
+        seen_urls |= {r["url"] for r in nxt}
+    assert discovered == [
+        {f"file://{site}/a.html", f"file://{site}/b.html"},
+        {f"file://{site}/c.html"},
+    ]
+    assert seen_urls == {f"file://{site}/{n}"
+                         for n in ("seed.html", "a.html", "b.html",
+                                   "c.html")}
