@@ -6974,3 +6974,267 @@ FROM documents
 
 QUERIES.update({"frontier_expand": q_frontier_expand})
 ORACLES.update({"frontier_expand": ORACLE_FRONTIER_EXPAND})
+
+
+# --------------------------------------------------------------------------
+# knowledge fusion + statement lifecycle (operators/fusion.py)
+# --------------------------------------------------------------------------
+# Shared deterministic claims construction (executed verbatim by Spark SQL
+# AND inside the DuckDB oracles): 60 entities x 2 functional predicates,
+# 13 sources; hosts 0-3 systematically wrong on population (split between
+# two wrong values), hosts 4-5 wrong on capital — so majority voting and
+# trust-weighted voting both have real work to do.
+FUSION_CLAIMS_CTE = """
+SELECT 'E' || (doc_id % 60) AS subj,
+       'population' AS pred,
+       CASE WHEN (doc_id % 13) < 4
+            THEN 'v' || ((doc_id % 60) * 37 + 1 + ((doc_id % 13) % 2))
+            ELSE 'v' || ((doc_id % 60) * 37) END AS obj,
+       'host_' || (doc_id % 13) AS source
+FROM {tbl}
+UNION ALL
+SELECT 'E' || (doc_id % 60), 'capital',
+       CASE WHEN (doc_id % 13) IN (4, 5) THEN 'C' || ((doc_id % 60) + 1)
+            ELSE 'C' || (doc_id % 60) END,
+       'host_' || (doc_id % 13)
+FROM {tbl}
+"""
+
+# Capture history for temporal scoping: entity modulus 39 is coprime to
+# the 10 capture rounds, so every entity is seen across many rounds;
+# every-3rd entity keeps a stable value, the rest flip old->new at a
+# per-entity threshold round, and the 'eph' statement vanishes after
+# round 3 (so is_current must come out false for it).
+FUSION_CAPS_CTE = """
+SELECT 'E' || (doc_id % 39) AS subj, 'attr' AS pred,
+       CASE WHEN (doc_id % 39) % 3 = 0 THEN 's' || (doc_id % 39)
+            WHEN (doc_id % 10) < ((doc_id % 39) % 7 + 2) THEN 'o' || (doc_id % 39)
+            ELSE 'n' || (doc_id % 39) END AS obj,
+       cast(doc_id % 10 AS bigint) AS ts
+FROM {tbl}
+UNION ALL
+SELECT 'E' || (doc_id % 39), 'eph', 'x' || (doc_id % 39),
+       cast(doc_id % 10 AS bigint)
+FROM {tbl} WHERE doc_id % 10 < 4
+"""
+
+
+def _claims(spark, sf_dir):
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_fusion_docs")
+    return spark.sql(FUSION_CLAIMS_CTE.replace("{tbl}", "__defs_fusion_docs"))
+
+
+def _caps(spark, sf_dir):
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_fusion_docs")
+    return spark.sql(FUSION_CAPS_CTE.replace("{tbl}", "__defs_fusion_docs"))
+
+
+def q_truth_vote(spark, sf_dir):
+    """Majority-vote fusion for functional predicates (operators/fusion.
+    resolve_functional): per (subj, pred) the value with the most
+    distinct supporting sources, tie-break obj ASC, plus the
+    n_values/n_sources disagreement stats."""
+    from ..operators.fusion import resolve_functional
+
+    return resolve_functional(_claims(spark, sf_dir))
+
+
+ORACLE_TRUTH_VOTE = f"""
+WITH c AS ({FUSION_CLAIMS_CTE.replace('{tbl}', 'documents')}),
+v AS (
+  SELECT subj, pred, obj, count(DISTINCT source) AS votes
+  FROM c GROUP BY subj, pred, obj
+), s AS (
+  SELECT subj, pred, count(DISTINCT source) AS n_sources
+  FROM c GROUP BY subj, pred
+), w AS (
+  SELECT subj, pred, obj, votes,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY votes DESC, obj) AS rn,
+         count(*) OVER (PARTITION BY subj, pred) AS n_values
+  FROM v
+)
+SELECT w.subj, w.pred, w.obj, w.votes, w.n_values, s.n_sources
+FROM w JOIN s ON w.subj = s.subj AND w.pred = s.pred
+WHERE w.rn = 1
+"""
+
+
+def q_kg_conflicts(spark, sf_dir):
+    """Disagreement census (operators/fusion.conflict_report): keys with
+    >1 competing value, values rendered obj:votes|... ordered votes DESC
+    then obj ASC — the publish-review artifact."""
+    from ..operators.fusion import conflict_report
+
+    return conflict_report(_claims(spark, sf_dir))
+
+
+ORACLE_KG_CONFLICTS = f"""
+WITH c AS ({FUSION_CLAIMS_CTE.replace('{tbl}', 'documents')}),
+v AS (
+  SELECT subj, pred, obj, count(DISTINCT source) AS votes
+  FROM c GROUP BY subj, pred, obj
+)
+SELECT subj, pred, count(*) AS n_values,
+       string_agg(obj || ':' || votes, '|' ORDER BY votes DESC, obj) AS values
+FROM v GROUP BY subj, pred HAVING count(*) > 1
+"""
+
+
+def _truth_finder_oracle_sql(iterations: int = 2) -> str:
+    """Unrolled TruthFinder iterations in portable SQL (same discipline
+    as _pagerank_oracle_sql: DOUBLE arithmetic, rank on the 6-dp-rounded
+    score, AS MATERIALIZED so DuckDB doesn't re-inline each step)."""
+    header = f"""
+WITH c AS MATERIALIZED (
+  SELECT DISTINCT source AS src, subj, pred, obj
+  FROM ({FUSION_CLAIMS_CTE.replace('{tbl}', 'documents')})
+),
+t0 AS (SELECT DISTINCT src, CAST(1.0 AS DOUBLE) AS trust FROM c)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        p = f"t{i - 1}"
+        steps.append(f""",
+conf{i} AS MATERIALIZED (
+  SELECT c.subj, c.pred, c.obj, sum(t.trust) AS conf
+  FROM c JOIN {p} t ON c.src = t.src
+  GROUP BY c.subj, c.pred, c.obj
+),
+tot{i} AS (
+  SELECT subj, pred, sum(conf) AS tot FROM conf{i} GROUP BY subj, pred
+),
+sh{i} AS MATERIALIZED (
+  SELECT f.subj, f.pred, f.obj, f.conf / g.tot AS share
+  FROM conf{i} f JOIN tot{i} g ON f.subj = g.subj AND f.pred = g.pred
+),
+t{i} AS MATERIALIZED (
+  SELECT c.src, avg(s.share) AS trust
+  FROM c JOIN sh{i} s
+    ON c.subj = s.subj AND c.pred = s.pred AND c.obj = s.obj
+  GROUP BY c.src
+)""")
+    last = f"sh{iterations}"
+    return (
+        header + "".join(steps) + f""",
+r AS (
+  SELECT subj, pred, obj, round(share, 6) AS conf,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY round(share, 6) DESC, obj) AS rn
+  FROM {last}
+)
+SELECT subj, pred, obj, conf FROM r WHERE rn = 1"""
+    )
+
+
+def q_truth_finder(spark, sf_dir):
+    """Trust-weighted fusion (operators/fusion.truth_finder, 2 rounds):
+    source trust <- mean vote share of its claims; the systematically
+    wrong hosts 0-3 / 4-5 lose weight everywhere, so winners carry
+    higher confidence than plain voting. Oracle = the two iterations
+    unrolled in SQL (pagerank discipline)."""
+    from ..operators.fusion import truth_finder
+
+    return truth_finder(_claims(spark, sf_dir), iterations=2)
+
+
+ORACLE_TRUTH_FINDER = _truth_finder_oracle_sql(2)
+
+
+def q_triple_intervals(spark, sf_dir):
+    """Temporal scoping (operators/fusion.triple_intervals): per
+    statement [first_seen, last_seen] over the capture history plus
+    is_current vs the subject's latest recrawl."""
+    from ..operators.fusion import triple_intervals
+
+    return triple_intervals(_caps(spark, sf_dir))
+
+
+ORACLE_TRIPLE_INTERVALS = f"""
+WITH caps AS ({FUSION_CAPS_CTE.replace('{tbl}', 'documents')}),
+iv AS (
+  SELECT subj, pred, obj, min(ts) AS first_seen, max(ts) AS last_seen,
+         count(DISTINCT ts) AS n_captures
+  FROM caps GROUP BY subj, pred, obj
+), lt AS (
+  SELECT subj, max(ts) AS latest FROM caps GROUP BY subj
+)
+SELECT iv.subj, iv.pred, iv.obj, iv.first_seen, iv.last_seen,
+       iv.n_captures, (iv.last_seen = lt.latest) AS is_current
+FROM iv JOIN lt ON iv.subj = lt.subj
+"""
+
+
+def q_kg_change_events(spark, sf_dir):
+    """Value-transition log (operators/fusion.change_events): lag window
+    per (subj, pred) over capture rounds; first sighting emits
+    prev_obj = NULL, unchanged rounds emit nothing."""
+    from ..operators.fusion import change_events
+
+    return change_events(_caps(spark, sf_dir))
+
+
+ORACLE_KG_CHANGE_EVENTS = f"""
+WITH caps AS ({FUSION_CAPS_CTE.replace('{tbl}', 'documents')}),
+one AS (
+  SELECT subj, pred, ts, min(obj) AS obj FROM caps GROUP BY subj, pred, ts
+), l AS (
+  SELECT subj, pred,
+         lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS prev_obj,
+         obj, ts
+  FROM one
+)
+SELECT subj, pred, prev_obj, obj, ts FROM l
+WHERE prev_obj IS NULL OR prev_obj <> obj
+"""
+
+
+def q_reified_provenance(spark, sf_dir):
+    """RDF reification with per-source provenance (operators/fusion.
+    reify_statements): statement ids are content hashes
+    md5(subj \\x01 pred \\x01 obj), 4 core arcs per distinct statement +
+    one prov:wasDerivedFrom per distinct asserting source."""
+    from ..operators.fusion import reify_statements
+
+    return reify_statements(_claims(spark, sf_dir), source_col="source")
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+ORACLE_REIFIED_PROVENANCE = f"""
+WITH c AS ({FUSION_CLAIMS_CTE.replace('{tbl}', 'documents')}),
+d AS (SELECT DISTINCT subj, pred, obj FROM c),
+s AS (
+  SELECT 'http://kg.example.org/statement/' ||
+         md5(subj || chr(1) || pred || chr(1) || obj) AS stmt,
+         subj, pred, obj
+  FROM d
+), p AS (
+  SELECT DISTINCT
+         'http://kg.example.org/statement/' ||
+         md5(subj || chr(1) || pred || chr(1) || obj) AS stmt,
+         source
+  FROM c
+)
+SELECT stmt, '{_RDF_NS}type' AS pred, '{_RDF_NS}Statement' AS obj FROM s
+UNION ALL SELECT stmt, '{_RDF_NS}subject', subj FROM s
+UNION ALL SELECT stmt, '{_RDF_NS}predicate', pred FROM s
+UNION ALL SELECT stmt, '{_RDF_NS}object', obj FROM s
+UNION ALL SELECT stmt, 'http://www.w3.org/ns/prov#wasDerivedFrom', source FROM p
+"""
+
+
+QUERIES.update({
+    "truth_vote": q_truth_vote,
+    "kg_conflicts": q_kg_conflicts,
+    "truth_finder": q_truth_finder,
+    "triple_intervals": q_triple_intervals,
+    "kg_change_events": q_kg_change_events,
+    "reified_provenance": q_reified_provenance,
+})
+ORACLES.update({
+    "truth_vote": ORACLE_TRUTH_VOTE,
+    "kg_conflicts": ORACLE_KG_CONFLICTS,
+    "truth_finder": ORACLE_TRUTH_FINDER,
+    "triple_intervals": ORACLE_TRIPLE_INTERVALS,
+    "kg_change_events": ORACLE_KG_CHANGE_EVENTS,
+    "reified_provenance": ORACLE_REIFIED_PROVENANCE,
+})
