@@ -7238,3 +7238,154 @@ ORACLES.update({
     "kg_change_events": ORACLE_KG_CHANGE_EVENTS,
     "reified_provenance": ORACLE_REIFIED_PROVENANCE,
 })
+
+
+# --------------------------------------------------------------------------
+# Horn-rule mining + application (operators/rules.py)
+# --------------------------------------------------------------------------
+# Shared KG construction with deliberate regularities: p2 implies p1
+# (2/3 of p1 pairs also have p2), p3 is a half-coverage inverse of p1,
+# p6 is near-symmetric, and p1(x,z) AND p4(z,y) chains overlap head p5.
+# Moduli 47/31 are coprime to 50 so pair spaces don't collapse.
+RULES_KG_CTE = """
+SELECT 'N' || (doc_id % 50) AS subj, 'p1' AS pred,
+       'M' || ((doc_id * 7) % 47) AS obj FROM {tbl}
+UNION ALL
+SELECT 'N' || (doc_id % 50), 'p2', 'M' || ((doc_id * 7) % 47)
+FROM {tbl} WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT 'M' || ((doc_id * 7) % 47), 'p3', 'N' || (doc_id % 50)
+FROM {tbl} WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'M' || ((doc_id * 7) % 47), 'p4', 'K' || ((doc_id * 11) % 31)
+FROM {tbl} WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT 'N' || (doc_id % 50), 'p5', 'K' || ((doc_id * 11) % 31)
+FROM {tbl} WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 'N' || (doc_id % 50), 'p6', 'N' || ((doc_id + 1) % 50) FROM {tbl}
+UNION ALL
+SELECT 'N' || ((doc_id + 1) % 50), 'p6', 'N' || (doc_id % 50)
+FROM {tbl} WHERE (doc_id % 50) % 4 <> 0
+"""
+
+_RULES_ORACLE_BODY = """
+d AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+sz AS (SELECT pred, count(*) AS n FROM d GROUP BY pred),
+fwd AS (
+  SELECT a.pred AS head, b.pred AS body, 'fwd' AS direction,
+         count(*) AS support
+  FROM d a JOIN d b
+    ON a.subj = b.subj AND a.obj = b.obj AND a.pred <> b.pred
+  GROUP BY 1, 2, 3
+),
+inv AS (
+  SELECT a.pred AS head, b.pred AS body, 'inv' AS direction,
+         count(*) AS support
+  FROM d a JOIN d b ON a.subj = b.obj AND a.obj = b.subj
+  GROUP BY 1, 2, 3
+),
+u AS (SELECT * FROM fwd UNION ALL SELECT * FROM inv),
+rules AS (
+  SELECT u.head, u.body, u.direction, u.support, bz.n AS body_size,
+         round(CAST(u.support AS DOUBLE) / bz.n, 6) AS confidence,
+         round(CAST(u.support AS DOUBLE) / hz.n, 6) AS head_coverage
+  FROM u JOIN sz bz ON u.body = bz.pred JOIN sz hz ON u.head = hz.pred
+)
+"""
+
+
+def _rules_kg(spark, sf_dir):
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_rules_docs")
+    return spark.sql(RULES_KG_CTE.replace("{tbl}", "__defs_rules_docs"))
+
+
+def q_rule_mining(spark, sf_dir):
+    """AMIE-style single-atom rule mining (operators/rules.mine_rules):
+    head(x,y) <= body(x,y) / body(y,x) with support, CWA confidence and
+    head coverage — pair-grouped (one shuffle), no triple self-join."""
+    from ..operators.rules import mine_rules
+
+    return mine_rules(_rules_kg(spark, sf_dir))
+
+
+ORACLE_RULE_MINING = f"""
+WITH t AS ({RULES_KG_CTE.replace('{tbl}', 'documents')}),
+{_RULES_ORACLE_BODY}
+SELECT head, body, direction, support, body_size, confidence,
+       head_coverage
+FROM rules
+"""
+
+
+def q_rule_chains(spark, sf_dir):
+    """2-hop chain rules head(x,y) <= body1(x,z) AND body2(z,y)
+    (operators/rules.mine_chain_rules) — the one genuine z-join, with
+    AMIE support/confidence over distinct (x,y) pairs."""
+    from ..operators.rules import mine_chain_rules
+
+    return mine_chain_rules(_rules_kg(spark, sf_dir))
+
+
+ORACLE_RULE_CHAINS = f"""
+WITH t AS ({RULES_KG_CTE.replace('{tbl}', 'documents')}),
+d AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM t),
+ch AS MATERIALIZED (
+  SELECT DISTINCT a.subj AS x, b.obj AS y, a.pred AS body1, b.pred AS body2
+  FROM d a JOIN d b ON a.obj = b.subj
+),
+bz AS (SELECT body1, body2, count(*) AS body_size FROM ch GROUP BY 1, 2),
+sup AS (
+  SELECT h.pred AS head, c.body1, c.body2, count(*) AS support
+  FROM d h JOIN ch c ON h.subj = c.x AND h.obj = c.y
+  GROUP BY 1, 2, 3
+)
+SELECT sup.head, sup.body1, sup.body2, sup.support, bz.body_size,
+       round(CAST(sup.support AS DOUBLE) / bz.body_size, 6) AS confidence
+FROM sup JOIN bz ON sup.body1 = bz.body1 AND sup.body2 = bz.body2
+"""
+
+
+def q_rule_apply(spark, sf_dir):
+    """KG densification (operators/rules.apply_rules): predictions from
+    rules with confidence >= 0.8 that are NOT already in the KG, best
+    confidence per predicted triple — here the missing reverse edges of
+    the near-symmetric p6."""
+    from ..operators.rules import apply_rules, mine_rules
+
+    kg = _rules_kg(spark, sf_dir)
+    return apply_rules(kg, mine_rules(kg), min_confidence=0.8)
+
+
+ORACLE_RULE_APPLY = f"""
+WITH t AS ({RULES_KG_CTE.replace('{tbl}', 'documents')}),
+{_RULES_ORACLE_BODY},
+ru AS (SELECT * FROM rules WHERE confidence >= 0.8),
+pr AS (
+  SELECT CASE WHEN ru.direction = 'fwd' THEN d.subj ELSE d.obj END AS subj,
+         ru.head AS pred,
+         CASE WHEN ru.direction = 'fwd' THEN d.obj ELSE d.subj END AS obj,
+         ru.confidence
+  FROM d JOIN ru ON d.pred = ru.body
+),
+best AS (
+  SELECT subj, pred, obj, max(confidence) AS confidence
+  FROM pr GROUP BY subj, pred, obj
+)
+SELECT b.subj, b.pred, b.obj, b.confidence
+FROM best b LEFT JOIN d
+  ON b.subj = d.subj AND b.pred = d.pred AND b.obj = d.obj
+WHERE d.subj IS NULL
+"""
+
+
+QUERIES.update({
+    "rule_mining": q_rule_mining,
+    "rule_chains": q_rule_chains,
+    "rule_apply": q_rule_apply,
+})
+ORACLES.update({
+    "rule_mining": ORACLE_RULE_MINING,
+    "rule_chains": ORACLE_RULE_CHAINS,
+    "rule_apply": ORACLE_RULE_APPLY,
+})
