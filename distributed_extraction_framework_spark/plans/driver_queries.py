@@ -7389,3 +7389,164 @@ ORACLES.update({
     "rule_chains": ORACLE_RULE_CHAINS,
     "rule_apply": ORACLE_RULE_APPLY,
 })
+
+
+# --------------------------------------------------------------------------
+# pattern-based open IE (operators/openie.py)
+# --------------------------------------------------------------------------
+# Shared prose construction: capitalized 2-token entities built from the
+# documents' own words, wrapped in Hearst / copula sentence frames. The
+# oracles run the module's regexes VERBATIM (imported constants), so any
+# drift between engine and oracle patterns is impossible.
+OPENIE_BASE_CTE = """
+SELECT doc_id,
+       split_part(text, ' ', 1) AS a,
+       split_part(text, ' ', 2) AS b,
+       upper(substr(split_part(text, ' ', 1), 1, 1)) ||
+         substr(split_part(text, ' ', 1), 2) AS ia,
+       upper(substr(split_part(text, ' ', 2), 1, 1)) ||
+         substr(split_part(text, ' ', 2), 2) AS ib,
+       upper(substr(split_part(text, ' ', 3), 1, 1)) ||
+         substr(split_part(text, ' ', 3), 2) AS ic,
+       upper(substr(split_part(text, ' ', 4), 1, 1)) ||
+         substr(split_part(text, ' ', 4), 2) AS id2
+FROM {tbl}
+"""
+
+OPENIE_TEXT_CTE = """
+SELECT doc_id,
+       'Tools such as ' || ia || ' ' || ib || ', ' || ic || ' ' || id2 ||
+       ' and ' || ia || ' ' || ic || ' were used. ' ||
+       ib || ' ' || ic || ' is a ' || a || '. ' ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ia || ' ' || id2 || ' and other ' || b || ' appeared. '
+            ELSE '' END ||
+       CASE WHEN doc_id % 4 = 1
+            THEN 'Brands, especially ' || ib || ' ' || id2 || ', matter. '
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 2
+            THEN 'Firms, including ' || ic || ' ' || ia || ' and ' ||
+                 id2 || ' ' || ib || ', grew. '
+            ELSE '' END AS text
+FROM base
+"""
+
+OPENIE_KB_CTE = """
+SELECT DISTINCT ia || ' ' || ic AS label FROM base WHERE doc_id % 2 = 0
+"""
+
+
+def _openie_docs(spark, sf_dir):
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_openie_docs")
+    return spark.sql(
+        "WITH base AS (" + OPENIE_BASE_CTE.replace("{tbl}", "__defs_openie_docs")
+        + ") " + OPENIE_TEXT_CTE
+    )
+
+
+def _openie_kb(spark, sf_dir):
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_openie_docs")
+    return spark.sql(
+        "WITH base AS (" + OPENIE_BASE_CTE.replace("{tbl}", "__defs_openie_docs")
+        + ") " + OPENIE_KB_CTE
+    )
+
+
+def _openie_oracle_prefix() -> str:
+    return (
+        "WITH base AS (" + OPENIE_BASE_CTE.replace("{tbl}", "documents")
+        + "), t AS (" + OPENIE_TEXT_CTE + ")"
+    )
+
+
+def q_hearst_isa(spark, sf_dir):
+    """Hearst is-a patterns (operators/openie.hearst_hyponyms): such-as /
+    including / especially enumerations split into per-hyponym rows plus
+    the inverted and-other frame — pure Catalyst regex projections."""
+    from ..operators.openie import hearst_hyponyms
+
+    return hearst_hyponyms(_openie_docs(spark, sf_dir))
+
+
+def _hearst_oracle_sql() -> str:
+    from ..operators.openie import HEARST_PATTERNS, NP
+
+    parts = []
+    for name, pat, hypernym_first in HEARST_PATTERNS:
+        m = f"(SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS m FROM t)"
+        if hypernym_first:
+            parts.append(f"""
+SELECT doc_id,
+       unnest(regexp_extract_all(regexp_extract(m, '{pat}', 2), '{NP}')) AS hyponym,
+       regexp_extract(m, '{pat}', 1) AS hypernym,
+       '{name}' AS pattern
+FROM {m}""")
+        else:
+            parts.append(f"""
+SELECT doc_id, regexp_extract(m, '{pat}', 1) AS hyponym,
+       regexp_extract(m, '{pat}', 2) AS hypernym, '{name}' AS pattern
+FROM {m}""")
+    return _openie_oracle_prefix() + "\nUNION ALL".join(parts)
+
+
+ORACLE_HEARST_ISA = _hearst_oracle_sql()
+
+
+def q_copula_isa(spark, sf_dir):
+    """Copula facts (operators/openie.copula_facts): '<Entity> is a
+    <noun>' statements from the shared prose construction."""
+    from ..operators.openie import copula_facts
+
+    return copula_facts(_openie_docs(spark, sf_dir))
+
+
+def _copula_oracle_sql() -> str:
+    from ..operators.openie import COPULA_PATTERN as CP
+
+    return f"""{_openie_oracle_prefix()},
+m AS (SELECT doc_id, unnest(regexp_extract_all(text, '{CP}')) AS m FROM t)
+SELECT doc_id, regexp_extract(m, '{CP}', 1) AS subj,
+       regexp_extract(m, '{CP}', 2) AS obj
+FROM m"""
+
+
+ORACLE_COPULA_ISA = _copula_oracle_sql()
+
+
+def q_nil_clusters_text(spark, sf_dir):
+    """Entity discovery (operators/openie.nil_clusters): capitalized
+    2-token mentions NOT matching the KB label table, clustered
+    cross-document on the case-folded surface."""
+    from ..operators.openie import nil_clusters
+
+    return nil_clusters(
+        _openie_docs(spark, sf_dir), _openie_kb(spark, sf_dir)
+    )
+
+
+def _nil_oracle_sql() -> str:
+    from ..operators.openie import mention_pattern
+
+    mp = mention_pattern(2)
+    return f"""{_openie_oracle_prefix()},
+kb AS ({OPENIE_KB_CTE}),
+men AS (SELECT doc_id, unnest(regexp_extract_all(text, '{mp}')) AS mention FROM t),
+nil AS (SELECT * FROM men WHERE mention NOT IN (SELECT label FROM kb))
+SELECT lower(mention) AS cluster, count(*) AS n_mentions,
+       count(DISTINCT doc_id) AS n_docs
+FROM nil GROUP BY lower(mention)"""
+
+
+ORACLE_NIL_CLUSTERS_TEXT = _nil_oracle_sql()
+
+
+QUERIES.update({
+    "hearst_isa": q_hearst_isa,
+    "copula_isa": q_copula_isa,
+    "nil_clusters_text": q_nil_clusters_text,
+})
+ORACLES.update({
+    "hearst_isa": ORACLE_HEARST_ISA,
+    "copula_isa": ORACLE_COPULA_ISA,
+    "nil_clusters_text": ORACLE_NIL_CLUSTERS_TEXT,
+})
