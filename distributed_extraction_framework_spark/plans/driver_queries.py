@@ -7550,3 +7550,70 @@ ORACLES.update({
     "copula_isa": ORACLE_COPULA_ISA,
     "nil_clusters_text": ORACLE_NIL_CLUSTERS_TEXT,
 })
+
+
+def q_webkg_fused(spark, sf_dir):
+    """The WebKG DAG's web_fused stage (plans/webkg.py, fuse_literals):
+    JSON-LD entity names conflict across publishing hosts (hosts 0-1
+    systematically wrong); majority voting per (entity, pred) resolves
+    them, with per-page meta literals riding along as single-source
+    claims. The whole chain — html → composite channels → has_entity
+    anchor join → resolve_functional — runs through the REAL pipeline
+    stage machinery against a fresh warehouse."""
+    import tempfile
+
+    from .webkg import WebKGConfig, WebKGPipeline
+
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id")
+    val = F.when(d % 7 < 2, (d % 40) + 1).otherwise(d % 40).cast("string")
+    html = F.concat(
+        F.lit('<meta property="og:k" content="m'), (d % 3).cast("string"),
+        F.lit('"><script type="application/ld+json">'
+              '{"@id":"https://ent.example/e'), (d % 40).cast("string"),
+        F.lit('","name":"x'), val, F.lit('"}</script>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                 F.lit(".example/p"), d.cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        html.alias("html"),
+    )
+    wh = tempfile.mkdtemp(prefix="defs_webkg_fused_")
+    cfg = WebKGConfig(warehouse=wh, resolve_redirects=False,
+                      fuse_literals=True)
+    return WebKGPipeline(spark, cfg).run(pages)["web_fused"]
+
+
+ORACLE_WEBKG_FUSED = """
+WITH c AS (
+  SELECT 'https://ent.example/e' || (doc_id % 40) AS subj, 'name' AS pred,
+         'x' || (CASE WHEN doc_id % 7 < 2 THEN (doc_id % 40) + 1
+                      ELSE doc_id % 40 END) AS obj,
+         'h' || (doc_id % 7) || '.example' AS source
+  FROM documents
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 7) || '.example/p' || doc_id, 'og:k',
+         'm' || (doc_id % 3), 'h' || (doc_id % 7) || '.example'
+  FROM documents
+), v AS (
+  SELECT subj, pred, obj, count(DISTINCT source) AS votes
+  FROM c GROUP BY subj, pred, obj
+), s AS (
+  SELECT subj, pred, count(DISTINCT source) AS n_sources
+  FROM c GROUP BY subj, pred
+), w AS (
+  SELECT subj, pred, obj, votes,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY votes DESC, obj) AS rn,
+         count(*) OVER (PARTITION BY subj, pred) AS n_values
+  FROM v
+)
+SELECT w.subj, w.pred, w.obj, w.votes, w.n_values, s.n_sources
+FROM w JOIN s ON w.subj = s.subj AND w.pred = s.pred
+WHERE w.rn = 1
+"""
+
+
+QUERIES.update({"webkg_fused": q_webkg_fused})
+ORACLES.update({"webkg_fused": ORACLE_WEBKG_FUSED})

@@ -66,6 +66,9 @@ class WebKGConfig:
     # fetched, not what survived collapse) as a resumable stage
     cdx: bool = False
     cdx_files: int = 32
+    # majority-vote fusion of literal-valued facts across publishing
+    # hosts (operators/fusion.resolve_functional) as a `web_fused` stage
+    fuse_literals: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -115,7 +118,7 @@ class WebKGPipeline(Pipeline):
         cfg_sig = hashlib.md5(repr((
             cfg.latest_only, cfg.resolve_redirects,
             sorted(cfg.output_formats) if cfg.output_formats else None,
-            cfg.url_col, cfg.skolem_base,
+            cfg.url_col, cfg.skolem_base, cfg.fuse_literals,
         )).encode()).hexdigest()[:8]
         fp = f"{self._fingerprint(pages)}-{cfg_sig}"
         out: dict[str, DataFrame] = {}
@@ -200,6 +203,46 @@ class WebKGPipeline(Pipeline):
                 partition_col="obj_kind", partition_by="obj_kind",
             )
             out["web_triples_resolved"] = final
+
+        if cfg.fuse_literals:
+            resolved = final
+
+            def build_fused() -> DataFrame:
+                # Claims = every literal triple, credited to the HOST of
+                # the page that published it: meta/page-level rows carry
+                # the page URL as subj; entity rows are tied to their
+                # publishing page through the same-id has_entity anchor
+                # (joining on (id, entity) — id alone would credit every
+                # page that anchors the entity with every value, and the
+                # anchor's page-host table is per-page-entity sized, far
+                # below the literal row count). Unanchored rows (nested
+                # bnode children) fall back to their own subj host and
+                # drop out when it's empty.
+                from ..operators.fusion import resolve_functional
+                from ..operators.structured_data import HOST_RE
+
+                lit = resolved.filter(F.col("obj_kind") == "literal")
+                anchors = resolved.filter(
+                    F.col("pred") == "has_entity"
+                ).select(
+                    F.col("id").alias("_aid"), F.col("obj").alias("_ent"),
+                    F.regexp_extract("subj", HOST_RE, 1).alias("_phost"),
+                ).distinct()
+                claims = lit.join(
+                    anchors,
+                    (lit["id"] == F.col("_aid"))
+                    & (lit["subj"] == F.col("_ent")),
+                    "left",
+                ).select(
+                    "subj", "pred", "obj",
+                    F.coalesce(
+                        F.col("_phost"),
+                        F.regexp_extract("subj", HOST_RE, 1),
+                    ).alias("source"),
+                ).filter(F.col("source") != "")
+                return resolve_functional(claims)
+
+            out["web_fused"] = self._run_stage("web_fused", fp, build_fused)
 
         if cfg.output_formats:
             fmt_key = ",".join(sorted(cfg.output_formats))

@@ -171,3 +171,37 @@ def test_incremental_web_triples_patches_not_reextracts(spark):
         ("https://w/change", "links_to", "https://t/new"),
         ("https://w/add", "links_to", "https://t/a"),
     }
+
+
+def test_webkg_fused_stage_credits_publishing_page(spark, tmp_path):
+    # e0 is anchored by pages on hostA (value "good") and hostB
+    # (value "bad"), plus a third hostC page agreeing with hostA; the
+    # (id, entity) anchor join must NOT credit hostB with "good".
+    rows = []
+    for host, val in (("a", "good"), ("b", "bad"), ("c", "good")):
+        rows.append((
+            f"https://{host}.ex/p", "2024-01-01 00:00:00",
+            '<meta property="og:m" content="pm">'
+            '<script type="application/ld+json">'
+            f'{{"@id":"https://e/0","n":"{val}"}}</script>',
+        ))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts string, html string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    cfg = WebKGConfig(warehouse=str(tmp_path / "wh"),
+                      resolve_redirects=False, fuse_literals=True)
+    out = WebKGPipeline(spark, cfg).run(pages)
+    fused = {(r.subj, r.pred): r for r in out["web_fused"].collect()}
+    ent = fused[("https://e/0", "n")]
+    assert ent.obj == "good"
+    assert ent.votes == 2 and ent.n_values == 2 and ent.n_sources == 3
+    # page-level meta literals ride along as single-source claims
+    assert fused[("https://a.ex/p", "og:m")].obj == "pm"
+    assert fused[("https://a.ex/p", "og:m")].n_sources == 1
+    # the stage participates in the resume protocol
+    out2 = WebKGPipeline(spark, cfg).run(pages)
+    lin = spark.read.parquet(str(tmp_path / "wh") + "/lineage")
+    n_runs = (lin.filter("stage = 'web_fused'")
+              .select("run_id").distinct().count())
+    assert n_runs == 1
+    assert out2["web_fused"].count() == out["web_fused"].count()
