@@ -34,7 +34,7 @@ SURVEY.md §2 'beyond the reference' family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # one capitalized token / a run of them (an entity-ish NP)
@@ -126,6 +126,46 @@ def mention_spans(
     """(doc_id, mention) — every capitalized-run candidate span."""
     return _matches(docs, id_col, text_col, mention_pattern(min_tokens)).select(
         id_col, F.col("_m").alias("mention")
+    )
+
+
+def taxonomy_from_isa(
+    pairs: DataFrame,
+    hypo_col: str = "hyponym",
+    hyper_col: str = "hypernym",
+    min_weight: int = 1,
+) -> DataFrame:
+    """Induce a taxonomy from extracted is-a pairs: per hyponym keep the
+    best-attested hypernym — (node, parent, weight, n_parents) with
+    ``weight`` = #supporting extractions of the chosen edge and
+    ``n_parents`` = how many distinct hypernyms competed. Argmax is
+    deterministic (weight DESC, parent ASC). Choosing ONE parent per
+    node makes the result a forest except for ties broken lexically —
+    the standard first pass of Hearst-based taxonomy induction; cycle
+    breaking across levels is the caller's second pass (the weighted
+    edge list is the expensive distributed part).
+
+    One groupBy on the (node, parent) edge plus a window on node — both
+    shuffles on the node key, AQE-mergeable."""
+    w_edges = (
+        pairs.groupBy(
+            F.col(hypo_col).alias("node"), F.col(hyper_col).alias("parent")
+        )
+        .agg(F.count("*").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("weight").desc(), F.col("parent").asc()
+    )
+    return (
+        w_edges.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_parents",
+            F.count("*").over(Window.partitionBy("node")).cast("long"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("node", "parent", "weight", "n_parents")
     )
 
 

@@ -7617,3 +7617,114 @@ WHERE w.rn = 1
 
 QUERIES.update({"webkg_fused": q_webkg_fused})
 ORACLES.update({"webkg_fused": ORACLE_WEBKG_FUSED})
+
+
+# --------------------------------------------------------------------------
+# KG profiling + taxonomy induction (operators/profiling.py, openie)
+# --------------------------------------------------------------------------
+
+def q_entity_summaries(spark, sf_dir):
+    """Entity cards (operators/profiling.entity_summaries): top-3 facts
+    per subject ranked rare-predicate-first with deterministic ties,
+    over the shared rules KG."""
+    from ..operators.profiling import entity_summaries
+
+    return entity_summaries(_rules_kg(spark, sf_dir), k=3)
+
+
+ORACLE_ENTITY_SUMMARIES = f"""
+WITH t AS ({RULES_KG_CTE.replace('{tbl}', 'documents')}),
+d AS (SELECT DISTINCT subj, pred, obj FROM t),
+pc AS (SELECT pred, count(*) AS pn FROM d GROUP BY pred),
+r AS (
+  SELECT d.subj, d.pred, d.obj,
+         row_number() OVER (PARTITION BY d.subj
+                            ORDER BY pc.pn ASC, d.pred ASC, d.obj ASC)
+           AS "rank"
+  FROM d JOIN pc ON d.pred = pc.pred
+)
+SELECT subj, pred, obj, "rank" FROM r WHERE "rank" <= 3
+"""
+
+
+PROFILE_TYPES_CTE = """
+SELECT 'I' || doc_id AS inst, 'C' || (doc_id % 4) AS cls FROM {tbl}
+"""
+
+PROFILE_PROPS_CTE = """
+SELECT 'I' || doc_id AS subj, 'pa' AS pred, 'v' AS obj
+FROM {tbl} WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'I' || doc_id, 'pb', 'v' FROM {tbl} WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'I' || doc_id, 'pc', 'v' FROM {tbl}
+"""
+
+
+def q_class_completeness(spark, sf_dir):
+    """Per-class property density (operators/profiling.
+    class_completeness): fraction of each class's instances carrying
+    each observed predicate — the extraction-regression alarm metric."""
+    from ..operators.profiling import class_completeness
+
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_prof_docs")
+    types = spark.sql(PROFILE_TYPES_CTE.replace("{tbl}", "__defs_prof_docs"))
+    props = spark.sql(PROFILE_PROPS_CTE.replace("{tbl}", "__defs_prof_docs"))
+    return class_completeness(types, props)
+
+
+ORACLE_CLASS_COMPLETENESS = f"""
+WITH ty AS ({PROFILE_TYPES_CTE.replace('{tbl}', 'documents')}),
+pr AS ({PROFILE_PROPS_CTE.replace('{tbl}', 'documents')}),
+t AS (SELECT DISTINCT inst, cls FROM ty),
+sz AS (SELECT cls, count(*) AS n_instances FROM t GROUP BY cls),
+hp AS (
+  SELECT t.cls, p.pred, count(*) AS n_with_pred
+  FROM (SELECT DISTINCT subj AS inst, pred FROM pr) p
+  JOIN t ON p.inst = t.inst
+  GROUP BY t.cls, p.pred
+)
+SELECT hp.cls, hp.pred, sz.n_instances, hp.n_with_pred,
+       round(CAST(hp.n_with_pred AS DOUBLE) / sz.n_instances, 6)
+         AS completeness
+FROM hp JOIN sz ON hp.cls = sz.cls
+"""
+
+
+def q_taxonomy_edges(spark, sf_dir):
+    """Taxonomy induction (operators/openie.taxonomy_from_isa) over the
+    Hearst extraction output: best-attested parent per hyponym with
+    deterministic argmax."""
+    from ..operators.openie import hearst_hyponyms, taxonomy_from_isa
+
+    return taxonomy_from_isa(hearst_hyponyms(_openie_docs(spark, sf_dir)))
+
+
+ORACLE_TAXONOMY_EDGES = f"""
+WITH h AS (SELECT * FROM ({_hearst_oracle_sql()})),
+w AS (
+  SELECT hyponym AS node, hypernym AS parent, count(*) AS weight
+  FROM h GROUP BY hyponym, hypernym
+),
+r AS (
+  SELECT node, parent, weight,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY weight DESC, parent ASC) AS rn,
+         count(*) OVER (PARTITION BY node) AS np
+  FROM w
+)
+SELECT node, parent, weight, cast(np AS bigint) AS n_parents
+FROM r WHERE rn = 1
+"""
+
+
+QUERIES.update({
+    "entity_summaries": q_entity_summaries,
+    "class_completeness": q_class_completeness,
+    "taxonomy_edges": q_taxonomy_edges,
+})
+ORACLES.update({
+    "entity_summaries": ORACLE_ENTITY_SUMMARIES,
+    "class_completeness": ORACLE_CLASS_COMPLETENESS,
+    "taxonomy_edges": ORACLE_TAXONOMY_EDGES,
+})
