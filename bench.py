@@ -285,7 +285,13 @@ def main() -> None:
                   "pagination_chains", "fetch_schedule", "feed_entries",
                   "recrawl_diff", "frontier_novel", "webkg_incremental",
                   "host_boilerplate", "crawl_delays", "crawl_corpus",
-                  "frontier_expand"):
+                  "frontier_expand",
+                  # round-5 fusion / rules / open-IE / profiling wave
+                  "truth_vote", "truth_finder", "triple_intervals",
+                  "kg_change_events", "reified_provenance", "rule_mining",
+                  "rule_chains", "rule_apply", "hearst_isa", "copula_isa",
+                  "nil_clusters_text", "taxonomy_edges", "entity_summaries",
+                  "class_completeness", "webkg_fused"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     out = {

@@ -7728,3 +7728,76 @@ ORACLES.update({
     "class_completeness": ORACLE_CLASS_COMPLETENESS,
     "taxonomy_edges": ORACLE_TAXONOMY_EDGES,
 })
+
+
+def q_kg_snapshot(spark, sf_dir):
+    """Point-in-time KG reconstruction (operators/fusion.kg_as_of):
+    statements valid at capture round 5 — present in some capture <= 5
+    and not retracted by the subject's last observation <= 5."""
+    from ..operators.fusion import kg_as_of
+
+    return kg_as_of(_caps(spark, sf_dir), 5)
+
+
+ORACLE_KG_SNAPSHOT = f"""
+WITH caps AS ({FUSION_CAPS_CTE.replace('{tbl}', 'documents')}),
+u AS (SELECT * FROM caps WHERE ts <= 5),
+iv AS (
+  SELECT subj, pred, obj, max(ts) AS l FROM u GROUP BY subj, pred, obj
+), lt AS (SELECT subj, max(ts) AS m FROM u GROUP BY subj)
+SELECT iv.subj, iv.pred, iv.obj
+FROM iv JOIN lt ON iv.subj = lt.subj
+WHERE iv.l = lt.m
+"""
+
+
+def q_temporal_statements(spark, sf_dir):
+    """Wikidata-style qualified statements (operators/fusion.
+    temporal_reification): reified statements carrying valid-time
+    qualifiers (firstSeen / lastSeen / isCurrent) derived from the
+    capture history, content-hash ids shared with reify_statements."""
+    from ..operators.fusion import temporal_reification
+
+    return temporal_reification(_caps(spark, sf_dir))
+
+
+ORACLE_TEMPORAL_STATEMENTS = f"""
+WITH caps AS ({FUSION_CAPS_CTE.replace('{tbl}', 'documents')}),
+d AS (SELECT DISTINCT subj, pred, obj FROM caps),
+s AS (
+  SELECT 'http://kg.example.org/statement/' ||
+         md5(subj || chr(1) || pred || chr(1) || obj) AS stmt,
+         subj, pred, obj
+  FROM d
+),
+iv AS (
+  SELECT subj, pred, obj, min(ts) AS fs, max(ts) AS ls
+  FROM caps GROUP BY subj, pred, obj
+),
+lt AS (SELECT subj, max(ts) AS m FROM caps GROUP BY subj),
+q AS (
+  SELECT s.stmt, iv.fs, iv.ls, (iv.ls = lt.m) AS cur
+  FROM iv JOIN lt ON iv.subj = lt.subj
+  JOIN s ON s.subj = iv.subj AND s.pred = iv.pred AND s.obj = iv.obj
+)
+SELECT stmt, '{_RDF_NS}type' AS pred, '{_RDF_NS}Statement' AS obj FROM s
+UNION ALL SELECT stmt, '{_RDF_NS}subject', subj FROM s
+UNION ALL SELECT stmt, '{_RDF_NS}predicate', pred FROM s
+UNION ALL SELECT stmt, '{_RDF_NS}object', obj FROM s
+UNION ALL SELECT stmt, 'http://kg.example.org/voc#firstSeen',
+                 CAST(fs AS VARCHAR) FROM q
+UNION ALL SELECT stmt, 'http://kg.example.org/voc#lastSeen',
+                 CAST(ls AS VARCHAR) FROM q
+UNION ALL SELECT stmt, 'http://kg.example.org/voc#isCurrent',
+                 CASE WHEN cur THEN 'true' ELSE 'false' END FROM q
+"""
+
+
+QUERIES.update({
+    "kg_snapshot": q_kg_snapshot,
+    "temporal_statements": q_temporal_statements,
+})
+ORACLES.update({
+    "kg_snapshot": ORACLE_KG_SNAPSHOT,
+    "temporal_statements": ORACLE_TEMPORAL_STATEMENTS,
+})

@@ -142,3 +142,50 @@ def test_reify_without_source_has_core_arcs_only(spark):
     assert {r.pred for r in arcs.collect()} == {
         RDF + "type", RDF + "subject", RDF + "predicate", RDF + "object"
     }
+
+
+def test_kg_as_of(captures):
+    import pyspark.sql.functions as F
+    from distributed_extraction_framework_spark.operators.fusion import kg_as_of
+
+    snap_feb = {(r.subj, r.pred, r.obj)
+                for r in kg_as_of(captures, "2024-02-15").collect()}
+    # at Feb 15 the last observation of e0 is Feb 1: pop=10 valid;
+    # name=A was absent from the Feb capture -> retracted
+    assert ("e0", "pop", "10") in snap_feb
+    assert ("e0", "name", "A") not in snap_feb
+    assert ("e1", "pop", "5") in snap_feb
+    snap_jan = {(r.subj, r.pred, r.obj)
+                for r in kg_as_of(captures, "2024-01-15").collect()}
+    assert ("e0", "name", "A") in snap_jan      # still valid in January
+    snap_mar = {(r.subj, r.pred, r.obj)
+                for r in kg_as_of(captures, "2024-03-15").collect()}
+    assert ("e0", "pop", "12") in snap_mar
+    assert ("e0", "pop", "10") not in snap_mar  # superseded
+
+
+def test_temporal_reification_qualifiers_and_roundtrip(captures):
+    from distributed_extraction_framework_spark.operators.fusion import (
+        DEFS_VOC,
+        temporal_reification,
+        unreify_statements,
+    )
+
+    arcs = temporal_reification(captures)
+    # 4 distinct statements x (4 core + 3 qualifier) arcs
+    assert arcs.count() == 4 * 7
+    by_stmt = {}
+    for r in arcs.collect():
+        by_stmt.setdefault(r.stmt, {})[r.pred] = r.obj
+    cur = [q for q in by_stmt.values()
+           if q[RDF + "subject"] == "e0" and q[RDF + "object"] == "12"][0]
+    assert cur[DEFS_VOC + "isCurrent"] == "true"
+    assert cur[DEFS_VOC + "firstSeen"].startswith("2024-03-01")
+    old = [q for q in by_stmt.values()
+           if q[RDF + "subject"] == "e0" and q[RDF + "object"] == "10"][0]
+    assert old[DEFS_VOC + "isCurrent"] == "false"
+    assert old[DEFS_VOC + "lastSeen"].startswith("2024-02-01")
+    # unreify recovers the plain distinct triples despite the qualifiers
+    back = sorted(map(tuple, unreify_statements(arcs).collect()))
+    assert back == sorted(map(tuple, captures.select(
+        "subj", "pred", "obj").distinct().collect()))
