@@ -240,6 +240,48 @@ def change_events(captures: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def incremental_resolve(
+    old_fused: DataFrame,
+    claims_v2: DataFrame,
+    changed_claims: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Patch a fused fact table to a new claim set without re-voting the
+    whole KG — the fusion counterpart of plans/webkg.
+    incremental_web_triples (same recrawl economics: a weekly recrawl
+    touches a few percent of claims, so re-voting 10^10 (subj, pred)
+    keys to update 10^8 is waste).
+
+    Inputs: the previously fused table, the FULL v2 claim set, and the
+    claim delta (any frame whose (subj, pred) rows cover every added /
+    removed / value-changed claim — operators/webarchive.recrawl_diff
+    output piped through extraction gives exactly this). Only keys
+    appearing in the delta are re-voted; every other fused row is
+    carried over untouched.
+
+    Invariant (driver-gated + tested): the patched table equals
+    ``resolve_functional(claims_v2)`` recomputed from scratch — keys
+    whose claims vanished entirely drop out of the patched table too
+    (the semi-join against v2 claims re-emits nothing for them).
+
+    Shuffle budget: the affected-key set is delta-sized and
+    materialized once (localCheckpoint), so AQE broadcasts the
+    semi/anti joins when the delta is small — the common recrawl case —
+    and falls back to shuffled joins when a full re-crawl makes the
+    delta corpus-sized; re-voting runs the full resolve plan but over
+    the affected slice only.
+    """
+    affected = (
+        changed_claims.select("subj", "pred").distinct()
+        .localCheckpoint(eager=True)
+    )
+    revoted = resolve_functional(
+        claims_v2.join(affected, ["subj", "pred"], "left_semi"), source_col
+    )
+    kept = old_fused.join(affected, ["subj", "pred"], "left_anti")
+    return kept.unionByName(revoted)
+
+
 def kg_as_of(captures: DataFrame, ts, ts_col: str = "ts") -> DataFrame:
     """Point-in-time KG snapshot: statements whose validity interval
     (per :func:`triple_intervals`) covers ``ts`` — (subj, pred, obj).

@@ -7801,3 +7801,126 @@ ORACLES.update({
     "kg_snapshot": ORACLE_KG_SNAPSHOT,
     "temporal_statements": ORACLE_TEMPORAL_STATEMENTS,
 })
+
+
+def q_incremental_fusion(spark, sf_dir):
+    """Incremental fused-table maintenance (operators/fusion.
+    incremental_resolve): v1 claims -> v2 where every e%5==0 entity's
+    claims vanish and every e%3==0 entity's values change; only the
+    delta keys are re-voted, carried rows come from the v1 fused table
+    — and the ORACLE is the full v2 recompute, so the hash asserts
+    patch(old, delta) == recompute(v2)."""
+    from ..operators.fusion import incremental_resolve, resolve_functional
+
+    c1 = _claims(spark, sf_dir)
+    e = F.expr("substring(subj, 2)").cast("int")
+    c2 = c1.filter(e % 5 != 0).select(
+        "subj", "pred",
+        F.when(e % 3 == 0, F.concat(F.col("obj"), F.lit("x")))
+        .otherwise(F.col("obj")).alias("obj"),
+        "source",
+    )
+    delta = c1.filter((e % 3 == 0) | (e % 5 == 0)).select("subj", "pred")
+    return incremental_resolve(resolve_functional(c1), c2, delta)
+
+
+ORACLE_INCREMENTAL_FUSION = f"""
+WITH c1 AS ({FUSION_CLAIMS_CTE.replace('{tbl}', 'documents')}),
+c2 AS (
+  SELECT subj, pred,
+         CASE WHEN CAST(substr(subj, 2) AS INT) % 3 = 0
+              THEN obj || 'x' ELSE obj END AS obj,
+         source
+  FROM c1 WHERE CAST(substr(subj, 2) AS INT) % 5 <> 0
+), v AS (
+  SELECT subj, pred, obj, count(DISTINCT source) AS votes
+  FROM c2 GROUP BY subj, pred, obj
+), s AS (
+  SELECT subj, pred, count(DISTINCT source) AS n_sources
+  FROM c2 GROUP BY subj, pred
+), w AS (
+  SELECT subj, pred, obj, votes,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY votes DESC, obj) AS rn,
+         count(*) OVER (PARTITION BY subj, pred) AS n_values
+  FROM v
+)
+SELECT w.subj, w.pred, w.obj, w.votes, w.n_values, s.n_sources
+FROM w JOIN s ON w.subj = s.subj AND w.pred = s.pred
+WHERE w.rn = 1
+"""
+
+
+QUERIES.update({"incremental_fusion": q_incremental_fusion})
+ORACLES.update({"incremental_fusion": ORACLE_INCREMENTAL_FUSION})
+
+
+def q_stream_hearst(spark, sf_dir):
+    """Streaming parity for the open-IE channel: hearst_hyponyms is a
+    stateless regex projection, so the SAME operator runs under
+    readStream (file source, 1 file per trigger) and gates against the
+    SAME oracle as its batch twin."""
+    import tempfile
+    import uuid
+
+    from ..operators.openie import hearst_hyponyms
+    from ..streaming.events import run_to_memory
+
+    docs = _openie_docs(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="defs_stream_oie_")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = f"defs_stream_hearst_{uuid.uuid4().hex[:8]}"
+    run_to_memory(hearst_hyponyms(sdf), name)
+    return spark.table(name)
+
+
+def q_stream_truth_vote(spark, sf_dir):
+    """Streaming source voting: vote_values as a streaming aggregation
+    (complete mode). Structured Streaming cannot chain dedup + agg in
+    complete mode, so the claims are deduped AT MATERIALIZATION (the
+    deployment shape: the upstream extraction sink is already
+    per-capture-distinct) and votes = count(*) per value — gated
+    against the distinct-source SQL, which is equal on deduped input."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as FF
+
+    from ..streaming.events import run_to_memory
+
+    claims = _claims(spark, sf_dir).distinct()
+    d = tempfile.mkdtemp(prefix="defs_stream_claims_")
+    claims.repartition(4).write.mode("overwrite").parquet(d)
+    sdf = (
+        spark.readStream.schema(claims.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    votes = sdf.groupBy("subj", "pred", "obj").agg(
+        FF.count("*").alias("votes")
+    )
+    name = f"defs_stream_votes_{uuid.uuid4().hex[:8]}"
+    run_to_memory(votes, name, output_mode="complete")
+    return spark.table(name)
+
+
+ORACLE_STREAM_TRUTH_VOTE = f"""
+WITH c AS ({FUSION_CLAIMS_CTE.replace('{tbl}', 'documents')})
+SELECT subj, pred, obj, count(DISTINCT source) AS votes
+FROM c GROUP BY subj, pred, obj
+"""
+
+
+QUERIES.update({
+    "stream_hearst": q_stream_hearst,
+    "stream_truth_vote": q_stream_truth_vote,
+})
+ORACLES.update({
+    "stream_hearst": ORACLE_HEARST_ISA,
+    "stream_truth_vote": ORACLE_STREAM_TRUTH_VOTE,
+})

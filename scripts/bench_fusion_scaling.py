@@ -41,6 +41,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "128000000"))
+# claims-per-distinct-fact duplication: entities = N_ROWS // ENT_DIV.
+# ENT_DIV 256 gives ~20 claims per (subj, pred, obj, source) quad — the
+# realistic web shape (many pages per host republish a fact), which is
+# what map-side combine exists for; the first ledger trials used the
+# near-unique worst case (ENT_DIV 16) and measured the single host's
+# hash-aggregation allocation wall more than the operator
+ENT_DIV = int(os.environ.get("SPARK_GRAFT_SCALING_ENT_DIV", "256"))
 LEVELS = tuple(int(x) for x in
                os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "8,32").split(","))
 LO, HI = LEVELS
@@ -57,16 +64,17 @@ spark = get_spark(app_name="defs-fusion-gen", master="local[32]",
                   shuffle_partitions=32,
                   extra_conf={{"spark.ui.enabled": "false"}})
 d = F.col("id")
-# ~n/16 entities x 2 predicates; 13 hosts, hosts 0-3 systematically
+# n/ENT_DIV entities x 2 predicates; 13 hosts, hosts 0-3 systematically
 # wrong (same conflict topology as the webkg_fused gate, at bench scale)
+ents = n // int(sys.argv[3])
 claims = spark.range(0, n, 1, 256).select(
-    F.concat(F.lit("https://ent.example/e"), (d % (n // 16)).cast("string"))
+    F.concat(F.lit("https://ent.example/e"), (d % ents).cast("string"))
     .alias("subj"),
     F.element_at(F.array(F.lit("population"), F.lit("capital")),
                  (d % 2).cast("int") + 1).alias("pred"),
     F.concat(F.lit("v"),
-             F.when(d % 13 < 4, (d % (n // 16)) * 7 + 1 + (d % 13) % 2)
-             .otherwise((d % (n // 16)) * 7).cast("string")).alias("obj"),
+             F.when(d % 13 < 4, (d % ents) * 7 + 1 + (d % 13) % 2)
+             .otherwise((d % ents) * 7).cast("string")).alias("obj"),
     F.concat(F.lit("h"), (d % 13).cast("string"), F.lit(".example"))
     .alias("source"),
 )
@@ -114,11 +122,11 @@ def run_level(cpus: int, path: str) -> dict:
 
 
 def main() -> None:
-    path = f"/tmp/defs_fusion_claims_{N_ROWS}_p256"
+    path = f"/tmp/defs_fusion_claims_{N_ROWS}_d{ENT_DIV}_p256"
     if not os.path.exists(path + "/_SUCCESS"):
         subprocess.run(
             [sys.executable, "-c", GEN.format(repo=REPO),
-             str(N_ROWS), path],
+             str(N_ROWS), path, str(ENT_DIV)],
             check=True,
         )
     # mirrored order cancels monotonic host drift
@@ -133,6 +141,7 @@ def main() -> None:
         "workload": "v3-fusion",
         "kernel": "fusion",
         "n_rows": N_ROWS,
+        "ent_div": ENT_DIV,
         "levels": list(LEVELS),
         "lo": lo,
         "hi": hi,

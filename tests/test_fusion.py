@@ -189,3 +189,34 @@ def test_temporal_reification_qualifiers_and_roundtrip(captures):
     back = sorted(map(tuple, unreify_statements(arcs).collect()))
     assert back == sorted(map(tuple, captures.select(
         "subj", "pred", "obj").distinct().collect()))
+
+
+def test_incremental_resolve_matches_full_recompute(spark):
+    from distributed_extraction_framework_spark.operators.fusion import (
+        incremental_resolve,
+        resolve_functional,
+    )
+
+    v1 = spark.createDataFrame(
+        [("h1", "e0", "p", "a"), ("h2", "e0", "p", "a"),
+         ("h1", "e1", "p", "x"),                      # will vanish in v2
+         ("h1", "e2", "p", "m"), ("h2", "e2", "p", "m"),
+         ("h1", "e3", "p", "k")],                     # untouched
+        "source string, subj string, pred string, obj string")
+    # v2: e0 gains a dissenting claim, e1's claims vanish, e2's majority
+    # flips, e3 untouched
+    v2 = spark.createDataFrame(
+        [("h1", "e0", "p", "a"), ("h2", "e0", "p", "a"), ("h3", "e0", "p", "b"),
+         ("h1", "e2", "p", "n"), ("h2", "e2", "p", "n"), ("h3", "e2", "p", "m"),
+         ("h1", "e3", "p", "k")],
+        "source string, subj string, pred string, obj string")
+    delta = spark.createDataFrame(
+        [("e0", "p"), ("e1", "p"), ("e2", "p")], "subj string, pred string")
+    patched = incremental_resolve(resolve_functional(v1), v2, delta)
+    full = resolve_functional(v2)
+    assert sorted(map(tuple, patched.collect())) == sorted(
+        map(tuple, full.collect()))
+    got = {r.subj: r for r in patched.collect()}
+    assert "e1" not in got                 # vanished key dropped
+    assert got["e2"].obj == "n"            # flipped majority re-voted
+    assert got["e3"].obj == "k"            # untouched row carried over
