@@ -48,12 +48,13 @@ expansion — enough for the schema.org payloads crawls actually carry):
 from __future__ import annotations
 
 import json
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, IntegerType, StringType,
+                               StructField, StructType)
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -886,4 +887,159 @@ def corpus_from_crawl(
         F.col("id").alias("doc_id"), "url", "text",
         F.length("text").alias("n_chars"),
         F.col("n_blocks").cast("int").alias("n_blocks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML tables → relational cells → WebTables-style triples
+# ---------------------------------------------------------------------------
+# The web's third machine-readable fact channel after JSON-LD and
+# microdata/RDFa: relational <table> markup (Cafarella et al.,
+# "WebTables: Exploring the Power of Tables on the Web", VLDB 2008 —
+# attribute-name headers + an entity key column make each data row a
+# bundle of (subj, pred, obj) facts). The reference's counterpart is the
+# infobox extractor (reference: dump-extraction-framework's
+# InfoboxExtractor consumes wikitext {{…}} key/value templates); a crawl
+# corpus carries the same facts as <th>-headed tables.
+#
+# Parsing subset (deterministic, documented):
+# * table blocks are isolated JVM-side with a lazy (?is)<table…>…</table>
+#   regex — NESTED tables mis-split (outer block truncates at the inner
+#   close tag); crawl-majority flat tables parse exactly, and a
+#   mis-split block degrades to fewer rows, never a job failure;
+# * rows split on <tr…>, cells on <th…>/<td…>; inner markup is
+#   tag-stripped and trimmed; the five standard entities (&amp; &lt;
+#   &gt; &quot; &#39;) and &nbsp; are decoded;
+# * the header row is the FIRST row iff it contains a <th>; its cell
+#   texts name the columns. Tables without a <th> first row get
+#   positional headers col0, col1, …; data rows longer than the header
+#   list also fall back to positional names for the overflow cells;
+# * every data cell is emitted with its row's KEY (the col-0 cell text)
+#   attached — computed page-locally in the same pandas batch that
+#   parsed the table, so :func:`html_table_triples` is a pure
+#   projection with ZERO added shuffles (the former design, a
+#   key-cell⋈value-cell self-join on (id, tbl, row), re-keyed every
+#   cell through an exchange to answer a question each row answers
+#   about itself).
+
+TABLE_BLOCK_RE = r"(?is)<table[^>]*>(.*?)</table>"
+
+_CELL = StructType([
+    StructField("tbl", IntegerType(), False),
+    StructField("row", IntegerType(), False),
+    StructField("col", IntegerType(), False),
+    StructField("header", StringType(), False),
+    StructField("value", StringType(), False),
+    StructField("row_key", StringType(), False),
+])
+
+_ROW_SPLIT_RE = re.compile(r"(?is)<tr[^>]*>")
+_CELL_RE = re.compile(r"(?is)<(t[hd])[^>]*>(.*?)</t[hd]\s*>")
+_TAG_RE = re.compile(r"<[^>]+>")
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def _cell_text(raw: str) -> str:
+    """Inner markup stripped, standard entities decoded, trimmed.
+    &amp; decodes LAST so markup produced by double-escaping stays
+    inert (the same order DuckDB's chained replace() oracle uses)."""
+    s = _TAG_RE.sub("", raw)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s.strip()
+
+
+def _parse_tables(blocks: list) -> list[tuple]:
+    """One page's table blocks → cell tuples (see module comment for
+    the parsing subset). Never raises — hostile markup degrades to
+    fewer cells, never a job failure."""
+    out: list[tuple] = []
+    for tidx, block in enumerate(blocks):
+        try:
+            rows = []
+            for chunk in _ROW_SPLIT_RE.split(block)[1:]:
+                cells = _CELL_RE.findall(chunk)
+                if cells:
+                    rows.append(cells)
+            if not rows:
+                continue
+            headers: list[str] = []
+            if any(tag.lower() == "th" for tag, _ in rows[0]):
+                headers = [_cell_text(body) for _, body in rows[0]]
+                rows = rows[1:]
+            for ridx, cells in enumerate(rows):
+                texts = [_cell_text(body) for _, body in cells]
+                key = texts[0] if texts else ""
+                for cidx, text in enumerate(texts):
+                    header = (headers[cidx] if cidx < len(headers)
+                              else f"col{cidx}")
+                    out.append((tidx, ridx, cidx, header, text, key))
+        except (ValueError, TypeError, RecursionError):
+            continue
+    return out
+
+
+def html_table_cells(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """(id, tbl, row, col, header, value, row_key) for every data cell
+    of every ``<table>`` in ``html_col`` — the relational face of the
+    WebTables channel (feed it to table-QA / schema-matching pipelines;
+    :func:`html_table_triples` is the KG face).
+
+    Shape: block isolation is a Catalyst ``regexp_extract_all`` (pages
+    without ``<table`` never reach Python), the parse is one vectorized
+    pandas UDF per page, one explode, ZERO shuffles. ``row`` counts
+    data rows only (header row excluded), 0-based per table."""
+    _check_keep_cols(
+        keep_cols, ("id", "tbl", "row", "col", "header", "value", "row_key"))
+    blocks = (
+        df.select(
+            F.col(id_col).alias("id"), *keep_cols,
+            F.regexp_extract_all(_html_str(df, html_col),
+                                 F.lit(TABLE_BLOCK_RE), F.lit(1))
+            .alias("_blocks"),
+        )
+        .filter(F.size("_blocks") > 0)
+    )
+
+    @F.pandas_udf(ArrayType(_CELL))
+    def parse(blks: pd.Series) -> pd.Series:
+        return pd.Series([_parse_tables(b) for b in blks])
+
+    return (
+        blocks.select("id", *keep_cols, F.explode(parse("_blocks")).alias("_c"))
+        .select("id", "_c.tbl", "_c.row", "_c.col", "_c.header", "_c.value",
+                "_c.row_key", *keep_cols)
+    )
+
+
+def html_table_triples(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "page_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """WebTables-style facts: each data row of a ``<th>``-headed table
+    reads as (row-key entity, column header, cell value) — the crawl
+    analog of the reference's InfoboxExtractor template facts
+    (reference: extraction/…/InfoboxExtractor consumes wikitext {{…}}
+    key/value pairs; the web publishes the same facts as tables).
+
+    Pure projection over :func:`html_table_cells` — the row key rides
+    on every cell, so NO join/shuffle is added. Emits only cells from
+    header-named columns (positional ``col{j}`` headers carry no
+    predicate semantics) with col > 0 and a non-empty key."""
+    cells = html_table_cells(df, html_col=html_col, id_col=id_col,
+                             keep_cols=keep_cols)
+    return (
+        cells.filter((F.col("col") > 0) & (F.col("row_key") != "")
+                     & ~F.col("header").rlike(r"^col\d+$"))
+        .select("id", F.col("row_key").alias("subj"),
+                F.col("header").alias("pred"), F.col("value").alias("obj"),
+                "tbl", "row", *keep_cols)
     )

@@ -7924,3 +7924,106 @@ ORACLES.update({
     "stream_hearst": ORACLE_HEARST_ISA,
     "stream_truth_vote": ORACLE_STREAM_TRUTH_VOTE,
 })
+
+
+# --------------------------------------------------------------------------
+# eighth wave: WebTables channel — relational cells + row-key facts
+# --------------------------------------------------------------------------
+
+
+def _table_html(docs):
+    """Closed-form table markup over documents columns: one <th>-headed
+    3-column table (two data rows; one cell wraps inner markup + an
+    &amp; entity), noise, then a headerless table (positional headers).
+    Exercises header naming, tag stripping, entity decode, row keys."""
+    d = F.col("doc_id").cast("string")
+    w1 = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    html = F.concat(
+        F.lit('<table id="t"><TR><th>name</th><th>pop</th><th>note</th></tr>'
+              "<tr><td> city"), d,
+        F.lit(" </td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td><td><b>"), w1, F.lit("</b> &amp; x</td></tr>"
+              "<tr><td>town"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</td><td>"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("</td><td>plain</td></tr></table><p>noise</p>"
+              "<table><tr><td>a"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("</td><td>b</td></tr></table>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_html_tables(spark, sf_dir):
+    """Relational WebTables cells (operators/structured_data.
+    html_table_cells): header-named + positional columns, inner-markup
+    stripping, entity decode, per-row key attachment — oracle
+    reconstructs every cell closed-form from the documents columns."""
+    from ..operators.structured_data import html_table_cells
+
+    out = html_table_cells(_table_html(_docs_tbl(spark, sf_dir)),
+                           html_col="html", id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "tbl", "row", "col",
+                      "header", "value", "row_key")
+
+
+ORACLE_HTML_TABLES = """
+WITH base AS (
+  SELECT doc_id,
+         'city' || doc_id AS city,
+         'town' || (doc_id % 5) AS town,
+         cast(n_chars AS varchar) AS nc,
+         cast(doc_id % 7 AS varchar) AS m7,
+         'a' || (doc_id % 3) AS a3,
+         split_part(text, ' ', 1) || ' & x' AS note
+  FROM documents
+)
+SELECT doc_id, 0 AS tbl, 0 AS "row", 0 AS col,
+       'name' AS header, city AS value, city AS row_key FROM base
+UNION ALL SELECT doc_id, 0, 0, 1, 'pop', nc, city FROM base
+UNION ALL SELECT doc_id, 0, 0, 2, 'note', note, city FROM base
+UNION ALL SELECT doc_id, 0, 1, 0, 'name', town, town FROM base
+UNION ALL SELECT doc_id, 0, 1, 1, 'pop', m7, town FROM base
+UNION ALL SELECT doc_id, 0, 1, 2, 'note', 'plain', town FROM base
+UNION ALL SELECT doc_id, 1, 0, 0, 'col0', a3, a3 FROM base
+UNION ALL SELECT doc_id, 1, 0, 1, 'col1', 'b', a3 FROM base
+"""
+
+
+def q_table_triples(spark, sf_dir):
+    """WebTables facts (html_table_triples): (row-key entity, header,
+    value) from header-named value columns only — the positional
+    (headerless) table contributes nothing; zero-shuffle plan (pure
+    projection over the cell scan)."""
+    from ..operators.structured_data import html_table_triples
+
+    out = html_table_triples(_table_html(_docs_tbl(spark, sf_dir)),
+                             html_col="html", id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "tbl", "row")
+
+
+ORACLE_TABLE_TRIPLES = """
+WITH base AS (
+  SELECT doc_id,
+         'city' || doc_id AS city,
+         'town' || (doc_id % 5) AS town,
+         cast(n_chars AS varchar) AS nc,
+         cast(doc_id % 7 AS varchar) AS m7,
+         split_part(text, ' ', 1) || ' & x' AS note
+  FROM documents
+)
+SELECT doc_id, city AS subj, 'pop' AS pred, nc AS obj,
+       0 AS tbl, 0 AS "row" FROM base
+UNION ALL SELECT doc_id, city, 'note', note, 0, 0 FROM base
+UNION ALL SELECT doc_id, town, 'pop', m7, 0, 1 FROM base
+UNION ALL SELECT doc_id, town, 'note', 'plain', 0, 1 FROM base
+"""
+
+
+QUERIES.update({
+    "html_tables": q_html_tables,
+    "table_triples": q_table_triples,
+})
+ORACLES.update({
+    "html_tables": ORACLE_HTML_TABLES,
+    "table_triples": ORACLE_TABLE_TRIPLES,
+})

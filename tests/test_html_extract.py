@@ -355,3 +355,54 @@ def test_rdfa_link_analytics_plan_shape(spark):
     assert {(r["href"], r["anchor"], r["n"], r["rank"])
             for r in at.collect()} == {("https://t/1", "one", 1, 1),
                                        ("/rel", "two", 1, 1)}
+
+
+def test_html_table_cells_and_triples(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        html_table_cells,
+        html_table_triples,
+    )
+
+    html = (
+        '<table class=x><TR><th>name</th><th>pop</th></tr>'
+        "<tr><td> c1 </td><td><b>4 &amp; 2</b></td></tr>"
+        "<tr><td>c2</td><td>9</td><td>extra</td></tr></table>"
+        "<table><tr><td>a</td><td>b</td></tr></table>"
+        "<table><tr><th>only-header</th></tr></table>"
+        "<table>junk no rows</table>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<p>no tables</p>"), (3, None)],
+        ["page_id", "html"])
+    cells = {(r.tbl, r.row, r.col, r.header, r.value, r.row_key)
+             for r in html_table_cells(df).collect()}
+    assert cells == {
+        (0, 0, 0, "name", "c1", "c1"),
+        (0, 0, 1, "pop", "4 & 2", "c1"),
+        (0, 1, 0, "name", "c2", "c2"),
+        (0, 1, 1, "pop", "9", "c2"),
+        (0, 1, 2, "col2", "extra", "c2"),   # overflow → positional
+        (1, 0, 0, "col0", "a", "a"),
+        (1, 0, 1, "col1", "b", "a"),
+    }
+    trips = {(r.subj, r.pred, r.obj)
+             for r in html_table_triples(df).collect()}
+    # only header-named, col>0 cells become facts
+    assert trips == {("c1", "pop", "4 & 2"), ("c2", "pop", "9")}
+    # binary html column accepted (input_hint schema)
+    bdf = spark.createDataFrame(
+        [(1, html.encode())], "page_id int, html binary")
+    assert html_table_cells(bdf).count() == 7
+
+
+def test_html_table_plan_zero_shuffle(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        html_table_triples,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")],
+        ["page_id", "html"])
+    plan = (html_table_triples(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
