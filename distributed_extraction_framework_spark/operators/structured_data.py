@@ -362,6 +362,7 @@ def web_page_triples(
     html_col: str = "html",
     url_col: str = "url",
     id_col: str = "page_id",
+    tables: bool = True,
 ) -> DataFrame:
     """The full crawl-page → KG step: one (id, subj, pred, obj, obj_kind)
     triple set combining every embedded-structured-data channel this
@@ -379,7 +380,12 @@ def web_page_triples(
     * ``(page, has_entity, <root>)`` anchoring each root JSON-LD node /
       top-level microdata scope / root RDFa subject to the page that
       published it — the provenance edge a downstream sameAs/linking
-      pass joins on.
+      pass joins on,
+    * (``tables=True``, default) the WebTables channel — row-key facts
+      from ``<th>``-headed relational tables plus one
+      ``(page, mentions, key)`` edge per distinct key per page
+      (:func:`_table_channel`; keys are surface-form mentions, the
+      entity-linking input, not resolved nodes).
 
     The page node is ``url_col``, attached via the extractors'
     ``keep_cols`` passthrough (no join-back). Every channel is a
@@ -428,8 +434,42 @@ def web_page_triples(
                               keep_cols=(url_col,), emit_roots=True),
         url_col,
     )
-    return (links.unionByName(metas).unionByName(entities)
-            .unionByName(markup))
+    out = (links.unionByName(metas).unionByName(entities)
+           .unionByName(markup))
+    if tables:
+        out = out.unionByName(_table_channel(df, html_col, id_col, url_col))
+    return out
+
+
+def _table_channel(df: DataFrame, html_col: str, id_col: str,
+                   url_col: str) -> DataFrame:
+    """The WebTables face of ``web_page_triples``: row-key facts from
+    ``<th>``-headed tables plus one ``(url, mentions, key)`` provenance
+    edge per distinct key per page. Table row keys are surface-form
+    MENTIONS (``obj_kind='mention'``), not resolved entities — the
+    linking / NIL-clustering passes consume them, in contrast to the
+    JSON-LD/microdata/RDFa channels whose subjects are self-identified
+    uri/bnode nodes. Single consumer of the cell-scan UDF (marker rows
+    rewritten in the same projection), zero added shuffles; pages
+    without ``<table`` never reach the Python stage."""
+    cells = html_table_cells(df, html_col=html_col, id_col=id_col,
+                             keep_cols=(url_col,), emit_keys=True)
+    is_key = F.col("col") == -1
+    return (
+        cells.filter(is_key | ((F.col("col") > 0) & (F.col("row_key") != "")
+                               & ~F.col("header").rlike(r"^col\d+$")))
+        .select(
+            "id",
+            F.when(is_key, F.col(url_col))
+            .otherwise(F.col("row_key")).alias("subj"),
+            F.when(is_key, F.lit("mentions"))
+            .otherwise(F.col("header")).alias("pred"),
+            F.when(is_key, F.col("row_key"))
+            .otherwise(F.col("value")).alias("obj"),
+            F.when(is_key, F.lit("mention"))
+            .otherwise(F.lit("literal")).alias("obj_kind"),
+        )
+    )
 
 
 def extract_entity_markup(
@@ -950,11 +990,19 @@ def _cell_text(raw: str) -> str:
     return s.strip()
 
 
-def _parse_tables(blocks: list) -> list[tuple]:
+def _parse_tables(blocks: list, emit_keys: bool = False) -> list[tuple]:
     """One page's table blocks → cell tuples (see module comment for
     the parsing subset). Never raises — hostile markup degrades to
-    fewer cells, never a job failure."""
+    fewer cells, never a job failure.
+
+    ``emit_keys=True`` additionally emits ONE marker tuple
+    ``(tbl, row, -1, "", "", key)`` at the first page-level occurrence
+    of each non-empty row key of a ``<th>``-headed table — the
+    page-local dedup that lets :func:`web_page_triples` attach one
+    mention edge per distinct key without any corpus-wide exchange
+    (same design as the entity channels' ``emit_roots`` markers)."""
     out: list[tuple] = []
+    seen_keys: set = set()
     for tidx, block in enumerate(blocks):
         try:
             rows = []
@@ -971,6 +1019,10 @@ def _parse_tables(blocks: list) -> list[tuple]:
             for ridx, cells in enumerate(rows):
                 texts = [_cell_text(body) for _, body in cells]
                 key = texts[0] if texts else ""
+                if (emit_keys and headers and key
+                        and key not in seen_keys):
+                    seen_keys.add(key)
+                    out.append((tidx, ridx, -1, "", "", key))
                 for cidx, text in enumerate(texts):
                     header = (headers[cidx] if cidx < len(headers)
                               else f"col{cidx}")
@@ -985,6 +1037,7 @@ def html_table_cells(
     html_col: str = "html",
     id_col: str = "page_id",
     keep_cols: tuple = (),
+    emit_keys: bool = False,
 ) -> DataFrame:
     """(id, tbl, row, col, header, value, row_key) for every data cell
     of every ``<table>`` in ``html_col`` — the relational face of the
@@ -994,7 +1047,12 @@ def html_table_cells(
     Shape: block isolation is a Catalyst ``regexp_extract_all`` (pages
     without ``<table`` never reach Python), the parse is one vectorized
     pandas UDF per page, one explode, ZERO shuffles. ``row`` counts
-    data rows only (header row excluded), 0-based per table."""
+    data rows only (header row excluded), 0-based per table.
+
+    ``emit_keys=True`` interleaves marker rows (``col = -1``, empty
+    header/value) carrying each page's distinct ``<th>``-table row keys
+    — consumed by :func:`web_page_triples`'s mention rewrite; plain
+    relational callers keep the default."""
     _check_keep_cols(
         keep_cols, ("id", "tbl", "row", "col", "header", "value", "row_key"))
     blocks = (
@@ -1009,7 +1067,8 @@ def html_table_cells(
 
     @F.pandas_udf(ArrayType(_CELL))
     def parse(blks: pd.Series) -> pd.Series:
-        return pd.Series([_parse_tables(b) for b in blks])
+        return pd.Series([_parse_tables(b, emit_keys=emit_keys)
+                          for b in blks])
 
     return (
         blocks.select("id", *keep_cols, F.explode(parse("_blocks")).alias("_c"))
@@ -1043,3 +1102,135 @@ def html_table_triples(
                 F.col("header").alias("pred"), F.col("value").alias("obj"),
                 "tbl", "row", *keep_cols)
     )
+
+
+# ---------------------------------------------------------------------------
+# WebTables analysis: column profiles, subject detection, typed facts
+# ---------------------------------------------------------------------------
+# The ACSDb-style layer over the raw cell scan (Cafarella et al., VLDB
+# 2008 §3: per-column statistics → subject-column detection → schema
+# statistics). The reference's analog is the infobox extractor's
+# datatype guessing (InfoboxExtractor int/double/date/unit rules) —
+# typed_table_facts applies the SAME rule table (schema.UNIT_DATATYPES)
+# to table cell values so both fact channels publish comparable typed
+# literals.
+
+_NUMERIC_CELL_RE = r"^-?[0-9][0-9,]*(\.[0-9]+)?$"
+_POSITIONAL_HEADER_RE = r"^col\d+$"
+
+
+def table_column_profile(cells: DataFrame, id_col: str = "id") -> DataFrame:
+    """Per (page, table, column) statistics over a
+    :func:`html_table_cells` scan: cell count, non-empty count, numeric
+    count (int/double lexicals, comma grouping allowed), distinct
+    count. The WebTables column profile feeding subject detection and
+    schema matching.
+
+    Shape: ONE hash aggregate on (id, tbl, col, header) — header is
+    constant within a column so keying on it adds no groups; partial
+    (map-side) aggregation applies, so the exchange carries one row per
+    column, not per cell."""
+    v = F.col("value")
+    return cells.groupBy(id_col, "tbl", "col", "header").agg(
+        F.count("*").alias("n_cells"),
+        F.sum((v != "").cast("long")).alias("n_nonempty"),
+        F.sum(v.rlike(_NUMERIC_CELL_RE).cast("long")).alias("n_numeric"),
+        F.countDistinct(v).alias("n_distinct"),
+    )
+
+
+def table_subject_columns(
+    profile: DataFrame,
+    id_col: str = "id",
+    max_numeric_ratio: float = 0.5,
+) -> DataFrame:
+    """Subject-column detection (WebTables §4.1: the entity column is a
+    mostly-distinct, mostly-non-numeric named column — often but NOT
+    always the leftmost). Among header-named columns with
+    ``n_numeric <= max_numeric_ratio * n_cells``, picks per (page,
+    table) the highest distinct ratio, ties to the lower column index.
+
+    Shape: a row_number window on (id, tbl) over the column-sized
+    profile — the exchange moves one row per column."""
+    cand = profile.filter(
+        ~F.col("header").rlike(_POSITIONAL_HEADER_RE)
+        & (F.col("n_numeric")
+           <= F.lit(max_numeric_ratio) * F.col("n_cells"))
+    )
+    w = Window.partitionBy(id_col, "tbl").orderBy(
+        (F.col("n_distinct").cast("double") / F.col("n_cells")).desc(),
+        F.col("col").asc(),
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "tbl", F.col("col").alias("key_col"),
+                F.col("header").alias("key_header"))
+    )
+
+
+def table_entity_facts(cells: DataFrame, id_col: str = "id",
+                       max_numeric_ratio: float = 0.5) -> DataFrame:
+    """Row-key facts with a DETECTED subject column:
+    (page, tbl, row, subj, pred, obj) where subj is the row's value in
+    the table's detected entity column — upgrades
+    :func:`html_table_triples` (which assumes column 0 keys) for
+    rank-first / id-first tables.
+
+    Shape: profile agg (column-sized) → two equi-joins back to the cell
+    scan on (id, tbl) then (id, tbl, row). Both joins key on compact
+    scalars; at crawl scale AQE broadcast-promotes the column-sized
+    subject map, leaving one cell-sized exchange."""
+    subj_cols = table_subject_columns(
+        table_column_profile(cells, id_col=id_col), id_col=id_col,
+        max_numeric_ratio=max_numeric_ratio)
+    keys = (
+        cells.join(subj_cols, on=[id_col, "tbl"])
+        .filter((F.col("col") == F.col("key_col")) & (F.col("value") != ""))
+        .select(id_col, "tbl", "row", F.col("value").alias("subj"),
+                "key_col")
+    )
+    return (
+        cells.filter(~F.col("header").rlike(_POSITIONAL_HEADER_RE))
+        .join(keys, on=[id_col, "tbl", "row"])
+        .filter(F.col("col") != F.col("key_col"))
+        .select(id_col, "tbl", "row", "subj",
+                F.col("header").alias("pred"), F.col("value").alias("obj"))
+    )
+
+
+def typed_table_facts(facts: DataFrame, value_col: str = "obj") -> DataFrame:
+    """Datatype guessing over table fact objects — the infobox
+    extractor's rule table applied to the WebTables channel (reference:
+    InfoboxExtractor's int/double/date/unit value guessing; same
+    regexes, same ``schema.UNIT_DATATYPES`` suffix map, so both
+    channels' typed literals fuse cleanly).
+
+    Replaces ``value_col`` with its canonical lexical (comma grouping
+    stripped from numerics, the unit suffix split off) and adds a
+    ``datatype`` URI column: xsd:integer / xsd:double / xsd:date / a
+    unit datatype / xsd:string. Pure Catalyst projection — zero
+    shuffles, no Python."""
+    from ..schema import XSD_DATE, XSD_DOUBLE, XSD_INTEGER, XSD_STRING
+    from .extractors import (_DATE_RE, _DBL_RE, _INT_RE, _UNIT_RE,
+                             _unit_datatype)
+
+    v = F.col(value_col)
+    lex = (
+        F.when(v.rlike(_INT_RE) | v.rlike(_DBL_RE),
+               F.regexp_replace(v, ",", ""))
+        .when(v.rlike(_UNIT_RE),
+              F.regexp_replace(F.regexp_extract(v, _UNIT_RE, 1), ",", ""))
+        .otherwise(v)
+    )
+    dt = (
+        F.when(v.rlike(_INT_RE), F.lit(XSD_INTEGER))
+        .when(v.rlike(_DBL_RE), F.lit(XSD_DOUBLE))
+        .when(v.rlike(_DATE_RE), F.lit(XSD_DATE))
+        .when(v.rlike(_UNIT_RE),
+              _unit_datatype(F.regexp_extract(v, _UNIT_RE, 2)))
+        .otherwise(F.lit(XSD_STRING))
+    )
+    others = [c for c in facts.columns if c != value_col]
+    return facts.select(*others, lex.alias(value_col),
+                        dt.alias("datatype"))

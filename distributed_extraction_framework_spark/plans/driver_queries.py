@@ -8027,3 +8027,220 @@ ORACLES.update({
     "html_tables": ORACLE_HTML_TABLES,
     "table_triples": ORACLE_TABLE_TRIPLES,
 })
+
+
+# --------------------------------------------------------------------------
+# ninth wave: WebTables analysis — profiles, subject detection, typed facts,
+# composite channel
+# --------------------------------------------------------------------------
+
+
+def q_table_profiles(spark, sf_dir):
+    """ACSDb-style column profile (structured_data.table_column_profile)
+    over the two-table synth page: cell / non-empty / numeric / distinct
+    counts per (page, table, column); oracle reconstructs each profile
+    row closed-form (the only data-dependent stat — whether the pop
+    column's two numerics collide — is a CASE on the same columns)."""
+    from ..operators.structured_data import (html_table_cells,
+                                             table_column_profile)
+
+    cells = html_table_cells(_table_html(_docs_tbl(spark, sf_dir)),
+                             html_col="html", id_col="doc_id")
+    out = table_column_profile(cells)
+    return out.select(F.col("id").alias("doc_id"), "tbl", "col", "header",
+                      "n_cells", "n_nonempty", "n_numeric", "n_distinct")
+
+
+ORACLE_TABLE_PROFILES = """
+WITH base AS (
+  SELECT doc_id,
+         cast(n_chars AS varchar) AS nc,
+         cast(doc_id % 7 AS varchar) AS m7
+  FROM documents
+)
+SELECT doc_id, 0 AS tbl, 0 AS col, 'name' AS header,
+       2::bigint AS n_cells, 2::bigint AS n_nonempty,
+       0::bigint AS n_numeric, 2::bigint AS n_distinct FROM base
+UNION ALL SELECT doc_id, 0, 1, 'pop', 2, 2, 2,
+       CASE WHEN nc = m7 THEN 1 ELSE 2 END FROM base
+UNION ALL SELECT doc_id, 0, 2, 'note', 2, 2, 0, 2 FROM base
+UNION ALL SELECT doc_id, 1, 0, 'col0', 1, 1, 0, 1 FROM base
+UNION ALL SELECT doc_id, 1, 1, 'col1', 1, 1, 0, 1 FROM base
+"""
+
+
+def _table_html_rank(docs):
+    """Subject-detection synth: table 0 is rank-first (the entity column
+    is col 1 — 'rank'/'score' are numeric); table 1 has TWO non-numeric
+    named columns where col 0 is constant and col 1 distinct (detection
+    must pick the higher distinct ratio, not the leftmost)."""
+    d = F.col("doc_id").cast("string")
+    row = lambda r: F.concat(  # noqa: E731
+        F.lit(f"<tr><td>{r + 1}</td><td>e"), d, F.lit(f"_{r}</td><td>"),
+        ((F.col("doc_id") + r) % 5).cast("string"), F.lit("</td></tr>"))
+    html = F.concat(
+        F.lit("<table><tr><th>rank</th><th>name</th><th>score</th></tr>"),
+        row(0), row(1), row(2),
+        F.lit("</table><table><tr><th>x</th><th>y</th></tr>"
+              "<tr><td>k</td><td>u"), d,
+        F.lit("_0</td></tr><tr><td>k</td><td>u"), d,
+        F.lit("_1</td></tr></table>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_table_subject_facts(spark, sf_dir):
+    """Detected-subject row facts (structured_data.table_entity_facts):
+    table 0's entity column is 'name' (col 1 — rank/score are numeric),
+    table 1's is 'y' (col 1 — col 0 'x' is constant, lower distinct
+    ratio). Oracle enumerates the re-keyed facts closed-form."""
+    from ..operators.structured_data import (html_table_cells,
+                                             table_entity_facts)
+
+    cells = html_table_cells(_table_html_rank(_docs_tbl(spark, sf_dir)),
+                             html_col="html", id_col="doc_id")
+    return table_entity_facts(cells).select(
+        F.col("id").alias("doc_id"), "tbl", "row", "subj", "pred", "obj")
+
+
+ORACLE_TABLE_SUBJECT_FACTS = """
+WITH r AS (SELECT unnest([0, 1, 2]) AS rw),
+base AS (
+  SELECT doc_id, rw,
+         'e' || doc_id || '_' || rw AS ent,
+         cast(rw + 1 AS varchar) AS rank_v,
+         cast((doc_id + rw) % 5 AS varchar) AS score_v
+  FROM documents, r
+)
+SELECT doc_id, 0 AS tbl, rw AS "row", ent AS subj,
+       'rank' AS pred, rank_v AS obj FROM base
+UNION ALL SELECT doc_id, 0, rw, ent, 'score', score_v FROM base
+UNION ALL SELECT doc_id, 1, rw, 'u' || doc_id || '_' || rw, 'x', 'k'
+  FROM base WHERE rw < 2
+"""
+
+
+def _table_html_units(docs):
+    """Datatype-guessing synth: one key column + six value columns
+    covering every guess rule — unit suffix (km, kg), xsd:date,
+    plain string, comma-grouped integer, double."""
+    d = F.col("doc_id").cast("string")
+    w1 = F.substring_index(F.col("text"), " ", 1)
+    html = F.concat(
+        F.lit("<table><tr><th>name</th><th>dist</th><th>mass</th>"
+              "<th>born</th><th>note</th><th>pop</th><th>ratio</th></tr>"
+              "<tr><td>m"), d, F.lit("</td><td>"),
+        ((F.col("doc_id") % 90) + 1).cast("string"), F.lit(" km</td><td>"),
+        (F.col("doc_id") % 4).cast("string"), F.lit(".5 kg</td><td>"
+              "2020-01-0"), ((F.col("doc_id") % 9) + 1).cast("string"),
+        F.lit("</td><td>plain "), w1, F.lit("</td><td>"),
+        ((F.col("doc_id") % 9) + 1).cast("string"), F.lit(",234</td><td>"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".25</td></tr></table>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_table_typed_facts(spark, sf_dir):
+    """Infobox-rule datatype guessing over table facts (structured_data.
+    typed_table_facts ∘ html_table_triples): unit suffixes split to
+    canonical lexical + unit datatype URI, comma grouping stripped from
+    integers, dates and strings recognized — same rule table as the
+    infobox extractor so both channels fuse."""
+    from ..operators.structured_data import (html_table_triples,
+                                             typed_table_facts)
+
+    trips = html_table_triples(_table_html_units(_docs_tbl(spark, sf_dir)),
+                               html_col="html", id_col="doc_id")
+    return typed_table_facts(trips).select(
+        F.col("id").alias("doc_id"), "subj", "pred", "obj", "datatype")
+
+
+_DTNS = "http://kg.example.org/datatype/"
+_XSDNS = "http://www.w3.org/2001/XMLSchema#"
+
+ORACLE_TABLE_TYPED_FACTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         'm' || doc_id AS ent,
+         cast((doc_id % 90) + 1 AS varchar) AS dist,
+         (doc_id % 4) || '.5' AS mass,
+         '2020-01-0' || ((doc_id % 9) + 1) AS born,
+         'plain ' || split_part(text, ' ', 1) AS note,
+         ((doc_id % 9) + 1) || '234' AS pop,
+         (doc_id % 7) || '.25' AS ratio
+  FROM documents
+)
+SELECT doc_id, ent AS subj, 'dist' AS pred, dist AS obj,
+       '{_DTNS}kilometre' AS datatype FROM base
+UNION ALL SELECT doc_id, ent, 'mass', mass, '{_DTNS}kilogram' FROM base
+UNION ALL SELECT doc_id, ent, 'born', born, '{_XSDNS}date' FROM base
+UNION ALL SELECT doc_id, ent, 'note', note, '{_XSDNS}string' FROM base
+UNION ALL SELECT doc_id, ent, 'pop', pop, '{_XSDNS}integer' FROM base
+UNION ALL SELECT doc_id, ent, 'ratio', ratio, '{_XSDNS}double' FROM base
+"""
+
+
+def _webkg_tables_injected(spark, sf_dir):
+    """Composite-channel synth: one outlink, one <th>-headed table whose
+    TWO rows share a key (the mention edge must dedup page-locally),
+    one headerless table (must contribute nothing)."""
+    docs = _docs_tbl(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="https://o/'), (F.col("doc_id") % 10).cast("string"),
+        F.lit('">x</a><table><tr><th>k</th><th>v</th></tr><tr><td>e'),
+        (F.col("doc_id") % 4).cast("string"), F.lit("</td><td>a"), d,
+        F.lit("</td></tr><tr><td>e"), (F.col("doc_id") % 4).cast("string"),
+        F.lit("</td><td>b"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("</td></tr></table><table><tr><td>z</td></tr></table>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://pages.example/"), d).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_webkg_tables(spark, sf_dir):
+    """web_page_triples' WebTables channel (tables=True, the default):
+    row-key facts + ONE (url, mentions, key) edge per distinct key per
+    page (two rows share the key — the marker dedups page-locally
+    inside the parse UDF, no exchange), headerless tables contribute
+    nothing, and the link channel unions in unchanged."""
+    from ..operators.structured_data import web_page_triples
+
+    out = web_page_triples(_webkg_tables_injected(spark, sf_dir),
+                           id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "subj", "pred", "obj",
+                      "obj_kind")
+
+
+ORACLE_WEBKG_TABLES = """
+WITH base AS (
+  SELECT doc_id,
+         'https://pages.example/' || doc_id AS s,
+         'e' || (doc_id % 4) AS k,
+         'a' || doc_id AS va,
+         'b' || (doc_id % 3) AS vb
+  FROM documents
+)
+SELECT doc_id, s AS subj, 'links_to' AS pred,
+       'https://o/' || (doc_id % 10) AS obj, 'uri' AS obj_kind FROM base
+UNION ALL SELECT doc_id, s, 'mentions', k, 'mention' FROM base
+UNION ALL SELECT doc_id, k, 'v', va, 'literal' FROM base
+UNION ALL SELECT doc_id, k, 'v', vb, 'literal' FROM base
+"""
+
+
+QUERIES.update({
+    "table_profiles": q_table_profiles,
+    "table_subject_facts": q_table_subject_facts,
+    "table_typed_facts": q_table_typed_facts,
+    "webkg_tables": q_webkg_tables,
+})
+ORACLES.update({
+    "table_profiles": ORACLE_TABLE_PROFILES,
+    "table_subject_facts": ORACLE_TABLE_SUBJECT_FACTS,
+    "table_typed_facts": ORACLE_TABLE_TYPED_FACTS,
+    "webkg_tables": ORACLE_WEBKG_TABLES,
+})

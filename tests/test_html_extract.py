@@ -406,3 +406,94 @@ def test_html_table_plan_zero_shuffle(spark):
     plan = (html_table_triples(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_table_channel_mentions_and_facts(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        web_page_triples,
+    )
+
+    html = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>e1</td><td>a</td></tr>"
+        "<tr><td>e1</td><td>b</td></tr>"       # same key → ONE mention
+        "<tr><td></td><td>orphan</td></tr>"    # empty key → no fact
+        "</table>"
+        "<table><tr><td>e1</td><td>pos</td></tr></table>"  # headerless
+    )
+    df = spark.createDataFrame([(0, "https://p/0", html)],
+                               ["page_id", "url", "html"])
+    got = {(r.subj, r.pred, r.obj, r.obj_kind)
+           for r in web_page_triples(df).collect()}
+    assert got == {
+        ("https://p/0", "mentions", "e1", "mention"),
+        ("e1", "v", "a", "literal"),
+        ("e1", "v", "b", "literal"),
+    }
+    # tables=False switches the channel off
+    assert web_page_triples(df, tables=False).count() == 0
+
+
+def test_table_subject_detection_and_fallback(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        html_table_cells,
+        table_column_profile,
+        table_entity_facts,
+        table_subject_columns,
+    )
+
+    html = (
+        # rank-first: entity column is col 1
+        "<table><tr><th>rank</th><th>name</th><th>pop</th></tr>"
+        "<tr><td>1</td><td>oslo</td><td>7</td></tr>"
+        "<tr><td>2</td><td>bergen</td><td>3</td></tr></table>"
+        # all-numeric named columns: NO subject → no facts
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>2</td></tr></table>"
+    )
+    df = spark.createDataFrame([(0, html)], ["page_id", "html"])
+    cells = html_table_cells(df)
+    subj = {(r.tbl, r.key_col, r.key_header)
+            for r in table_subject_columns(
+                table_column_profile(cells)).collect()}
+    assert subj == {(0, 1, "name")}
+    facts = {(r.subj, r.pred, r.obj)
+             for r in table_entity_facts(cells).collect()}
+    assert facts == {("oslo", "rank", "1"), ("oslo", "pop", "7"),
+                     ("bergen", "rank", "2"), ("bergen", "pop", "3")}
+
+
+def test_typed_table_facts_rules(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        typed_table_facts,
+    )
+
+    df = spark.createDataFrame(
+        [("1,234",), ("3.5",), ("12 km",), ("1,200 km2",), ("2021-02-03",),
+         ("hello",), ("-4",)],
+        ["obj"])
+    got = {(r.obj, r.datatype) for r in typed_table_facts(df).collect()}
+    X = "http://www.w3.org/2001/XMLSchema#"
+    D = "http://kg.example.org/datatype/"
+    assert got == {
+        ("1234", X + "integer"),
+        ("3.5", X + "double"),
+        ("12", D + "kilometre"),
+        ("1200", D + "squareKilometre"),
+        ("2021-02-03", X + "date"),
+        ("hello", X + "string"),
+        ("-4", X + "integer"),
+    }
+
+
+def test_table_channel_plan_zero_shuffle(spark):
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        _table_channel,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "u", "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>")],
+        ["page_id", "url", "html"])
+    plan = (_table_channel(df, "html", "page_id", "url")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
