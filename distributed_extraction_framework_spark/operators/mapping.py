@@ -421,3 +421,256 @@ def mapping_extract(
         F.col("context"),
     )
     return types.unionByName(objects).unionByName(literals)
+
+
+# --------------------------------------------------------------------------
+# Structured mapping constructs — the rest of the published mappings-wiki
+# language (the reference dispatches these inside its MappingExtractor via
+# the external extraction-framework artifact; semantics below are the
+# published forms: CalculateMapping, CombineDateMapping,
+# DateIntervalMapping, GeocoordinatesMapping, IntermediateNodeMapping).
+#
+# Shared scale shape: ONE groupBy collapses the parsed key/values to a
+# per-(page, template) array (cardinality = pages × templates/page — the
+# same exchange ConditionalMapping already pays, reused by every construct
+# consuming the arrays frame); each construct is then a BROADCAST join of a
+# schema-sized spec table + a pure projection. No construct adds a shuffle,
+# so the whole family costs one exchange at any corpus size.
+# --------------------------------------------------------------------------
+
+# CalculateMapping: ontologyProperty = op(templateProperty1, templateProperty2)
+CALC_SCHEMA = ("template string, key_a string, key_b string, op string, "
+               "onto_pred string")
+# CombineDateMapping: day/month/year template properties → one xsd:date
+COMBINE_DATE_SCHEMA = ("template string, day_key string, month_key string, "
+                       "year_key string, onto_pred string")
+# DateIntervalMapping: one 'YYYY–YYYY' property → start/end gYear pair
+INTERVAL_SCHEMA = ("template string, key string, start_pred string, "
+                   "end_pred string")
+# GeocoordinatesMapping: lat/long template properties → wgs84 + georss
+GEO_MAP_SCHEMA = "template string, lat_key string, lon_key string"
+# IntermediateNodeMapping: typed blank-ish node hung off the page subject
+INODE_SCHEMA = ("template string, node_name string, node_class string, "
+                "corresponding_pred string")
+
+_QUAD_COLS = ("dataset", "subj", "pred", "obj", "lang", "datatype", "context")
+
+
+def template_kv_arrays(pages: DataFrame) -> DataFrame:
+    """(subj, lang, context, template, _kvs array<struct<key,value>>) —
+    the shared input of every structured mapping construct.
+
+    One row per (main-namespace page, template); keys are normalized the
+    same way as :func:`mapping_extract` (trim, spaces→underscores) so spec
+    tables written against PropertyMapping names match here too."""
+    e = enrich_pages(prepare_pages(pages), with_parse=True).filter(
+        F.col("ns") == S.NS_MAIN
+    )
+    kv = e.select(
+        "subj", "lang", "context",
+        F.explode("parsed.infobox").alias("ib"),
+    ).select(
+        "subj", "lang", "context",
+        ucfirst(base_norm(F.col("ib.template"))).alias("template"),
+        F.regexp_replace(F.trim(F.col("ib.key")), " ", "_").alias("key"),
+        F.trim(F.col("ib.value")).alias("value"),
+    )
+    return kv.groupBy("subj", "lang", "context", "template").agg(
+        F.collect_list(F.struct("key", "value")).alias("_kvs")
+    )
+
+
+def _kv_get(key_col):
+    """First value stored under ``key_col`` in the page's ``_kvs`` array
+    (NULL when the template does not set the property — ``try_element_at``
+    because under ANSI mode a plain element_at raises on the empty
+    filter result)."""
+    return F.try_element_at(
+        F.filter(F.col("_kvs"), lambda e: e["key"] == key_col), F.lit(1)
+    )["value"]
+
+
+def _object_uri(value_col, lang_col):
+    """``[[Target]]`` / ``[[Target|anchor]]`` values → resource URI; other
+    values pass through raw (the published object-property fallback)."""
+    link_t = F.regexp_extract(value_col, r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$", 1)
+    return F.when(
+        link_t != "", resource_uri(lang_col, ucfirst(base_norm(link_t)))
+    ).otherwise(value_col)
+
+
+def calculate_mapping(arrays: DataFrame, spec: DataFrame) -> DataFrame:
+    """CalculateMapping — ``onto_pred = op(value[key_a], value[key_b])``
+    with ``op`` ∈ add/subtract/multiply/divide (divide guards b≠0); both
+    operands parsed as doubles (non-numeric values → no triple, the
+    published skip-on-parse-failure behavior). Emits
+    ``mappingbased_literals`` quads typed xsd:double."""
+    j = arrays.join(F.broadcast(spec), "template")
+    a = _kv_get(F.col("key_a")).try_cast("double")
+    b = _kv_get(F.col("key_b")).try_cast("double")
+    res = (
+        F.when(F.col("op") == "add", a + b)
+        .when(F.col("op") == "subtract", a - b)
+        .when(F.col("op") == "multiply", a * b)
+        .when(F.col("op") == "divide", F.when(b != 0, a / b))
+    )
+    return j.select(
+        F.lit("mappingbased_literals").alias("dataset"),
+        "subj",
+        F.col("onto_pred").alias("pred"),
+        res.cast("string").alias("obj"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(S.XSD_DOUBLE).alias("datatype"),
+        "context",
+    ).where(F.col("obj").isNotNull())
+
+
+def combine_date_mapping(arrays: DataFrame, spec: DataFrame) -> DataFrame:
+    """CombineDateMapping — three day/month/year template properties fold
+    into ONE xsd:date literal. Validation goes through ``try_to_date`` so
+    impossible combinations (Feb 31) drop instead of raising under ANSI."""
+    j = arrays.join(F.broadcast(spec), "template")
+    d = F.try_to_date(
+        F.concat_ws(
+            "-",
+            _kv_get(F.col("year_key")),
+            _kv_get(F.col("month_key")),
+            _kv_get(F.col("day_key")),
+        ),
+        "yyyy-M-d",
+    )
+    return j.select(
+        F.lit("mappingbased_literals").alias("dataset"),
+        "subj",
+        F.col("onto_pred").alias("pred"),
+        F.date_format(d, "yyyy-MM-dd").alias("obj"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(S.XSD_DATE).alias("datatype"),
+        "context",
+    ).where(F.col("obj").isNotNull())
+
+
+def date_interval_mapping(arrays: DataFrame, spec: DataFrame) -> DataFrame:
+    """DateIntervalMapping — one ``YYYY–YYYY`` (en-dash, em-dash, or
+    hyphen) property → start_pred/end_pred xsd:gYear pair; open-ended
+    intervals (``YYYY–`` / ``YYYY–present``) emit the start year only."""
+    j = arrays.join(F.broadcast(spec), "template")
+    v = _kv_get(F.col("key"))
+    rx = r"^(\d{1,4})\s*[–—-]\s*(\d{1,4}|present)?$"
+    start = F.regexp_extract(v, rx, 1)
+    end_raw = F.regexp_extract(v, rx, 2)
+    end = F.when(end_raw.rlike(r"^\d+$"), end_raw)
+    gyear = F.lit(S.XSD + "gYear")
+    starts = j.select(
+        F.lit("mappingbased_literals").alias("dataset"),
+        "subj",
+        F.col("start_pred").alias("pred"),
+        F.when(start != "", start).alias("obj"),
+        F.lit(None).cast("string").alias("lang"),
+        gyear.alias("datatype"),
+        "context",
+    )
+    ends = j.select(
+        F.lit("mappingbased_literals").alias("dataset"),
+        "subj",
+        F.col("end_pred").alias("pred"),
+        end.alias("obj"),
+        F.lit(None).cast("string").alias("lang"),
+        gyear.alias("datatype"),
+        "context",
+    )
+    return starts.unionByName(ends).where(F.col("obj").isNotNull())
+
+
+def geocoordinates_mapping(arrays: DataFrame, spec: DataFrame) -> DataFrame:
+    """GeocoordinatesMapping — decimal lat/long template properties →
+    wgs84 geo:lat / geo:long (xsd:double, raw textual value preserved)
+    plus the combined georss:point "lat long" literal. Rows with a
+    non-numeric side drop entirely (a point needs both halves)."""
+    j = arrays.join(F.broadcast(spec), "template")
+    lat, lon = _kv_get(F.col("lat_key")), _kv_get(F.col("lon_key"))
+    ok = lat.try_cast("double").isNotNull() & lon.try_cast("double").isNotNull()
+    j = j.where(ok)
+
+    def row(pred, obj, dt):
+        return j.select(
+            F.lit("geo_coordinates_mapped").alias("dataset"),
+            "subj",
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(dt).cast("string").alias("datatype"),
+            "context",
+        )
+
+    return (
+        row(S.GEO_LAT, lat, S.XSD_DOUBLE)
+        .unionByName(row(S.GEO_LONG, lon, S.XSD_DOUBLE))
+        .unionByName(
+            row(S.GEORSS_POINT, F.concat_ws(" ", lat, lon), None)
+        )
+    )
+
+
+def intermediate_node_mapping(
+    arrays: DataFrame, spec: DataFrame, node_pmaps: DataFrame
+) -> DataFrame:
+    """IntermediateNodeMapping — a deterministic intermediate node
+    ``<subj>__<node_name>__1`` typed ``node_class``, hung off the page via
+    ``corresponding_pred``; ``node_pmaps`` (PROPERTY_MAP_SCHEMA rows) then
+    attach the template's inner properties TO THE NODE instead of the page
+    (the published career-station / automobile-engine pattern).
+
+    The node URI is key-determined (subject + mapping name + occurrence
+    ordinal), so re-extraction is idempotent — no UUIDs, no RDF blank
+    nodes whose labels vary per run; occurrence ordinal is fixed at 1
+    because the per-page parse collapses same-template key/values (matches
+    :func:`mapping_extract`'s per-template granularity)."""
+    j = arrays.join(F.broadcast(spec), "template")
+    node = F.concat(F.col("subj"), F.lit("__"), F.col("node_name"), F.lit("__1"))
+    nulls = F.lit(None).cast("string")
+    link = j.select(
+        F.lit("mappingbased_objects").alias("dataset"),
+        "subj",
+        F.col("corresponding_pred").alias("pred"),
+        node.alias("obj"),
+        nulls.alias("lang"),
+        nulls.alias("datatype"),
+        "context",
+    )
+    types = j.select(
+        F.lit("instance_types").alias("dataset"),
+        node.alias("subj"),
+        F.lit(S.RDF_TYPE).alias("pred"),
+        F.col("node_class").alias("obj"),
+        nulls.alias("lang"),
+        nulls.alias("datatype"),
+        "context",
+    )
+    inner = (
+        j.select(
+            node.alias("__node"), "lang", "context", "template",
+            F.explode("_kvs").alias("e"),
+        )
+        .select(
+            "__node", "lang", "context", "template",
+            F.col("e.key").alias("key"), F.col("e.value").alias("value"),
+        )
+        .join(F.broadcast(node_pmaps), ["template", "key"])
+    )
+    inner_quads = inner.select(
+        F.when(F.col("range") == "object", F.lit("mappingbased_objects"))
+        .otherwise(F.lit("mappingbased_literals")).alias("dataset"),
+        F.col("__node").alias("subj"),
+        F.col("onto_pred").alias("pred"),
+        F.when(
+            F.col("range") == "object",
+            _object_uri(F.col("value"), F.col("lang")),
+        ).otherwise(F.col("value")).alias("obj"),
+        F.when(F.col("range") == S.XSD_STRING, F.col("lang"))
+        .otherwise(nulls).alias("lang"),
+        F.when(F.col("range") == "object", nulls)
+        .otherwise(F.col("range")).alias("datatype"),
+        "context",
+    )
+    return link.unionByName(types).unionByName(inner_quads)

@@ -8244,3 +8244,216 @@ ORACLES.update({
     "table_typed_facts": ORACLE_TABLE_TYPED_FACTS,
     "webkg_tables": ORACLE_WEBKG_TABLES,
 })
+
+
+# --------------------------------------------------------------------------
+# Structured mapping constructs (the rest of the published mappings-wiki
+# language): CalculateMapping, CombineDateMapping, DateIntervalMapping,
+# GeocoordinatesMapping, IntermediateNodeMapping. All five run over one
+# shared station-infobox corpus (every doc boxed), hash-compared to
+# closed-form SQL over the same doc_id formulas.
+# --------------------------------------------------------------------------
+
+# station pages: every key the five constructs need, derived from doc_id
+MAPBOX_CTE = """
+SELECT
+  doc_id,
+  'Doc_' || doc_id AS title,
+  'https://en.pages.example.org/wiki/Doc_' || doc_id AS url,
+  TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+  '{{Infobox station | name = S' || doc_id ||
+  ' | employer = [[Doc_' || ((doc_id * 5) % 100) || ']]' ||
+  ' | start_year = ' || (1900 + doc_id % 100) ||
+  ' | day = ' || (doc_id % 28 + 1) ||
+  ' | month = ' || (doc_id % 12 + 1) ||
+  ' | year = ' || (1900 + doc_id % 100) ||
+  ' | term = ' || (1900 + doc_id % 100) || '-' || (1910 + doc_id % 100) ||
+  ' | latitude = ' || (doc_id % 90) || '.5' ||
+  ' | longitude = ' || (doc_id % 180) || '.25' ||
+  ' | population = ' || (doc_id * 37) ||
+  ' | area = ' || (doc_id % 100) || '.25' ||
+  '}}' AS text,
+  'en' AS lang
+FROM {tbl}
+"""
+
+_MAPBOX_DOC = MAPBOX_CTE.replace("{tbl}", "documents")
+
+
+def _station_arrays(spark, sf_dir):
+    from ..operators.mapping import template_kv_arrays
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__mapbox_docs")
+    pages = spark.sql(MAPBOX_CTE.replace("{tbl}", "__mapbox_docs"))
+    return template_kv_arrays(pages)
+
+
+def q_mapping_calculate(spark, sf_dir):
+    """CalculateMapping gate: populationDensity = population / area over
+    the station corpus; compared as rounded doubles (string formatting of
+    doubles differs across engines)."""
+    from ..operators.mapping import CALC_SCHEMA, calculate_mapping
+
+    spec = spark.createDataFrame(
+        [("Infobox_station", "population", "area", "divide",
+          S.ONTOLOGY + "populationDensity")],
+        CALC_SCHEMA,
+    )
+    q = calculate_mapping(_station_arrays(spark, sf_dir), spec)
+    return q.select(
+        "subj", "pred",
+        F.round(F.col("obj").try_cast("double"), 4).alias("val"),
+    )
+
+
+ORACLE_MAPPING_CALCULATE = f"""
+WITH boxed AS ({_MAPBOX_DOC})
+SELECT '{RES}' || title AS subj,
+       '{S.ONTOLOGY}populationDensity' AS pred,
+       round(cast(doc_id * 37 AS double) /
+             cast((doc_id % 100) || '.25' AS double), 4) AS val
+FROM boxed
+"""
+
+
+def q_mapping_combine_date(spark, sf_dir):
+    """CombineDateMapping gate: day/month/year → one xsd:date literal."""
+    from ..operators.mapping import COMBINE_DATE_SCHEMA, combine_date_mapping
+
+    spec = spark.createDataFrame(
+        [("Infobox_station", "day", "month", "year",
+          S.ONTOLOGY + "foundingDate")],
+        COMBINE_DATE_SCHEMA,
+    )
+    q = combine_date_mapping(_station_arrays(spark, sf_dir), spec)
+    return q.select("subj", "pred", "obj", "datatype")
+
+
+ORACLE_MAPPING_COMBINE_DATE = f"""
+WITH boxed AS ({_MAPBOX_DOC})
+SELECT '{RES}' || title AS subj,
+       '{S.ONTOLOGY}foundingDate' AS pred,
+       strftime(make_date(1900 + doc_id % 100, doc_id % 12 + 1,
+                          doc_id % 28 + 1), '%Y-%m-%d') AS obj,
+       '{S.XSD_DATE}' AS datatype
+FROM boxed
+"""
+
+
+def q_mapping_interval(spark, sf_dir):
+    """DateIntervalMapping gate: 'YYYY-YYYY' term → activeYearsStartYear /
+    activeYearsEndYear gYear pair."""
+    from ..operators.mapping import INTERVAL_SCHEMA, date_interval_mapping
+
+    spec = spark.createDataFrame(
+        [("Infobox_station", "term",
+          S.ONTOLOGY + "activeYearsStartYear",
+          S.ONTOLOGY + "activeYearsEndYear")],
+        INTERVAL_SCHEMA,
+    )
+    q = date_interval_mapping(_station_arrays(spark, sf_dir), spec)
+    return q.select("subj", "pred", "obj", "datatype")
+
+
+ORACLE_MAPPING_INTERVAL = f"""
+WITH boxed AS ({_MAPBOX_DOC})
+SELECT '{RES}' || title AS subj,
+       '{S.ONTOLOGY}activeYearsStartYear' AS pred,
+       cast(1900 + doc_id % 100 AS varchar) AS obj,
+       '{S.XSD}gYear' AS datatype
+FROM boxed
+UNION ALL
+SELECT '{RES}' || title, '{S.ONTOLOGY}activeYearsEndYear',
+       cast(1910 + doc_id % 100 AS varchar), '{S.XSD}gYear'
+FROM boxed
+"""
+
+
+def q_mapping_geo(spark, sf_dir):
+    """GeocoordinatesMapping gate: latitude/longitude keys → geo:lat /
+    geo:long / georss:point rows, raw textual values preserved."""
+    from ..operators.mapping import GEO_MAP_SCHEMA, geocoordinates_mapping
+
+    spec = spark.createDataFrame(
+        [("Infobox_station", "latitude", "longitude")], GEO_MAP_SCHEMA
+    )
+    q = geocoordinates_mapping(_station_arrays(spark, sf_dir), spec)
+    return q.select("subj", "pred", "obj")
+
+
+ORACLE_MAPPING_GEO = f"""
+WITH boxed AS ({_MAPBOX_DOC})
+SELECT '{RES}' || title AS subj, '{S.GEO_LAT}' AS pred,
+       (doc_id % 90) || '.5' AS obj FROM boxed
+UNION ALL
+SELECT '{RES}' || title, '{S.GEO_LONG}', (doc_id % 180) || '.25' FROM boxed
+UNION ALL
+SELECT '{RES}' || title, '{S.GEORSS_POINT}',
+       (doc_id % 90) || '.5 ' || (doc_id % 180) || '.25' FROM boxed
+"""
+
+
+def q_mapping_intermediate(spark, sf_dir):
+    """IntermediateNodeMapping gate: career-station node per page, typed,
+    linked from the page, carrying employer (object) + start_year
+    (gYear literal) inner mappings."""
+    from ..operators.mapping import (
+        INODE_SCHEMA,
+        PROPERTY_MAP_SCHEMA,
+        intermediate_node_mapping,
+    )
+
+    spec = spark.createDataFrame(
+        [("Infobox_station", "CareerStation", S.ONTOLOGY + "CareerStation",
+          S.ONTOLOGY + "career")],
+        INODE_SCHEMA,
+    )
+    pmaps = spark.createDataFrame(
+        [
+            ("Infobox_station", "employer", S.ONTOLOGY + "employer", "object"),
+            ("Infobox_station", "start_year", S.ONTOLOGY + "startYear",
+             S.XSD + "gYear"),
+        ],
+        PROPERTY_MAP_SCHEMA,
+    )
+    q = intermediate_node_mapping(_station_arrays(spark, sf_dir), spec, pmaps)
+    return q.select("dataset", "subj", "pred", "obj", "datatype")
+
+
+ORACLE_MAPPING_INTERMEDIATE = f"""
+WITH boxed AS ({_MAPBOX_DOC}),
+n AS (
+  SELECT doc_id, '{RES}' || title AS subj,
+         '{RES}' || title || '__CareerStation__1' AS node
+  FROM boxed
+)
+SELECT 'mappingbased_objects' AS dataset, subj,
+       '{S.ONTOLOGY}career' AS pred, node AS obj,
+       cast(NULL AS varchar) AS datatype FROM n
+UNION ALL
+SELECT 'instance_types', node, '{S.RDF_TYPE}',
+       '{S.ONTOLOGY}CareerStation', NULL FROM n
+UNION ALL
+SELECT 'mappingbased_objects', node, '{S.ONTOLOGY}employer',
+       '{RES}Doc_' || ((doc_id * 5) % 100), NULL FROM n
+UNION ALL
+SELECT 'mappingbased_literals', node, '{S.ONTOLOGY}startYear',
+       cast(1900 + doc_id % 100 AS varchar), '{S.XSD}gYear' FROM n
+"""
+
+
+QUERIES.update({
+    "mapping_calculate": q_mapping_calculate,
+    "mapping_combine_date": q_mapping_combine_date,
+    "mapping_interval": q_mapping_interval,
+    "mapping_geo": q_mapping_geo,
+    "mapping_intermediate": q_mapping_intermediate,
+})
+ORACLES.update({
+    "mapping_calculate": ORACLE_MAPPING_CALCULATE,
+    "mapping_combine_date": ORACLE_MAPPING_COMBINE_DATE,
+    "mapping_interval": ORACLE_MAPPING_INTERVAL,
+    "mapping_geo": ORACLE_MAPPING_GEO,
+    "mapping_intermediate": ORACLE_MAPPING_INTERMEDIATE,
+})
