@@ -172,3 +172,164 @@ def rdfs_entailment(
         & (F.col("obj") == F.col("__o")),
         "left_anti",
     )
+
+
+# --------------------------------------------------------------------------
+# OWL-lite forward entailment — the property-characteristic rules a
+# published web KG actually exercises (the owl:sameAs/inverseOf/
+# symmetric/transitive/functional fragment; full OWL DL is out of scope
+# by design, like full RDFS is for rdfs_entailment above).
+# --------------------------------------------------------------------------
+
+
+def owl_entailment(
+    quads: DataFrame,
+    inverse: DataFrame | None = None,
+    symmetric: DataFrame | None = None,
+    transitive: DataFrame | None = None,
+    functional: DataFrame | None = None,
+    inverse_functional: DataFrame | None = None,
+    equivalent_class: DataFrame | None = None,
+    max_iter: int = 12,
+) -> DataFrame:
+    """Entailed triples ``(subj, pred, obj)`` under the OWL-lite property
+    rules — NEW facts only, asserted facts subtracted (same contract as
+    :func:`rdfs_entailment`).
+
+    * ``inverse``: (prop, inv) — prp-inv1/2: ``(s,p,o) ⊢ (o,inv,s)``
+      (both directions: each row also fires inv→prop);
+    * ``symmetric``: (prop) — prp-symp: ``(s,p,o) ⊢ (o,p,s)``;
+    * ``transitive``: (prop) — prp-trp: per-property transitive closure
+      of the CORPUS subgraph, computed pred-aware by repeated squaring
+      (log₂ diameter rounds, ``localCheckpoint`` lineage cuts — the
+      data-sized analog of the schema-sized closures above);
+    * ``functional``: (prop) — prp-fp: ``(s,p,o₁),(s,p,o₂) ⊢
+      owl:sameAs(o₁,o₂)`` (emitted once, o₁ < o₂);
+    * ``inverse_functional``: (prop) — prp-ifp: ``(s₁,p,o),(s₂,p,o) ⊢
+      owl:sameAs(s₁,s₂)``;
+    * ``equivalent_class``: (a, b) — cax-eqc1/2: instances typed either
+      class get the other (rows fire both ways).
+
+    Literal-valued rows (non-null ``datatype``/``lang``) never feed
+    inverse/symmetric/transitive/functional derivations — a literal can
+    be neither a subject nor a sameAs operand.
+
+    Scale shape: property lists and class pairs are schema-sized →
+    broadcast joins against one corpus scan each. The functional rules
+    need one shuffle per property family (a self-join on the grouping
+    key); transitive closure shuffles per squaring round on the filtered
+    per-property subgraph only — the corpus outside the declared
+    transitive predicates is never touched.
+    """
+    args = (inverse, symmetric, transitive, functional,
+            inverse_functional, equivalent_class)
+    if all(x is None for x in args):
+        raise ValueError("no OWL property declarations given")
+    cols = set(quads.columns)
+    is_lit = F.lit(False)
+    if "datatype" in cols:
+        is_lit = is_lit | F.col("datatype").isNotNull()
+    if "lang" in cols:
+        is_lit = is_lit | F.col("lang").isNotNull()
+    base = quads.select("subj", "pred", "obj", is_lit.alias("__lit"))
+    res = base.where(~F.col("__lit")).select("subj", "pred", "obj")
+    derived: list[DataFrame] = []
+
+    if inverse is not None:
+        pairs = inverse.select("prop", "inv").unionByName(
+            inverse.select(
+                F.col("inv").alias("prop"), F.col("prop").alias("inv")
+            )
+        ).distinct()
+        derived.append(
+            res.join(F.broadcast(pairs), res["pred"] == F.col("prop"))
+            .select(
+                F.col("obj").alias("subj"),
+                F.col("inv").alias("pred"),
+                F.col("subj").alias("obj"),
+            )
+        )
+
+    if symmetric is not None:
+        derived.append(
+            res.join(F.broadcast(symmetric.select("prop")),
+                     res["pred"] == F.col("prop"))
+            .select(
+                F.col("obj").alias("subj"), "pred",
+                F.col("subj").alias("obj"),
+            )
+        )
+
+    if transitive is not None:
+        sub = res.join(F.broadcast(transitive.select("prop")),
+                       res["pred"] == F.col("prop")).select(
+            "pred", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).distinct().localCheckpoint(eager=False)
+        closure = sub
+        for _ in range(max_iter):
+            grown = closure.alias("a").join(
+                closure.alias("b"),
+                (F.col("a.pred") == F.col("b.pred"))
+                & (F.col("a.dst") == F.col("b.src")),
+            ).select(
+                F.col("a.pred").alias("pred"),
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+            )
+            nxt = closure.unionByName(grown).distinct().localCheckpoint()
+            if nxt.count() == closure.count():
+                closure = nxt
+                break
+            closure = nxt
+        derived.append(
+            closure.where(F.col("src") != F.col("dst")).select(
+                F.col("src").alias("subj"), "pred",
+                F.col("dst").alias("obj"),
+            )
+        )
+
+    def _same_as(rel: DataFrame, key: str, val: str) -> DataFrame:
+        fam = res.join(F.broadcast(rel.select("prop")),
+                       res["pred"] == F.col("prop"))
+        left = fam.select(F.col(key).alias("__k"), F.col(val).alias("a"))
+        right = fam.select(F.col(key).alias("__k"), F.col(val).alias("b"))
+        return (
+            left.join(right, "__k")
+            .where(F.col("a") < F.col("b"))
+            .select(
+                F.col("a").alias("subj"),
+                F.lit(S.OWL_SAMEAS).alias("pred"),
+                F.col("b").alias("obj"),
+            )
+        )
+
+    if functional is not None:
+        derived.append(_same_as(functional, "subj", "obj"))
+    if inverse_functional is not None:
+        derived.append(_same_as(inverse_functional, "obj", "subj"))
+
+    if equivalent_class is not None:
+        eq = equivalent_class.select("a", "b").unionByName(
+            equivalent_class.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b"))
+        ).distinct()
+        types = base.where(F.col("pred") == RDF_TYPE)
+        derived.append(
+            types.join(F.broadcast(eq), types["obj"] == F.col("a"))
+            .select("subj", "pred", F.col("b").alias("obj"))
+        )
+
+    out = derived[0]
+    for d in derived[1:]:
+        out = out.unionByName(d)
+    return out.distinct().join(
+        base.select(
+            F.col("subj").alias("__s"),
+            F.col("pred").alias("__p"),
+            F.col("obj").alias("__o"),
+        ).distinct(),
+        (F.col("subj") == F.col("__s"))
+        & (F.col("pred") == F.col("__p"))
+        & (F.col("obj") == F.col("__o")),
+        "left_anti",
+    )

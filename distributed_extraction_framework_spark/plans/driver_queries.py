@@ -8457,3 +8457,132 @@ ORACLES.update({
     "mapping_geo": ORACLE_MAPPING_GEO,
     "mapping_intermediate": ORACLE_MAPPING_INTERMEDIATE,
 })
+
+
+# --------------------------------------------------------------------------
+# OWL-lite entailment gates: property-characteristic rules (inverse /
+# symmetric / functional / inverse-functional / equivalentClass) and the
+# per-property transitive closure, both over a deterministic entity
+# relation built from documents, hash-compared to closed-form SQL (the
+# transitive oracle is a recursive CTE).
+# --------------------------------------------------------------------------
+
+OWL_Q_CTE = """
+SELECT 'e:' || (doc_id % 200) AS subj, 'p:knows' AS pred,
+       'e:' || ((doc_id * 3) % 200) AS obj
+FROM {tbl}
+UNION ALL
+SELECT 's:' || (doc_id % 50), 'p:id', 'v:' || doc_id FROM {tbl}
+UNION ALL
+SELECT 'u:' || doc_id, 'p:mbox', 'm:' || (doc_id % 60) FROM {tbl}
+UNION ALL
+SELECT 'e:' || (doc_id % 200),
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       CASE WHEN doc_id % 2 = 0 THEN 'c:Person' ELSE 'c:Agent' END
+FROM {tbl}
+"""
+
+OWL_PART_CTE = """
+SELECT 'e:' || (doc_id % 200) AS subj, 'p:partOf' AS pred,
+       'e:' || cast(floor((doc_id % 200) / 2) AS int) AS obj
+FROM {tbl} WHERE doc_id % 200 > 0
+"""
+
+
+_OWL_Q_DOC = OWL_Q_CTE.replace("{tbl}", "documents")
+_OWL_PART_DOC = OWL_PART_CTE.replace("{tbl}", "documents")
+
+
+def _owl_quads(spark, sf_dir, cte):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__owl_docs")
+    return spark.sql(cte.replace("{tbl}", "__owl_docs")).distinct()
+
+
+def q_owl_entail_props(spark, sf_dir):
+    """owl_entailment gate — inverse (knows/knownBy), symmetric (knows),
+    functional (p:id → sameAs among a subject's values), inverse-
+    functional (p:mbox → sameAs among a mailbox's owners), and
+    equivalentClass (Person ≡ Human) in one pass; entailed-only rows."""
+    from ..operators.reasoning import owl_entailment
+
+    quads = _owl_quads(spark, sf_dir, OWL_Q_CTE)
+    ent = owl_entailment(
+        quads,
+        inverse=spark.createDataFrame(
+            [("p:knows", "p:knownBy")], "prop string, inv string"),
+        symmetric=spark.createDataFrame([("p:knows",)], "prop string"),
+        functional=spark.createDataFrame([("p:id",)], "prop string"),
+        inverse_functional=spark.createDataFrame(
+            [("p:mbox",)], "prop string"),
+        equivalent_class=spark.createDataFrame(
+            [("c:Person", "c:Human")], "a string, b string"),
+    )
+    return ent.select("subj", "pred", "obj")
+
+
+ORACLE_OWL_ENTAIL_PROPS = f"""
+WITH q AS (SELECT DISTINCT * FROM ({_OWL_Q_DOC})),
+derived AS (
+  SELECT obj AS subj, 'p:knownBy' AS pred, subj AS obj
+  FROM q WHERE pred = 'p:knows'
+  UNION ALL
+  SELECT obj, 'p:knows', subj FROM q WHERE pred = 'p:knows'
+  UNION ALL
+  SELECT a.obj, '{S.OWL_SAMEAS}', b.obj
+  FROM q a JOIN q b ON a.subj = b.subj
+  WHERE a.pred = 'p:id' AND b.pred = 'p:id' AND a.obj < b.obj
+  UNION ALL
+  SELECT a.subj, '{S.OWL_SAMEAS}', b.subj
+  FROM q a JOIN q b ON a.obj = b.obj
+  WHERE a.pred = 'p:mbox' AND b.pred = 'p:mbox' AND a.subj < b.subj
+  UNION ALL
+  SELECT subj, pred, 'c:Human' FROM q
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+    AND obj = 'c:Person'
+)
+SELECT DISTINCT subj, pred, obj FROM derived
+EXCEPT
+SELECT subj, pred, obj FROM q
+"""
+
+
+def q_owl_transitive(spark, sf_dir):
+    """owl_entailment gate — TransitiveProperty closure of the halving
+    tree e:i → e:⌊i/2⌋ (depth ≈ log₂ 200), entailed-only pairs vs a
+    recursive-CTE oracle."""
+    from ..operators.reasoning import owl_entailment
+
+    quads = _owl_quads(spark, sf_dir, OWL_PART_CTE)
+    ent = owl_entailment(
+        quads,
+        transitive=spark.createDataFrame([("p:partOf",)], "prop string"),
+    )
+    return ent.select("subj", "pred", "obj")
+
+
+ORACLE_OWL_TRANSITIVE = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT subj AS src, obj AS dst
+  FROM ({_OWL_PART_DOC})
+),
+tc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+)
+SELECT src AS subj, 'p:partOf' AS pred, dst AS obj FROM tc
+WHERE src <> dst
+EXCEPT
+SELECT src, 'p:partOf', dst FROM e
+"""
+
+
+QUERIES.update({
+    "owl_entail_props": q_owl_entail_props,
+    "owl_transitive": q_owl_transitive,
+})
+ORACLES.update({
+    "owl_entail_props": ORACLE_OWL_ENTAIL_PROPS,
+    "owl_transitive": ORACLE_OWL_TRANSITIVE,
+})
