@@ -998,3 +998,88 @@ def fuzzy_label_match(
         )
         .where(F.col("dist") >= 0)
     )
+
+
+def collective_link(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    edges: DataFrame,
+    lam: float = 0.25,
+    topk_candidates: int = 4,
+) -> DataFrame:
+    """Collective (coherence-aware) entity disambiguation → one
+    ``(page, mention, entity, score)`` row per mention.
+
+    Local prior alone mislinks ambiguous surfaces ("Paris" → the city,
+    even in a page about mythology); the collective signal re-scores each
+    candidate by how connected it is to the OTHER mentions' candidates on
+    the same page (the Milne–Witten / AIDA-style relatedness idea,
+    linearized so it stays one deterministic pass instead of an
+    NP-hard joint inference):
+
+        score(m, e) = prior(e) + lam · Σ_{m'≠m on page} Σ_{e' ∈ cand(m')}
+                      prior(e') · [e→e' ∈ KG edges]
+
+    best = argmax, ties broken by entity string (deterministic on any
+    cluster). Inputs: ``mentions (page, mention, surface)``,
+    ``candidates (surface, entity, prior)``, ``edges (src, dst)``
+    (made undirected here).
+
+    Scale shape: candidates are capped at ``topk_candidates`` per surface
+    FIRST (a dictionary-sized window, Catalyst's partial WindowGroupLimit
+    bounds its exchange), so per-page candidate pairs are
+    ≤ (mentions/page · k)² — the page self-join shuffles on the page key
+    once, the KG-adjacency test is one (entity, entity′) equi-join, and
+    the final argmax is a ``max_by`` on the grouping the self-join
+    already produced. No step is quadratic in corpus size; pages with
+    pathological mention counts are the caller's cap (domain_cap /
+    per_key_cap compose here).
+    """
+    w = Window.partitionBy("surface").orderBy(
+        F.desc("prior"), F.asc("entity")
+    )
+    capped = (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topk_candidates)
+        .drop("__rn")
+    )
+    cm = mentions.join(F.broadcast(capped), "surface").select(
+        "page", "mention", "surface", "entity", "prior"
+    )
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    a = cm.alias("a")
+    b = cm.alias("b")
+    pair_coh = (
+        a.join(b, (F.col("a.page") == F.col("b.page"))
+               & (F.col("a.mention") != F.col("b.mention")))
+        .join(
+            und,
+            (F.col("a.entity") == F.col("src"))
+            & (F.col("b.entity") == F.col("dst")),
+        )
+        .groupBy(
+            F.col("a.page").alias("page"),
+            F.col("a.mention").alias("mention"),
+            F.col("a.entity").alias("entity"),
+        )
+        .agg(F.sum("b.prior").alias("coh"))
+    )
+    scored = cm.join(pair_coh, ["page", "mention", "entity"], "left").select(
+        "page", "mention", "entity",
+        (F.col("prior") + F.lit(lam) * F.coalesce("coh", F.lit(0.0))
+         ).alias("score"),
+    )
+    wbest = Window.partitionBy("page", "mention").orderBy(
+        F.desc("score"), F.asc("entity")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -8586,3 +8586,90 @@ ORACLES.update({
     "owl_entail_props": ORACLE_OWL_ENTAIL_PROPS,
     "owl_transitive": ORACLE_OWL_TRANSITIVE,
 })
+
+
+# --------------------------------------------------------------------------
+# Collective entity disambiguation gate: coherence-aware linking over a
+# deterministic ambiguous-surface corpus. Priors are DYADIC (0.5/0.25/
+# 0.125) and lam = 0.25, so every score is an exact binary fraction —
+# float summation order cannot differ between engines.
+# --------------------------------------------------------------------------
+
+# mentions: page P_(doc_id%40) mentions surface s_(doc_id%30);
+# candidates: s_k → E_k (0.5), E_(k+30) (0.25), E_(k+60) (0.125);
+# KG edges: E_i → E_((i*3)%100) for i < 100.
+def q_collective_linking(spark, sf_dir):
+    from ..operators.linking import collective_link
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__cl_docs")
+    mentions = spark.sql("""
+        SELECT 'P' || (doc_id % 40) AS page, doc_id AS mention,
+               's' || (doc_id % 30) AS surface
+        FROM __cl_docs
+    """)
+    cands = spark.sql("""
+        SELECT 's' || k AS surface, 'E' || (k + off) AS entity,
+               0.5 / power(2.0, off / 30) AS prior
+        FROM (SELECT DISTINCT doc_id % 30 AS k FROM __cl_docs),
+             (VALUES (0), (30), (60)) AS t(off)
+    """)
+    edges = spark.sql("""
+        SELECT DISTINCT 'E' || (doc_id % 100) AS src,
+               'E' || ((doc_id * 3) % 100) AS dst
+        FROM __cl_docs
+    """)
+    out = collective_link(mentions, cands, edges, lam=0.25)
+    return out.select("page", "mention", "entity", "score")
+
+
+ORACLE_COLLECTIVE_LINKING = """
+WITH m AS (
+  SELECT 'P' || (doc_id % 40) AS page, doc_id AS mention,
+         's' || (doc_id % 30) AS surface
+  FROM documents
+),
+c AS (
+  SELECT 's' || k AS surface, 'E' || (k + off) AS entity,
+         0.5 / power(2.0, off / 30) AS prior
+  FROM (SELECT DISTINCT doc_id % 30 AS k FROM documents),
+       (VALUES (0), (30), (60)) AS t(off)
+),
+e0 AS (
+  SELECT DISTINCT 'E' || (doc_id % 100) AS src,
+         'E' || ((doc_id * 3) % 100) AS dst
+  FROM documents
+),
+und AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+cm AS (
+  SELECT m.page, m.mention, m.surface, c.entity, c.prior
+  FROM m JOIN c USING (surface)
+),
+coh AS (
+  SELECT a.page, a.mention, a.entity, sum(b.prior) AS coh
+  FROM cm a
+  JOIN cm b ON a.page = b.page AND a.mention <> b.mention
+  JOIN und ON a.entity = und.src AND b.entity = und.dst
+  GROUP BY a.page, a.mention, a.entity
+),
+scored AS (
+  SELECT cm.page, cm.mention, cm.entity,
+         cm.prior + 0.25 * coalesce(coh.coh, 0.0) AS score
+  FROM cm LEFT JOIN coh
+    ON cm.page = coh.page AND cm.mention = coh.mention
+   AND cm.entity = coh.entity
+),
+ranked AS (
+  SELECT page, mention, entity, score,
+         row_number() OVER (PARTITION BY page, mention
+                            ORDER BY score DESC, entity ASC) AS rn
+  FROM scored
+)
+SELECT page, mention, entity, score FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES.update({"collective_linking": q_collective_linking})
+ORACLES.update({"collective_linking": ORACLE_COLLECTIVE_LINKING})

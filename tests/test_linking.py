@@ -366,3 +366,55 @@ def test_distributed_mentions_chunk_boundaries(spark):
     bc, _ = _detect_mentions(pages, sorted(surfaces))
     want = {(r["page"], r["surface"]): r["n_mentions"] for r in bc.collect()}
     assert got == want
+
+
+def test_collective_link_coherence_overrides_prior(spark):
+    """A lower-prior candidate wins when the page's other mentions are
+    connected to it in the KG (the mythology-Paris case)."""
+    from distributed_extraction_framework_spark.operators.linking import (
+        collective_link,
+    )
+
+    mentions = spark.createDataFrame(
+        [("pg", 1, "paris"), ("pg", 2, "achilles"),
+         ("lone", 3, "paris")],
+        "page string, mention long, surface string",
+    )
+    cands = spark.createDataFrame(
+        [("paris", "Paris_France", 0.5), ("paris", "Paris_myth", 0.25),
+         ("achilles", "Achilles", 0.5)],
+        "surface string, entity string, prior double",
+    )
+    edges = spark.createDataFrame(
+        [("Paris_myth", "Achilles")], "src string, dst string"
+    )
+    got = {
+        (r["page"], r["mention"]): (r["entity"], r["score"])
+        for r in collective_link(mentions, cands, edges, lam=1.0).collect()
+    }
+    # on 'pg', coherence 0.5 lifts Paris_myth to 0.75 > 0.5
+    assert got[("pg", 1)] == ("Paris_myth", 0.75)
+    # Achilles gains symmetric coherence from Paris_myth's 0.25 prior
+    assert got[("pg", 2)] == ("Achilles", 0.75)
+    # a page with no other mentions falls back to the prior
+    assert got[("lone", 3)] == ("Paris_France", 0.5)
+
+
+def test_collective_link_caps_candidates_and_breaks_ties(spark):
+    from distributed_extraction_framework_spark.operators.linking import (
+        collective_link,
+    )
+
+    mentions = spark.createDataFrame(
+        [("pg", 1, "s")], "page string, mention long, surface string"
+    )
+    cands = spark.createDataFrame(
+        [("s", "B", 0.5), ("s", "A", 0.5), ("s", "C", 0.1)],
+        "surface string, entity string, prior double",
+    )
+    edges = spark.createDataFrame([("x", "y")], "src string, dst string")
+    rows = collective_link(
+        mentions, cands, edges, topk_candidates=2
+    ).collect()
+    # equal scores tie-break on entity string: A < B; C capped away anyway
+    assert [(r["entity"], r["score"]) for r in rows] == [("A", 0.5)]
