@@ -667,3 +667,153 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         )
         labels = winners.localCheckpoint(eager=True)
     return labels
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_rounds: int = 30,
+    max_prop: int = 60,
+) -> DataFrame:
+    """Strongly connected components → ``(node, scc)`` with ``scc`` = the
+    lexicographic min member (deterministic on any cluster/run).
+
+    Redirect rings, sameAs cycles, and crawl loops are exactly the SCCs
+    of their directed graphs; connected_components (undirected) merges
+    nodes that only agree one-way, so it cannot find them.
+
+    Distributed trim + forward-coloring + within-class backward sweep
+    (the Pregel-style coloring algorithm — Orzan's thesis 2004 /
+    Salihoglu & Widom VLDB'14 — NOT Tarjan, whose DFS is inherently
+    sequential):
+
+    per outer round
+      1. **trim**: nodes with no in-edge or no out-edge in the remaining
+         graph are singleton SCCs — peeled to fixpoint (removes the
+         acyclic bulk of web graphs cheaply);
+      2. **color**: propagate min node id along edge direction to
+         convergence — ``lbl(v)`` = min over {v} ∪ ancestors(v); each
+         label is ONE value per node (frontier-style exchanges, never an
+         all-pairs reach set);
+      3. **collect**: a class root ``r`` (``lbl(r) = r``) plus every
+         ``lbl = r`` node that reaches ``r`` through same-label edges is
+         the SCC of ``r`` — found by backward frontier expansion from
+         the roots, all classes in parallel;
+      4. peel those SCCs, repeat (≥ every root's SCC leaves per round).
+
+    Every step is a key-equi-join on node ids; ``localCheckpoint`` cuts
+    the per-round lineage (swap for ``checkpoint`` on a real cluster).
+    Raises after ``max_rounds``/``max_prop`` non-convergence rather than
+    returning wrong components.
+    """
+    e_all = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e_all.select(F.col("src").alias("node"))
+        .unionByName(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    done: list[DataFrame] = []
+    rem_n, rem_e = nodes, e_all
+    for _ in range(max_rounds):
+        # 1. trim to fixpoint
+        while True:
+            has_out = rem_e.select(F.col("src").alias("node")).distinct()
+            has_in = rem_e.select(F.col("dst").alias("node")).distinct()
+            core = rem_n.join(has_out, "node", "left_semi").join(
+                has_in, "node", "left_semi"
+            ).localCheckpoint()
+            trimmed = rem_n.join(core, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            done.append(trimmed.select("node", F.col("node").alias("scc")))
+            rem_n = core
+            rem_e = (
+                rem_e.join(core.withColumnRenamed("node", "src"), "src", "left_semi")
+                .join(core.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .localCheckpoint()
+            )
+        if rem_n.isEmpty():
+            break
+        # 2. min-label forward propagation to convergence
+        labels = rem_n.select("node", F.col("node").alias("lbl")).localCheckpoint()
+        for i in range(max_prop + 1):
+            if i == max_prop:
+                raise RuntimeError(
+                    f"SCC label propagation did not converge in {max_prop} rounds"
+                )
+            upd = (
+                rem_e.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("cand"))
+            )
+            nxt = labels.join(upd, "node", "left").select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("cand", F.col("lbl"))).alias("lbl"),
+            ).localCheckpoint()
+            changed = (
+                nxt.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .where(F.col("lbl") != F.col("old"))
+                .isEmpty()
+            )
+            labels = nxt
+            if changed:
+                break
+        # 3. backward sweep from roots within each color class
+        class_e = (
+            rem_e.join(
+                labels.select(F.col("node").alias("src"), F.col("lbl").alias("ls")),
+                "src",
+            )
+            .join(
+                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("ld")),
+                "dst",
+            )
+            .where(F.col("ls") == F.col("ld"))
+            .select("src", "dst", F.col("ls").alias("lbl"))
+            .localCheckpoint()
+        )
+        reached = labels.where(F.col("node") == F.col("lbl")).select(
+            "node", F.col("lbl").alias("scc")
+        ).localCheckpoint()
+        frontier = reached
+        for i in range(max_prop + 1):
+            if i == max_prop:
+                raise RuntimeError(
+                    f"SCC backward sweep did not converge in {max_prop} rounds"
+                )
+            grown = (
+                class_e.join(
+                    frontier.select(F.col("node").alias("dst"),
+                                    F.col("scc").alias("lbl")),
+                    ["dst", "lbl"],
+                )
+                .select(F.col("src").alias("node"), F.col("lbl").alias("scc"))
+                .distinct()
+                .join(reached, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if grown.isEmpty():
+                break
+            reached = reached.unionByName(grown).localCheckpoint()
+            frontier = grown
+        done.append(reached)
+        # 4. peel and continue
+        rem_n = rem_n.join(reached, "node", "left_anti").localCheckpoint()
+        if rem_n.isEmpty():
+            break
+        rem_e = (
+            rem_e.join(rem_n.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(rem_n.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"SCC did not finish in {max_rounds} rounds")
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

@@ -8673,3 +8673,53 @@ SELECT page, mention, entity, score FROM ranked WHERE rn = 1
 
 QUERIES.update({"collective_linking": q_collective_linking})
 ORACLES.update({"collective_linking": ORACLE_COLLECTIVE_LINKING})
+
+
+# --------------------------------------------------------------------------
+# Strongly-connected-components gate: the 7-multiplication permutation on
+# Z/120 (30 cycles of length ≤ 4) plus dangling 'M' sinks that exercise
+# the trim phase; oracle = mutual reachability via a recursive CTE.
+# --------------------------------------------------------------------------
+
+SCC_E_CTE = """
+SELECT DISTINCT 'N' || (doc_id % 120) AS src,
+       'N' || ((doc_id * 7) % 120) AS dst
+FROM {tbl}
+UNION
+SELECT DISTINCT 'N' || (doc_id % 120), 'M' || (doc_id % 50)
+FROM {tbl} WHERE doc_id % 3 = 0
+"""
+
+_SCC_E_DOC = SCC_E_CTE.replace("{tbl}", "documents")
+
+
+def q_scc(spark, sf_dir):
+    from ..operators.graph import strongly_connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__scc_docs")
+    edges = spark.sql(SCC_E_CTE.replace("{tbl}", "__scc_docs"))
+    return strongly_connected_components(edges).select("node", "scc")
+
+
+ORACLE_SCC = f"""
+WITH RECURSIVE e AS ({_SCC_E_DOC}),
+e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+n AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+tc AS (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT tc.src, e2.dst FROM tc JOIN e2 ON tc.dst = e2.src
+),
+mutual AS (
+  SELECT a.src AS v, a.dst AS u
+  FROM tc a JOIN tc b ON a.src = b.dst AND a.dst = b.src
+)
+SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
+FROM n LEFT JOIN mutual m ON m.v = n.node
+GROUP BY n.node
+"""
+
+
+QUERIES.update({"scc": q_scc})
+ORACLES.update({"scc": ORACLE_SCC})

@@ -280,3 +280,87 @@ def test_random_walks_deterministic(spark):
         edges, walk_length=3, walks_per_node=2, salt="x"
     ).collect()
     assert sorted(map(tuple, salted)) != sorted(map(tuple, out))
+
+
+def test_scc_cycles_chains_and_cross_edges(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # 3-cycle a->b->c->a
+            ("a", "b"), ("b", "c"), ("c", "a"),
+            # 2-cycle d<->e, reachable from the 3-cycle (cross edge)
+            ("c", "d"), ("d", "e"), ("e", "d"),
+            # acyclic tail
+            ("e", "f"), ("f", "g"),
+            # self-loop only contributes nothing (dropped)
+            ("a", "a"),
+        ],
+        "src string, dst string",
+    )
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("d", "d"), ("e", "d"),
+        ("f", "f"), ("g", "g"),
+    }
+
+
+def test_scc_two_directed_paths_are_all_singletons(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(edges).collect()
+    }
+    assert got == {(n, n) for n in "abcxy"}
+
+
+def test_scc_vs_bruteforce_on_random_functional_graph(spark):
+    """Deterministic pseudo-random digraph; brute-force mutual
+    reachability on the driver is the oracle."""
+    from distributed_extraction_framework_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 40
+    pairs = [(f"v{i:02d}", f"v{(i * 7 + 3) % n:02d}") for i in range(n)]
+    pairs += [(f"v{i:02d}", f"v{(i * 13 + 5) % n:02d}") for i in range(0, n, 2)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+
+    adj = {}
+    for s, d in pairs:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    nodes = {x for p in pairs if p[0] != p[1] for x in p}
+
+    def reach(start):
+        seen, stack = set(), [start]
+        while stack:
+            v = stack.pop()
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        return seen
+
+    r = {v: reach(v) for v in nodes}
+    expect = {
+        v: min([v] + [u for u in nodes if v in r[u] and u in r[v]])
+        for v in nodes
+    }
+    got = {
+        r_["node"]: r_["scc"]
+        for r_ in strongly_connected_components(edges).collect()
+    }
+    assert got == expect
