@@ -817,3 +817,61 @@ def strongly_connected_components(
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame | list[str],
+    max_iter: int = 30,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths → ``(uri, dist)`` for
+    every vertex reachable from ``sources`` (sources at 0.0); edge input
+    is ``(src, dst, w)`` with non-negative weights.
+
+    Frontier Bellman–Ford (the distributed form — Dijkstra's priority
+    queue is inherently sequential): each round relaxes ONLY out-edges of
+    vertices improved last round, so a settled graph stops paying; the
+    exchange per round is frontier-sized, not graph-sized, mirroring
+    :func:`bfs_distances` (which this generalizes — bfs is the w≡1
+    case). Raises after ``max_iter`` rounds with an active frontier
+    rather than returning unsettled distances; negative weights are the
+    caller's contract to exclude (Bellman–Ford would need the V−1 bound
+    and a negative-cycle check this operator does not implement).
+    """
+    if isinstance(sources, list):
+        spark = edges.sparkSession
+        sources = spark.createDataFrame([(s,) for s in sources], "uri string")
+    e = edges.select("src", "dst", F.col("w").cast("double"))
+    dist = sources.select("uri", F.lit(0.0).alias("dist")).distinct().localCheckpoint()
+    frontier = dist
+    for i in range(max_iter + 1):
+        if i == max_iter:
+            raise RuntimeError(
+                f"weighted_sssp frontier still active after {max_iter} rounds"
+            )
+        cand = (
+            e.join(frontier.withColumnRenamed("uri", "src"), "src")
+            .groupBy(F.col("dst").alias("uri"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("d"))
+        )
+        improved = (
+            cand.join(dist, "uri", "left")
+            .where(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("uri", F.col("d").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.withColumnRenamed("dist", "d2"), "uri", "full")
+            .select(
+                "uri",
+                F.least(
+                    F.coalesce("dist", F.col("d2")),
+                    F.coalesce("d2", F.col("dist")),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist

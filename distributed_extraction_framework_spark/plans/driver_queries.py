@@ -8723,3 +8723,49 @@ GROUP BY n.node
 
 QUERIES.update({"scc": q_scc})
 ORACLES.update({"scc": ORACLE_SCC})
+
+
+# --------------------------------------------------------------------------
+# Weighted-SSSP gate: a 200-node DAG (binary-tree-down edges + skip
+# edges give competing paths), integer weights so double sums are exact;
+# oracle = recursive path enumeration + min per node (terminates because
+# every edge strictly increases the node index).
+# --------------------------------------------------------------------------
+
+SSSP_E_CTE = """
+SELECT DISTINCT 'e:' || cast(floor((doc_id % 199) / 2) AS int) AS src,
+       'e:' || (doc_id % 199) AS dst,
+       cast((doc_id % 7) + 1 AS double) AS w
+FROM {tbl} WHERE doc_id % 199 > 0
+UNION
+SELECT DISTINCT 'e:' || (doc_id % 199), 'e:' || ((doc_id % 199) + 40),
+       cast(1 AS double)
+FROM {tbl} WHERE doc_id % 5 = 0 AND (doc_id % 199) + 40 < 199
+"""
+
+_SSSP_E_DOC = SSSP_E_CTE.replace("{tbl}", "documents")
+
+
+def q_weighted_sssp(spark, sf_dir):
+    from ..operators.graph import weighted_sssp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__sssp_docs")
+    edges = spark.sql(SSSP_E_CTE.replace("{tbl}", "__sssp_docs"))
+    return weighted_sssp(edges, ["e:0"], max_iter=40).select("uri", "dist")
+
+
+ORACLE_WEIGHTED_SSSP = f"""
+WITH RECURSIVE e AS ({_SSSP_E_DOC}),
+paths AS (
+  SELECT 'e:0' AS uri, cast(0 AS double) AS dist
+  UNION
+  SELECT e.dst, paths.dist + e.w
+  FROM paths JOIN e ON e.src = paths.uri
+)
+SELECT uri, min(dist) AS dist FROM paths GROUP BY uri
+"""
+
+
+QUERIES.update({"weighted_sssp": q_weighted_sssp})
+ORACLES.update({"weighted_sssp": ORACLE_WEIGHTED_SSSP})

@@ -364,3 +364,53 @@ def test_scc_vs_bruteforce_on_random_functional_graph(spark):
         for r_ in strongly_connected_components(edges).collect()
     }
     assert got == expect
+
+
+def test_weighted_sssp_picks_cheaper_multihop_path(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        weighted_sssp,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "a", 10.0),
+            ("s", "b", 1.0), ("b", "a", 2.0),   # s->b->a = 3 < 10
+            ("a", "c", 1.0),
+            ("x", "y", 1.0),                      # unreachable island
+        ],
+        "src string, dst string, w double",
+    )
+    got = {r["uri"]: r["dist"] for r in weighted_sssp(edges, ["s"]).collect()}
+    assert got == {"s": 0.0, "b": 1.0, "a": 3.0, "c": 4.0}
+
+
+def test_weighted_sssp_multi_source_and_zero_weights(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        weighted_sssp,
+    )
+
+    edges = spark.createDataFrame(
+        [("s1", "m", 5.0), ("s2", "m", 2.0), ("m", "t", 0.0)],
+        "src string, dst string, w double",
+    )
+    got = {
+        r["uri"]: r["dist"]
+        for r in weighted_sssp(edges, ["s1", "s2"]).collect()
+    }
+    assert got == {"s1": 0.0, "s2": 0.0, "m": 2.0, "t": 2.0}
+
+
+def test_weighted_sssp_raises_when_frontier_never_settles(spark):
+    import pytest
+
+    from distributed_extraction_framework_spark.operators.graph import (
+        weighted_sssp,
+    )
+
+    # a long chain cannot settle in 2 rounds
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1.0) for i in range(5)],
+        "src string, dst string, w double",
+    )
+    with pytest.raises(RuntimeError, match="frontier still active"):
+        weighted_sssp(edges, ["n0"], max_iter=2)
