@@ -110,3 +110,39 @@ def canonicalize_literals(
     return quads.withColumn(
         obj_col, canonical_literal(F.col(obj_col), F.col(dt_col))
     )
+
+
+def normalize_unit_values(
+    quads: DataFrame,
+    obj_col: str = "obj",
+    datatype_col: str = "datatype",
+) -> DataFrame:
+    """Convert unit-typed literals to their SI standard — the reference
+    framework's UnitValueParser behavior (a parsed ``"5 km"`` publishes
+    as ``5000.0`` typed ``datatype/metre``, so area/length/mass values
+    from different templates COMPARE in SPARQL without per-query
+    arithmetic).
+
+    Rows whose datatype is a known unit (``schema.UNIT_SI``) get
+    ``obj × factor`` (both engines multiply the same double literal —
+    bit-identical) and the dimension's SI datatype; every other row
+    passes through untouched. Pure projection: no exchange, no Python,
+    shape preserved — safe to drop into any quads pipeline stage.
+    """
+    from .. import schema as S
+
+    dt = F.col(datatype_col)
+    factor = F.lit(None).cast("double")
+    si_dt = F.lit(None).cast("string")
+    for suffix, (f_, si) in S.UNIT_SI.items():
+        unit_uri = S.UNIT_DATATYPES[suffix]
+        factor = F.when(dt == unit_uri, F.lit(f_)).otherwise(factor)
+        si_dt = F.when(dt == unit_uri, F.lit(si)).otherwise(si_dt)
+    converted = F.col(obj_col).try_cast("double") * factor
+    ok = factor.isNotNull() & converted.isNotNull()
+    return quads.withColumn(
+        obj_col,
+        F.when(ok, converted.cast("string")).otherwise(F.col(obj_col)),
+    ).withColumn(
+        datatype_col, F.when(ok, si_dt).otherwise(F.col(datatype_col))
+    )

@@ -8769,3 +8769,71 @@ SELECT uri, min(dist) AS dist FROM paths GROUP BY uri
 
 QUERIES.update({"weighted_sssp": q_weighted_sssp})
 ORACLES.update({"weighted_sssp": ORACLE_WEIGHTED_SSSP})
+
+
+# --------------------------------------------------------------------------
+# Unit SI-normalization gate: infobox unit literals ("5 km", "3.5 lb",
+# "12 km/h", "7 ha") extracted by the real extractor, then converted to
+# their SI standard; oracle multiplies the same double literals.
+# --------------------------------------------------------------------------
+
+UNITS_CTE = """
+SELECT
+  doc_id,
+  'Doc_' || doc_id AS title,
+  'https://en.pages.example.org/wiki/Doc_' || doc_id AS url,
+  TIMESTAMP '2024-01-01 00:00:00' AS warc_ts,
+  '{{Infobox station | length = ' || (doc_id % 50) || ' km' ||
+  ' | weight = ' || (doc_id % 30) || '.5 lb' ||
+  ' | speed = ' || (doc_id % 20) || ' km/h' ||
+  ' | zone = ' || (doc_id % 40) || ' ha}}' AS text,
+  'en' AS lang
+FROM {tbl}
+"""
+
+_UNITS_DOC = UNITS_CTE.replace("{tbl}", "documents")
+
+
+def q_unit_si_normalize(spark, sf_dir):
+    from ..operators.literals import normalize_unit_values
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__unit_docs")
+    pages = spark.sql(UNITS_CTE.replace("{tbl}", "__unit_docs"))
+    props = extractor_df(pages, "infobox_properties")
+    norm = normalize_unit_values(
+        props.where(F.col("datatype").startswith(S.DATATYPE_NS))
+    )
+    return norm.select(
+        "subj", "pred",
+        F.col("obj").try_cast("double").alias("val"),
+        "datatype",
+    )
+
+
+ORACLE_UNIT_SI = f"""
+WITH boxed AS ({_UNITS_DOC})
+SELECT '{RES}' || title AS subj, '{S.PROPERTY}length' AS pred,
+       cast(doc_id % 50 AS double) * 1000.0 AS val,
+       '{S.DATATYPE_NS}metre' AS datatype
+FROM boxed
+UNION ALL
+SELECT '{RES}' || title, '{S.PROPERTY}weight',
+       cast((doc_id % 30) || '.5' AS double) * 0.45359237,
+       '{S.DATATYPE_NS}kilogram'
+FROM boxed
+UNION ALL
+SELECT '{RES}' || title, '{S.PROPERTY}speed',
+       cast(doc_id % 20 AS double) * 0.2777777777777778,
+       '{S.DATATYPE_NS}metrePerSecond'
+FROM boxed
+UNION ALL
+SELECT '{RES}' || title, '{S.PROPERTY}zone',
+       cast(doc_id % 40 AS double) * 10000.0,
+       '{S.DATATYPE_NS}squareMetre'
+FROM boxed
+"""
+
+
+QUERIES.update({"unit_si_normalize": q_unit_si_normalize})
+ORACLES.update({"unit_si_normalize": ORACLE_UNIT_SI})

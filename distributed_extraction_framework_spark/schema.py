@@ -212,3 +212,46 @@ QUAD_STRUCT_DDL = (
     "struct<dataset:string,subj:string,pred:string,obj:string,"
     "lang:string,datatype:string,context:string>"
 )
+
+# SI normalization for unit-typed literals (the reference framework's
+# UnitValueParser converts parsed unit values to the unit's standard —
+# published conversion constants; speed factors are the IEEE-double
+# nearest value so any engine multiplying by the same literal agrees
+# bit-for-bit). suffix → (factor, SI datatype URI)
+UNIT_SI = {
+    # length → metre
+    "km": (1000.0, DATATYPE_NS + "metre"),
+    "m": (1.0, DATATYPE_NS + "metre"),
+    "cm": (0.01, DATATYPE_NS + "metre"),
+    "mm": (0.001, DATATYPE_NS + "metre"),
+    "mi": (1609.344, DATATYPE_NS + "metre"),
+    "ft": (0.3048, DATATYPE_NS + "metre"),
+    "in": (0.0254, DATATYPE_NS + "metre"),
+    # area → square metre
+    "km2": (1.0e6, DATATYPE_NS + "squareMetre"),
+    "m2": (1.0, DATATYPE_NS + "squareMetre"),
+    "mi2": (2589988.110336, DATATYPE_NS + "squareMetre"),
+    "ft2": (0.09290304, DATATYPE_NS + "squareMetre"),
+    "ha": (10000.0, DATATYPE_NS + "squareMetre"),
+    # mass → kilogram
+    "kg": (1.0, DATATYPE_NS + "kilogram"),
+    "g": (0.001, DATATYPE_NS + "kilogram"),
+    "lb": (0.45359237, DATATYPE_NS + "kilogram"),
+    "t": (1000.0, DATATYPE_NS + "kilogram"),
+    # time → second
+    "s": (1.0, DATATYPE_NS + "second"),
+    "min": (60.0, DATATYPE_NS + "second"),
+    "h": (3600.0, DATATYPE_NS + "second"),
+    # speed → metre per second
+    "km/h": (0.2777777777777778, DATATYPE_NS + "metrePerSecond"),
+    "mph": (0.44704, DATATYPE_NS + "metrePerSecond"),
+    # power → watt
+    "kW": (1000.0, DATATYPE_NS + "watt"),
+    "MW": (1.0e6, DATATYPE_NS + "watt"),
+    # frequency → hertz (already SI)
+    "Hz": (1.0, DATATYPE_NS + "hertz"),
+    # volume → cubic metre
+    "km3": (1.0e9, DATATYPE_NS + "cubicMetre"),
+    "m3": (1.0, DATATYPE_NS + "cubicMetre"),
+    "L": (0.001, DATATYPE_NS + "cubicMetre"),
+}

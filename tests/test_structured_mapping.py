@@ -183,3 +183,31 @@ def test_structured_mappings_add_no_shuffle_beyond_arrays(spark):
     plan = calculate_mapping(arrays, spec)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # arrays groupBy pair, nothing else
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_normalize_unit_values_converts_and_passes_through(spark):
+    from distributed_extraction_framework_spark.operators.literals import (
+        normalize_unit_values,
+    )
+
+    dtn = S.DATATYPE_NS
+    quads = spark.createDataFrame(
+        [
+            ("a", "p:len", "5", None, dtn + "kilometre"),
+            ("a", "p:wt", "2.5", None, dtn + "pound"),
+            ("a", "p:n", "7", None, S.XSD_INTEGER),       # not a unit
+            ("a", "p:bad", "tall", None, dtn + "metre"),  # unparseable
+            ("a", "p:lbl", "hi", "en", None),             # plain literal
+        ],
+        "subj string, pred string, obj string, lang string, datatype string",
+    )
+    got = {
+        r["pred"]: (r["obj"], r["datatype"])
+        for r in normalize_unit_values(quads).collect()
+    }
+    assert got["p:len"] == ("5000.0", dtn + "metre")
+    assert got["p:wt"] == (str(2.5 * 0.45359237), dtn + "kilogram")
+    # non-unit / unparseable / untyped rows unchanged
+    assert got["p:n"] == ("7", S.XSD_INTEGER)
+    assert got["p:bad"] == ("tall", dtn + "metre")
+    assert got["p:lbl"] == ("hi", None)
