@@ -64,6 +64,10 @@ class PipelineConfig:
     # {"subclass", "subprop", "domains", "ranges"} → schema-sized
     # DataFrames; entailed NEW facts land in a resumable `entailed` stage
     ontology: dict | None = None
+    # SI normalization of unit-typed literals as a resumable `quads_si`
+    # stage (operators/literals.normalize_unit_values) — the published KG
+    # ships comparable values ("5 km" → 5000.0 datatype/metre)
+    normalize_units: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -273,6 +277,25 @@ class Pipeline:
                 return canonicalize_quads(resolved, labels)
 
             final = self._run_stage("quads_canonical", fp, build_canonical,
+                                    partition_col="dataset",
+                                    partition_by=part_cols)
+
+        # optional SI normalization of unit-typed literals ("5 km" →
+        # 5000.0 datatype/metre) as its OWN resumable stage — never a
+        # conditional rewrite of quads_canonical, so toggling the flag
+        # can't resume a stage built under the other setting. Downstream
+        # stages (validation, entailment, linking, exports) consume the
+        # normalized frame. Pure projection: adds no shuffle.
+        if self.cfg.normalize_units:
+            _pre_si = final
+
+            def build_si() -> DataFrame:
+                from ..operators.literals import normalize_unit_values
+
+                return normalize_unit_values(_pre_si)
+
+            final_stage = "quads_si"
+            final = self._run_stage("quads_si", fp, build_si,
                                     partition_col="dataset",
                                     partition_by=part_cols)
 

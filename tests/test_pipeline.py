@@ -435,3 +435,32 @@ def test_pipeline_entailed_stage(spark, pages_df, tmp_path):
         F.col("stage") == "entailed"
     ).select("run_id").distinct().count()
     assert runs == 1
+
+
+def test_pipeline_si_units_stage(spark, pages_df, tmp_path):
+    from distributed_extraction_framework_spark import schema as S
+
+    wh = str(tmp_path / "wh_si")
+    out = run_pipeline(spark, pages_df, wh, link_entities=False,
+                       canonicalize=False, normalize_units=True)
+    quads = out["quads"]
+    metre = S.DATATYPE_NS + "metre"
+    converted = quads.filter(F.col("datatype") == metre)
+    n_m = converted.count()
+    assert n_m > 0  # synth corpus carries '| length = N km' values
+    # no raw unit datatypes survive normalization
+    assert quads.filter(
+        F.col("datatype") == S.UNIT_DATATYPES["km"]
+    ).count() == 0
+    # converted objects are the km value x 1000 (parseable doubles)
+    vals = [float(r["obj"]) for r in converted.limit(5).collect()]
+    assert all(v >= 100.0 for v in vals)  # 0.1 km minimum in synth
+
+    # resume: same fingerprint -> quads_si not rebuilt
+    out2 = run_pipeline(spark, pages_df, wh, link_entities=False,
+                        canonicalize=False, normalize_units=True)
+    assert out2["quads"].filter(F.col("datatype") == metre).count() == n_m
+    runs = spark.read.parquet(wh + "/lineage").filter(
+        F.col("stage") == "quads_si"
+    ).select("run_id").distinct().count()
+    assert runs == 1
