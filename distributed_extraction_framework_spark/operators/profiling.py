@@ -83,3 +83,82 @@ def class_completeness(
             ).alias("completeness"),
         )
     )
+
+
+def sdtype_infer(
+    quads: DataFrame,
+    types: DataFrame,
+    min_score: float = 0.0,
+    use_inverse: bool = True,
+) -> DataFrame:
+    """Type completion for untyped entities → ``(entity, cls, score)``,
+    the best-scoring class per untyped entity (SDType — Paulheim &
+    Bizer, ISWC 2013 — in its uniform-weight form; the published weight
+    refinement multiplies each predicate's vote by its discriminability,
+    which changes ranking only when predicate distributions are near-
+    uniform).
+
+    A predicate carries a type distribution: P(t | entity uses p) over
+    the TYPED entities using it. An untyped entity's score for class t
+    averages that conditional over its own predicates (outgoing ``p``
+    and, with ``use_inverse``, incoming ``^p`` — incoming edges type
+    objects: whatever ``dbo:author`` points at is probably a Person);
+    predicates whose distribution is unknown contribute 0 through the
+    denominator. Winner per entity = highest score ≥ ``min_score``, ties
+    broken by class string.
+
+    Scale shape: the (entity, pred) feature set is one distinct over the
+    corpus; the conditional table is predicate×class-sized (schema-ish —
+    broadcastable); scoring is one broadcast join + one groupBy on the
+    entity key. Nothing is pairwise in entities.
+    """
+    res_obj = F.col("datatype").isNull() if "datatype" in quads.columns \
+        else F.lit(True)
+    if "lang" in quads.columns:
+        res_obj = res_obj & F.col("lang").isNull()
+    feats = quads.select(F.col("subj").alias("entity"), "pred")
+    if use_inverse:
+        feats = feats.unionByName(
+            quads.where(res_obj).select(
+                F.col("obj").alias("entity"),
+                F.concat(F.lit("^"), F.col("pred")).alias("pred"),
+            )
+        )
+    feats = feats.distinct()
+
+    t = types.select(F.col("entity").alias("__e"), "cls")
+    typed_feats = feats.join(t, feats["entity"] == F.col("__e")).select(
+        "entity", "pred", "cls"
+    )
+    per_pt = typed_feats.groupBy("pred", "cls").agg(
+        F.count_distinct("entity").alias("n_pt")
+    )
+    per_p = per_pt.groupBy("pred").agg(F.sum("n_pt").alias("n_p"))
+    cond = per_pt.join(per_p, "pred").select(
+        "pred", "cls", (F.col("n_pt") / F.col("n_p")).alias("p_t")
+    )
+
+    untyped = feats.join(t.select("__e"), feats["entity"] == F.col("__e"),
+                         "left_anti")
+    n_feats = untyped.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_feats")
+    )
+    scores = (
+        untyped.join(F.broadcast(cond), "pred")
+        .groupBy("entity", "cls")
+        .agg(F.sum("p_t").alias("vote"))
+        .join(n_feats, "entity")
+        .select(
+            "entity", "cls",
+            F.round(F.col("vote") / F.col("n_feats"), 6).alias("score"),
+        )
+        .where(F.col("score") >= min_score)
+    )
+    wbest = Window.partitionBy("entity").orderBy(
+        F.desc("score"), F.asc("cls")
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

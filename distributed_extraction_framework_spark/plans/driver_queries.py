@@ -8837,3 +8837,83 @@ FROM boxed
 
 QUERIES.update({"unit_si_normalize": q_unit_si_normalize})
 ORACLES.update({"unit_si_normalize": ORACLE_UNIT_SI})
+
+
+# --------------------------------------------------------------------------
+# SDType type-inference gate: 3/4 of entities are typed; the operator
+# infers the rest (plus the object-side entities reached through inverse
+# features). Oracle replays the full conditional-probability pipeline.
+# --------------------------------------------------------------------------
+
+SDTYPE_Q_CTE = """
+SELECT DISTINCT 'E' || (doc_id % 80) AS subj,
+       CASE WHEN doc_id % 2 = 0 THEN 'p:a'
+            WHEN doc_id % 3 = 0 THEN 'p:b'
+            ELSE 'p:c' END AS pred,
+       'W' || (doc_id % 40) AS obj
+FROM {tbl}
+"""
+
+SDTYPE_T_CTE = """
+SELECT DISTINCT 'E' || (doc_id % 80) AS entity,
+       'T' || ((doc_id % 80) % 3) AS cls
+FROM {tbl} WHERE (doc_id % 80) % 4 <> 0
+"""
+
+
+def q_sdtype_infer(spark, sf_dir):
+    from ..operators.profiling import sdtype_infer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("__sdt_docs")
+    quads = spark.sql(SDTYPE_Q_CTE.replace("{tbl}", "__sdt_docs"))
+    types = spark.sql(SDTYPE_T_CTE.replace("{tbl}", "__sdt_docs"))
+    return sdtype_infer(quads, types).select("entity", "cls", "score")
+
+
+_SDT_Q_DOC = SDTYPE_Q_CTE.replace("{tbl}", "documents")
+_SDT_T_DOC = SDTYPE_T_CTE.replace("{tbl}", "documents")
+
+ORACLE_SDTYPE = f"""
+WITH q AS ({_SDT_Q_DOC}),
+t AS ({_SDT_T_DOC}),
+feats AS (
+  SELECT DISTINCT entity, pred FROM (
+    SELECT subj AS entity, pred FROM q
+    UNION ALL
+    SELECT obj AS entity, '^' || pred FROM q
+  )
+),
+tf AS (SELECT f.entity, f.pred, t.cls FROM feats f JOIN t USING (entity)),
+per_pt AS (
+  SELECT pred, cls, count(DISTINCT entity) AS n_pt FROM tf GROUP BY pred, cls
+),
+per_p AS (SELECT pred, sum(n_pt) AS n_p FROM per_pt GROUP BY pred),
+cond AS (
+  SELECT per_pt.pred, cls, cast(n_pt AS double) / n_p AS p_t
+  FROM per_pt JOIN per_p USING (pred)
+),
+unt AS (
+  SELECT f.entity, f.pred FROM feats f
+  LEFT JOIN (SELECT DISTINCT entity FROM t) te USING (entity)
+  WHERE te.entity IS NULL
+),
+nf AS (SELECT entity, count(*) AS n_feats FROM unt GROUP BY entity),
+sc AS (
+  SELECT u.entity, c.cls, nf.n_feats, sum(c.p_t) AS vote
+  FROM unt u JOIN cond c USING (pred) JOIN nf USING (entity)
+  GROUP BY u.entity, c.cls, nf.n_feats
+),
+ranked AS (
+  SELECT entity, cls, round(vote / n_feats, 6) AS score,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY round(vote / n_feats, 6) DESC,
+                                     cls ASC) AS rn
+  FROM sc
+)
+SELECT entity, cls, score FROM ranked WHERE rn = 1
+"""
+
+
+QUERIES.update({"sdtype_infer": q_sdtype_infer})
+ORACLES.update({"sdtype_infer": ORACLE_SDTYPE})

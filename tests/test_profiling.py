@@ -68,3 +68,80 @@ def test_taxonomy_from_isa(spark):
     assert got["Cat"].parent == "Animal"    # weight tie, lexical break
     assert got["Oak"].parent == "Tree" and got["Oak"].n_parents == 1
     assert taxonomy_from_isa(pairs, min_weight=2).count() == 1
+
+
+def test_sdtype_infers_from_predicate_distributions(spark):
+    from distributed_extraction_framework_spark.operators.profiling import (
+        sdtype_infer,
+    )
+
+    # typed world: people have p:born, places have p:located
+    quads = spark.createDataFrame(
+        [
+            ("alice", "p:born", "x1"), ("bob", "p:born", "x2"),
+            ("paris", "p:located", "x3"), ("lyon", "p:located", "x4"),
+            # untyped entity with a person-shaped predicate
+            ("carol", "p:born", "x5"),
+            # untyped entity with a place-shaped predicate
+            ("nice", "p:located", "x6"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("alice", "Person"), ("bob", "Person"),
+         ("paris", "Place"), ("lyon", "Place")],
+        "entity string, cls string",
+    )
+    got = {
+        r["entity"]: (r["cls"], r["score"])
+        for r in sdtype_infer(quads, types, use_inverse=False).collect()
+    }
+    assert got == {"carol": ("Person", 1.0), "nice": ("Place", 1.0)}
+
+
+def test_sdtype_inverse_features_type_objects(spark):
+    from distributed_extraction_framework_spark.operators.profiling import (
+        sdtype_infer,
+    )
+
+    # whatever p:author points AT is a Person (learned from typed objs)
+    quads = spark.createDataFrame(
+        [("b1", "p:author", "alice"), ("b2", "p:author", "unknown")],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("alice", "Person")], "entity string, cls string"
+    )
+    got = {
+        r["entity"]: r["cls"]
+        for r in sdtype_infer(quads, types).collect()
+    }
+    assert got["unknown"] == "Person"
+
+
+def test_sdtype_mixed_evidence_and_min_score(spark):
+    from distributed_extraction_framework_spark.operators.profiling import (
+        sdtype_infer,
+    )
+
+    quads = spark.createDataFrame(
+        [
+            ("a1", "p:only_a", "x"), ("a2", "p:only_a", "x"),
+            ("b1", "p:only_b", "x"),
+            # u has one A-predicate and one B-predicate -> A wins 0.5 vs 0.5
+            # tie broken by class string (A < B)
+            ("u", "p:only_a", "x"), ("u", "p:only_b", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B")],
+        "entity string, cls string",
+    )
+    rows = sdtype_infer(quads, types, use_inverse=False).collect()
+    got = {r["entity"]: (r["cls"], r["score"]) for r in rows}
+    assert got["u"] == ("A", 0.5)
+    # min_score filters the weak winner out
+    assert sdtype_infer(
+        quads, types, use_inverse=False, min_score=0.6
+    ).where("entity = 'u'").isEmpty()
