@@ -8917,3 +8917,45 @@ SELECT entity, cls, score FROM ranked WHERE rn = 1
 
 QUERIES.update({"sdtype_infer": q_sdtype_infer})
 ORACLES.update({"sdtype_infer": ORACLE_SDTYPE})
+
+
+# --------------------------------------------------------------------------
+# W3C Direct Mapping gate: the nation table → triples (pk literal, fk
+# reference to region, rdf:type row triple); oracle = per-column UNION.
+# --------------------------------------------------------------------------
+
+_RDB = "http://kg.example.org/rdb/"
+
+
+def q_direct_mapping(spark, sf_dir):
+    from ..sources.relational import direct_map
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return direct_map(
+        nation, "nation", pk="n_nationkey",
+        fks={"n_regionkey": ("region", "r_regionkey")},
+    ).select("subj", "pred", "obj", "datatype")
+
+
+ORACLE_DIRECT_MAPPING = f"""
+WITH s AS (
+  SELECT *, '{_RDB}nation/n_nationkey=' || n_nationkey AS subj FROM nation
+)
+SELECT subj, '{_RDB}nation#n_nationkey' AS pred,
+       cast(n_nationkey AS varchar) AS obj,
+       '{S.XSD_INTEGER}' AS datatype
+FROM s WHERE n_nationkey IS NOT NULL
+UNION ALL
+SELECT subj, '{_RDB}nation#n_name', n_name, NULL
+FROM s WHERE n_name IS NOT NULL
+UNION ALL
+SELECT subj, '{_RDB}nation#ref-n_regionkey',
+       '{_RDB}region/r_regionkey=' || n_regionkey, NULL
+FROM s WHERE n_regionkey IS NOT NULL
+UNION ALL
+SELECT subj, '{S.RDF_TYPE}', '{_RDB}nation', NULL FROM s
+"""
+
+
+QUERIES.update({"direct_mapping": q_direct_mapping})
+ORACLES.update({"direct_mapping": ORACLE_DIRECT_MAPPING})

@@ -367,3 +367,50 @@ def test_instance_types_transitive(spark, tmp_path, pages_df):
     assert len(per_subj) == direct.select("subj").distinct().count()
     expect = {O + "PopulatedPlace", O + "Locality", O + "Place", OWL_THING}
     assert all(objs == expect for objs in per_subj.values())
+
+
+def test_direct_mapping_literals_fks_and_nulls(spark):
+    import datetime
+
+    from distributed_extraction_framework_spark import schema as S
+    from distributed_extraction_framework_spark.sources.relational import (
+        direct_map,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Ada", 10, True, datetime.date(2020, 1, 2),
+             datetime.datetime(2020, 1, 2, 3, 4, 5)),
+            (2, None, None, False, None, None),   # nulls emit nothing
+        ],
+        "id int, name string, dept int, active boolean, d date, ts timestamp",
+    )
+    base = "http://x/"
+    out = direct_map(df, "emp", pk="id", base=base,
+                     fks={"dept": ("dept", "dept_id")})
+    got = {
+        (r["subj"], r["pred"]): (r["obj"], r["datatype"])
+        for r in out.collect()
+    }
+    s1 = base + "emp/id=1"
+    assert got[(s1, base + "emp#id")] == ("1", S.XSD_INTEGER)
+    assert got[(s1, base + "emp#name")] == ("Ada", None)  # plain literal
+    assert got[(s1, base + "emp#ref-dept")] == (base + "dept/dept_id=10", None)
+    assert got[(s1, base + "emp#active")] == ("true", S.XSD + "boolean")
+    assert got[(s1, base + "emp#d")] == ("2020-01-02", S.XSD_DATE)
+    assert got[(s1, base + "emp#ts")] == ("2020-01-02T03:04:05", S.XSD_DATETIME)
+    assert got[(s1, S.RDF_TYPE)] == (base + "emp", None)
+    # row 2: only id, active, and the type triple survive the null filter
+    s2 = base + "emp/id=2"
+    row2 = {p for (s, p) in got if s == s2}
+    assert row2 == {base + "emp#id", base + "emp#active", S.RDF_TYPE}
+
+
+def test_direct_mapping_composite_key(spark):
+    from distributed_extraction_framework_spark.sources.relational import (
+        direct_map,
+    )
+
+    df = spark.createDataFrame([(1, 2, "v")], "a int, b int, c string")
+    out = direct_map(df, "t", pk=["a", "b"], base="http://x/")
+    assert out.first()["subj"] == "http://x/t/a=1;b=2"
