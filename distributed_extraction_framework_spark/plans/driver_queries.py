@@ -8959,3 +8959,82 @@ SELECT subj, '{S.RDF_TYPE}', '{_RDB}nation', NULL FROM s
 
 QUERIES.update({"direct_mapping": q_direct_mapping})
 ORACLES.update({"direct_mapping": ORACLE_DIRECT_MAPPING})
+
+
+# --------------------------------------------------------------------------
+# Geospatial linking gate: pages' extracted coordinates → nearest gazetteer
+# entity within 3000 km via the grid-bucketed equi-join (operators/spatial).
+# Points are the GeoExtractor pages (doc_id % 4 = 1: lat = doc_id%90 + .5,
+# lon = doc_id%180 + .25 — the same synthesis x_geo_coordinates gates);
+# the gazetteer derives deterministically from `nation`. The oracle is the
+# brute-force cross join (25 places — trivially exact at oracle scale);
+# the engine's grid join must reproduce it row-for-row.
+# --------------------------------------------------------------------------
+
+
+def q_geo_nearest_place(spark, sf_dir):
+    from ..operators.spatial import nearest_places
+
+    pages = _pages(spark, sf_dir)
+    points = (
+        pages.filter(
+            ~F.col("text").startswith("#REDIRECT")
+            & (F.col("doc_id") % 17 != 3)
+            & (F.col("doc_id") % 29 != 7)
+            & (F.col("doc_id") % 4 == 1)
+        )
+        .select(
+            F.col("title").alias("page"),
+            ((F.col("doc_id") % 90) + 0.5).cast("double").alias("lat"),
+            ((F.col("doc_id") % 180) + 0.25).cast("double").alias("lon"),
+        )
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    places = nation.select(
+        F.col("n_name").alias("place"),
+        ((F.col("n_nationkey") * 37) % 120 - 30 + 0.5)
+        .cast("double")
+        .alias("lat"),
+        ((F.col("n_nationkey") * 59) % 360 - 180 + 0.25)
+        .cast("double")
+        .alias("lon"),
+    )
+    out = nearest_places(points, places, 3000.0, k=1, point_id="page")
+    return out.select("page", "place", F.round("dist_km", 4).alias("dist_km"))
+
+
+_HAV_SQL = (
+    f"2.0 * {6371.0088} * asin(sqrt("
+    "sin(radians(q.lat - g.lat) / 2.0) * sin(radians(q.lat - g.lat) / 2.0)"
+    " + cos(radians(g.lat)) * cos(radians(q.lat))"
+    " * sin(radians(q.lon - g.lon) / 2.0)"
+    " * sin(radians(q.lon - g.lon) / 2.0)))"
+)
+
+ORACLE_GEO_NEAREST = f"""
+{_oracle_pages()},
+g AS (
+  SELECT title AS page,
+         cast((doc_id % 90) + 0.5 AS double) AS lat,
+         cast((doc_id % 180) + 0.25 AS double) AS lon
+  FROM pages WHERE {_REGULAR} AND doc_id % 4 = 1
+),
+q AS (
+  SELECT n_name AS place,
+         cast((n_nationkey * 37) % 120 - 30 + 0.5 AS double) AS lat,
+         cast((n_nationkey * 59) % 360 - 180 + 0.25 AS double) AS lon
+  FROM nation
+),
+cand AS (
+  SELECT g.page, q.place, {_HAV_SQL} AS dist,
+         row_number() OVER (PARTITION BY g.page
+                            ORDER BY {_HAV_SQL} ASC, q.place ASC) AS rn
+  FROM g, q
+  WHERE {_HAV_SQL} <= 3000.0
+)
+SELECT page, place, round(dist, 4) AS dist_km FROM cand WHERE rn = 1
+"""
+
+
+QUERIES.update({"geo_nearest_place": q_geo_nearest_place})
+ORACLES.update({"geo_nearest_place": ORACLE_GEO_NEAREST})
