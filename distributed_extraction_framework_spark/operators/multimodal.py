@@ -272,9 +272,164 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def _encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF89a encoder for fixtures: one frame of palette indices with a
+    256-entry global color table. The LZW stream is all-literal with a
+    CLEAR code before every ≤250-literal run, so every code stays 9 bits
+    wide and the byte length has a CLOSED FORM the SQL oracle can
+    recompute: with P = h·w pixels and C = ceil(P/250) clears,
+    ``len = 795 + ceil(9·(P + C + 1) / 8)`` while that inner LZW byte run
+    is ≤ 255 (one data sub-block; every fixture qualifies).
+    """
+    h, w = idx.shape
+    gct = np.zeros((256, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    codes = [256]  # initial CLEAR
+    flat = idx.astype(np.uint8).ravel().tolist()
+    for start in range(0, len(flat), 250):
+        if start:
+            codes.append(256)  # re-CLEAR before the table nears 9-bit cap
+        codes.extend(flat[start : start + 250])
+    codes.append(257)  # EOI
+    acc = n = 0
+    out = bytearray()
+    for code in codes:  # LSB-first 9-bit packing
+        acc |= code << n
+        n += 9
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    sub = bytearray()
+    for start in range(0, len(out), 255):
+        block = out[start : start + 255]
+        sub += bytes([len(block)]) + block
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # LSD: GCT, 256 entries
+        + gct.tobytes()
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+        + bytes([8])  # LZW min code size
+        + bytes(sub)
+        + b"\x00\x3b"  # block terminator + trailer
+    )
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, npix: int) -> bytearray | None:
+    """General GIF-flavour LZW: variable code width mcs+1→12 (LSB-first),
+    table rebuild on CLEAR, deferred-clear tolerated, stops at EOI or
+    once ``npix`` indices are produced."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while len(out) < npix:
+        while nbits < width:
+            if pos >= len(data):
+                return out if out else None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # corrupt stream
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray | None:
+    """GIF87a/89a → HxWx3 uint8 (first frame): LSD + color tables +
+    full LZW decompression + interlace reordering, pure stdlib/numpy.
+    Extensions (GCE/comment/application) are skipped; animation frames
+    after the first are ignored (features are per-image)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        while pos < len(payload):
+            b = payload[pos]
+            pos += 1
+            if b == 0x3B:  # trailer
+                return None
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                return None
+            left, top, w, h, ipk = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if not (0 < w and 0 < h) or w * h > _MAX_PIXELS:
+                return None
+            ct = gct
+            if ipk & 0x80:
+                n = 2 << (ipk & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                return None
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 8:
+                return None
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            raw = _gif_lzw_decode(bytes(lzw), mcs, w * h)
+            if raw is None or len(raw) < w * h:
+                return None
+            idx = np.frombuffer(bytes(raw), np.uint8, w * h).reshape(h, w)
+            if ipk & 0x40:  # interlaced: rows stored in 4 passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            return ct[np.minimum(idx, len(ct) - 1)]
+    except (struct.error, ValueError, IndexError):
+        return None
+    return None
+
+
 def _decode_image(payload: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes. Returns None for formats needing a real
-    codec (jpeg/gif/...) — the caller falls back to the digest feature.
+    codec (jpeg/webp/...) — the caller falls back to the digest feature.
     Real impl for those on a cluster: PIL.Image.open(io.BytesIO(payload))."""
     if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
@@ -282,6 +437,8 @@ def _decode_image(payload: bytes) -> np.ndarray | None:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     return None  # compressed codec not available in this container
 
 
@@ -706,11 +863,14 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
     """Deterministic media table whose content stats have CLOSED FORMS a
     SQL oracle can recompute (no randomness):
 
-    * i % 3 == 0 → image, cycling PPM / BMP / PGM / PNG by (i//3) % 4;
-      w = 8 + i%5, h = 6 + i%7; RGB pixel(y,x,c) = (x*3 + y*5 + c*11 + i)
-      % 256, PGM gray(y,x) = (x*3 + y*5 + i) % 256 (decoder expands ×3);
-      PNG uses stored zlib blocks so its length is the closed form
-      68 + h*(1 + 3*w);
+    * i % 3 == 0 → image, cycling PPM / BMP / PGM / PNG / GIF by
+      (i//3) % 5; w = 8 + i%5, h = 6 + i%7; RGB pixel(y,x,c) =
+      (x*3 + y*5 + c*11 + i) % 256, PGM gray(y,x) = (x*3 + y*5 + i) % 256
+      (decoder expands ×3); PNG uses stored zlib blocks so its length is
+      the closed form 68 + h*(1 + 3*w); GIF uses palette index
+      idx(y,x) = (x*3 + y*5 + i) % 256 through the closed-form palette
+      (j, 2j%256, 7j%256) and the all-literal 9-bit LZW stream, length
+      795 + ceil(9*(w*h + 2)/8);
     * i % 3 == 1 → audio: 16-bit mono WAV @8000 Hz, n = 400 + (i%5)*100
       samples, int16[j] = ((j*37 + i*11) % 201 - 100) * 300;
     * i % 3 == 2 → video, alternating by k = i//3:
@@ -732,11 +892,21 @@ def synth_media_exact(spark, n: int = 60) -> DataFrame:
                 w = h = dur = None
                 if kind == "image":
                     w, h = 8 + i % 5, 6 + i % 7
-                    fmt = (i // 3) % 4
+                    fmt = (i // 3) % 5
                     if fmt == 2:  # PGM gray
                         y, x = np.mgrid[0:h, 0:w]
                         payload = _encode_pgm((x * 3 + y * 5 + i) % 256)
                         mime = "image/x-portable-graymap"
+                    elif fmt == 4:  # GIF: closed-form palette + indices
+                        y, x = np.mgrid[0:h, 0:w]
+                        j = np.arange(256)
+                        pal = np.stack(
+                            [j, (2 * j) % 256, (7 * j) % 256], axis=1
+                        ).astype(np.uint8)
+                        payload = _encode_gif(
+                            (x * 3 + y * 5 + i) % 256, pal
+                        )
+                        mime = "image/gif"
                     else:
                         y, x, c = np.mgrid[0:h, 0:w, 0:3]
                         img = ((x * 3 + y * 5 + c * 11 + i) % 256).astype(np.uint8)

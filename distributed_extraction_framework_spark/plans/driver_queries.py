@@ -1707,7 +1707,8 @@ ORACLES.update(
 # --------------------------------------------------------------------------
 
 def q_media_features(spark, sf_dir):
-    """Decode-path gate: gradient PPM/BMP/PGM images, ramp WAV audio, AND
+    """Decode-path gate: gradient PPM/BMP/PGM/PNG/GIF images (GIF through
+    real LZW decompression), ramp WAV audio, AND
     gradient Y4M video are ENCODED to real bytes, pushed through
     mapInPandas decode, and reduced to integer-exact stats the SQL oracle
     derives without touching bytes — proving header parse, BMP stride/BGR/
@@ -1722,14 +1723,18 @@ def q_media_features(spark, sf_dir):
 
 ORACLE_MEDIA_FEATURES = """
 WITH ids AS (SELECT unnest(range(60)) AS i),
-img AS (SELECT i, 8 + i % 5 AS w, 6 + i % 7 AS h, (i // 3) % 4 AS fmt
+img AS (SELECT i, 8 + i % 5 AS w, 6 + i % 7 AS h, (i // 3) % 5 AS fmt
         FROM ids WHERE i % 3 = 0),
 imgpx AS (
   SELECT img.i,
          sum(CASE WHEN fmt = 2 THEN 3 * ((x.x*3 + y.y*5 + img.i) % 256)
+                  -- GIF: palette (j, 2j%256, 7j%256) over index j
+                  WHEN fmt = 4 THEN ((x.x*3 + y.y*5 + img.i) % 256)
+                       + (2 * ((x.x*3 + y.y*5 + img.i) % 256)) % 256
+                       + (7 * ((x.x*3 + y.y*5 + img.i) % 256)) % 256
                   ELSE (x.x*3 + y.y*5 + c.c*11 + img.i) % 256 END) AS px
   FROM img, range(12) y(y), range(12) x(x), range(3) c(c)
-  WHERE y.y < img.h AND x.x < img.w AND (fmt <> 2 OR c.c = 0)
+  WHERE y.y < img.h AND x.x < img.w AND (fmt NOT IN (2, 4) OR c.c = 0)
   GROUP BY img.i),
 imgrow AS (
   SELECT img.i AS media_id, 'image' AS kind, true AS decoded,
@@ -1740,6 +1745,9 @@ imgrow AS (
            -- PNG with stored zlib blocks: sig 8 + IHDR 25 + IDAT (12 +
            -- 11 + scanlines) + IEND 12, scanlines = h*(1 + 3w)
            WHEN 3 THEN 68 + img.h * (1 + img.w * 3)
+           -- GIF, all-literal 9-bit LZW (one CLEAR + pixels + EOI):
+           -- 795 fixed bytes + ceil(9*(w*h + 2) / 8) stream bytes
+           WHEN 4 THEN 795 + (9 * (img.w * img.h + 2) + 7) // 8
            ELSE 9 + length(cast(img.w AS varchar))
                   + length(cast(img.h AS varchar)) + img.w * img.h * 3
          END AS n_bytes,

@@ -299,11 +299,15 @@ def test_media_stats_exact(spark):
     assert len(rows) == 36
     for i, r in rows.items():
         if i % 3 == 0:
-            w, h, fmt = 8 + i % 5, 6 + i % 7, (i // 3) % 4
+            w, h, fmt = 8 + i % 5, 6 + i % 7, (i // 3) % 5
             assert r["decoded"] and r["width"] == w and r["height"] == h
             if fmt == 2:
                 y, x = np.mgrid[0:h, 0:w]
                 exp = 3 * int(((x * 3 + y * 5 + i) % 256).sum())
+            elif fmt == 4:  # GIF: palette-mapped index sum
+                y, x = np.mgrid[0:h, 0:w]
+                idx = (x * 3 + y * 5 + i) % 256
+                exp = int((idx + (2 * idx) % 256 + (7 * idx) % 256).sum())
             else:
                 y, x, c = np.mgrid[0:h, 0:w, 0:3]
                 exp = int(((x * 3 + y * 5 + c * 11 + i) % 256).sum())
