@@ -1,0 +1,253 @@
+"""Distributed BPE tokenizer induction over the document corpus.
+
+The piece of a training-data pipeline the curation operators feed:
+after dedup/quality filtering, the corpus trains its own subword
+vocabulary. Classic byte-pair encoding (Sennrich, Haddow & Birch 2016,
+"Neural Machine Translation of Rare Words with Subword Units" — public
+algorithm): start from characters (plus a word-end marker), repeatedly
+merge the most frequent adjacent symbol pair.
+
+Scale shape (the reason this is corpus-scale-safe):
+
+* BPE statistics live on the WORD-FREQUENCY table, not the corpus — the
+  canonical trick. One corpus-sized explode + map-side-combined
+  ``groupBy(word)`` produces a vocabulary-sized ``(word, cnt)`` table
+  (Heaps' law: ~10^7-10^8 distinct words at 100 TB — comfortably
+  distributed, 10^4-10^5× smaller than the corpus). The corpus is never
+  touched again.
+* Each merge iteration runs TWO vocabulary-sized jobs: an
+  ``explode``+``groupBy`` pair-count with a 1-row argmax collect
+  (deterministic lexicographic tie-break — same merges on any cluster
+  size), and an eager ``localCheckpoint`` that applies the merge as a
+  Catalyst ``aggregate`` fold over each word's symbol array (greedy
+  non-overlapping left-to-right, the reference semantics) while
+  truncating lineage so plan depth stays O(1) across thousands of
+  merges. ``localCheckpoint`` → ``checkpoint`` on a real cluster.
+* Encoding applies the learned merge ranks per word inside an
+  Arrow-batched pandas UDF with a broadcast merge dict + an LRU word
+  cache (Zipf: a tiny cache covers most word instances); tokens per
+  document come back as one array column, no per-row Python API calls.
+
+No counterpart in the reference (it ships extraction only); this module
+exists for the 100 TB training-data mission the north rule adds on top.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .curation import _fan_out
+from .retrieval import TOKEN_RE
+
+END = "</w>"
+
+
+def word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Vocabulary table ``(word, cnt)`` — the ONE corpus-sized job in BPE
+    training. ``array_distinct`` is deliberately absent: BPE weights by
+    instance count, so every occurrence counts."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(f"({TOKEN_RE})"), 1
+    )
+    return (
+        _fan_out(docs, min_parallelism)
+        .select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols of ``word`` plus the end-of-word marker — the
+    BPE base vocabulary."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END)))
+
+
+def _pair_structs(syms: Column) -> Column:
+    """Adjacent symbol pairs of ``syms`` as ``struct(lhs, rhs)`` — empty
+    for 1-symbol words (can't happen after the marker append, but kept
+    total)."""
+    offs = F.sequence(F.lit(1), F.size(syms) - 1)
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            offs,
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+
+
+def pair_counts(vocab: DataFrame, syms_col: str = "syms") -> DataFrame:
+    """Instance-weighted adjacent-pair counts ``(lhs, rhs, cnt)`` over a
+    symbolized vocabulary ``(word, cnt, syms)`` — vocabulary-sized
+    explode, map-side-combined agg; never touches the corpus."""
+    return (
+        vocab.select(
+            F.col("cnt"), F.explode(_pair_structs(F.col(syms_col))).alias("p")
+        )
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """Iteration-0 BPE pair statistics straight off the corpus →
+    ``(lhs, rhs, cnt)``: the fully SQL-expressible face of training
+    (the iterative argmax loop is gated by differential pytest against
+    a sequential reference implementation instead)."""
+    wc = word_counts(docs, text_col, min_parallelism)
+    return pair_counts(
+        wc.withColumn("syms", _initial_symbols(F.col("word")))
+    )
+
+
+def _apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
+    """Greedy non-overlapping left-to-right replacement of the adjacent
+    pair (lhs, rhs) with its concatenation — one Catalyst ``aggregate``
+    fold, no Python. ``aaa`` under (a,a) → ``[aa, a]`` exactly like the
+    sequential reference: a just-merged symbol can't immediately re-merge
+    because the fold compares the accumulator's LAST symbol (now
+    ``lhs+rhs``) against ``lhs``."""
+    merged = lhs + rhs
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (F.element_at(acc, -1) == F.lit(lhs)) & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms) - 1),
+        F.slice(syms, 1, 1),
+        step,
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    min_parallelism: int | None = None,
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges → ``[(lhs, rhs, pair_count), ...]``
+    in rank order. Stops early when the best remaining pair falls under
+    ``min_count`` (merging hapax pairs just memorizes typos).
+
+    Determinism: ties on count break lexicographically on (lhs, rhs), so
+    the merge table is identical at any parallelism — the property the
+    north rule's two-cluster-size criterion needs.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    vocab = (
+        word_counts(docs, text_col, min_parallelism)
+        .withColumn("syms", _initial_symbols(F.col("word")))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((lhs, rhs, cnt))
+        # re-pin every iteration: keeps the fold expression depth at 1
+        # regardless of merge count (32k merges would otherwise nest 32k
+        # aggregate() layers into one plan)
+        nxt = vocab.withColumn(
+            "syms", _apply_merge(F.col("syms"), lhs, rhs)
+        ).localCheckpoint(eager=True)
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def encode_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Sequential BPE encode of one word under a learned merge-rank dict
+    — the standard lowest-rank-first loop (public algorithm; shared by
+    the pandas UDF below and the test oracle)."""
+    syms = list(word) + [END]
+    while len(syms) >= 2:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        ranked = [
+            (ranks[p], i) for i, p in enumerate(pairs) if p in ranks
+        ]
+        if not ranked:
+            break
+        rank = min(ranked)[0]
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and (syms[i], syms[i + 1]) in ranks
+                and ranks[(syms[i], syms[i + 1])] == rank
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` under a learned merge table → input columns
+    plus ``out_col: array<string>``. Arrow-batched pandas UDF; the merge
+    dict ships ONCE per executor via ``sc.broadcast``; a per-batch word
+    cache exploits Zipf (most instances are cache hits, so per-word work
+    amortizes away)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(m[0], m[1]): r for r, m in enumerate(merges)}
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
+    tok_re = re.compile(TOKEN_RE)
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        rk = bc.value
+        cache: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return []
+            out: list[str] = []
+            for w in tok_re.findall(t.lower()):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = encode_bpe(w, rk)
+                out.extend(got)
+            return out
+
+        return texts.map(one)
+
+    return docs.withColumn(out_col, enc(F.col(text_col)))

@@ -9046,3 +9046,48 @@ SELECT page, place, round(dist, 4) AS dist_km FROM cand WHERE rn = 1
 
 QUERIES.update({"geo_nearest_place": q_geo_nearest_place})
 ORACLES.update({"geo_nearest_place": ORACLE_GEO_NEAREST})
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts — BPE tokenizer induction, iteration-0 statistics
+# (operators/tokenizer.py). The corpus collapses to a word-frequency table
+# (the one corpus-sized job of BPE training), words split to character
+# symbols + '</w>', and adjacent pairs aggregate instance-weighted. The
+# iterative merge loop (bpe_train) is gated differentially in pytest
+# (tests/test_tokenizer.py) against a sequential reference implementation;
+# this gate hash-verifies the distributed statistics it iterates on.
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Iteration-0 BPE adjacent-pair counts over documents
+    (operators/tokenizer.py:bpe_pair_counts) vs a full SQL re-derivation
+    (char-split via list_transform + word-end marker)."""
+    from ..operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _docs_tbl(spark, sf_dir),
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = """
+WITH tk AS (
+  SELECT regexp_extract_all(lower(text), '([a-z0-9]+)', 1) AS l
+  FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(l) AS word FROM tk) GROUP BY word
+), sym AS (
+  SELECT cnt,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i]), '</w>') AS s
+  FROM wc
+)
+SELECT s[i] AS lhs, s[i + 1] AS rhs, cast(sum(cnt) AS bigint) AS cnt
+FROM (SELECT s, cnt, unnest(range(1, len(s))) AS i FROM sym)
+GROUP BY lhs, rhs
+"""
+
+
+QUERIES.update({"bpe_pair_counts": q_bpe_pair_counts})
+ORACLES.update({"bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS})
