@@ -9091,3 +9091,80 @@ GROUP BY lhs, rhs
 
 QUERIES.update({"bpe_pair_counts": q_bpe_pair_counts})
 ORACLES.update({"bpe_pair_counts": ORACLE_BPE_PAIR_COUNTS})
+
+
+# ---------------------------------------------------------------------------
+# schema_graph — ABSTAT-style class-level quotient summary
+# (operators/profiling.py:schema_graph): every non-type edge lifted to the
+# classes of its endpoints (multi-typed fan-out, <untyped> fallback, literal
+# objects under datatype/<langString>/<plain>), aggregated schema-sized.
+# Fixture: a deterministic typed KG derived from doc_id arithmetic —
+# ~80% typed entities, a multi-typed stratum (doc_id%7), resource edges to
+# E(doc_id%97) (sf-independent), lang/typed/plain literal strata.
+
+_SG_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+SCHEMA_KG_CTE = f"""
+SELECT 'http://ex.org/E' || doc_id AS subj, '{_SG_TYPE}' AS pred,
+       'http://ex.org/C' || (doc_id % 3) AS obj,
+       CAST(NULL AS STRING) AS lang, CAST(NULL AS STRING) AS datatype
+FROM {{tbl}} WHERE doc_id % 5 != 0
+UNION ALL
+SELECT 'http://ex.org/E' || doc_id, '{_SG_TYPE}',
+       'http://ex.org/D' || (doc_id % 2), NULL, NULL
+FROM {{tbl}} WHERE doc_id % 7 = 0
+UNION ALL
+SELECT 'http://ex.org/E' || doc_id, 'http://ex.org/p/links',
+       'http://ex.org/E' || (doc_id % 97), NULL, NULL FROM {{tbl}}
+UNION ALL
+SELECT 'http://ex.org/E' || doc_id, 'http://ex.org/p/name',
+       'name ' || doc_id, 'en', NULL FROM {{tbl}} WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'http://ex.org/E' || doc_id, 'http://ex.org/p/size',
+       CAST(doc_id AS STRING), NULL,
+       'http://www.w3.org/2001/XMLSchema#integer'
+FROM {{tbl}} WHERE doc_id % 2 = 1
+UNION ALL
+SELECT 'http://ex.org/E' || doc_id, 'http://ex.org/p/note',
+       'plain note', NULL, NULL FROM {{tbl}} WHERE doc_id % 11 = 0
+"""
+
+
+def q_schema_graph(spark, sf_dir):
+    """Class-level KG summary (operators/profiling.schema_graph) over the
+    deterministic typed-KG fixture vs a full SQL re-derivation of the
+    two-sided class lift."""
+    from ..operators.profiling import schema_graph
+
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_sg_docs")
+    quads = spark.sql(SCHEMA_KG_CTE.replace("{tbl}", "__defs_sg_docs"))
+    return schema_graph(quads, type_pred=_SG_TYPE)
+
+
+ORACLE_SCHEMA_GRAPH = f"""
+WITH q AS ({SCHEMA_KG_CTE.replace('{tbl}', 'documents')}),
+t AS (SELECT DISTINCT subj AS i, obj AS c FROM q WHERE pred = '{_SG_TYPE}'),
+e AS (
+  SELECT subj, pred, obj, lang, datatype,
+         CASE WHEN datatype IS NULL AND lang IS NULL
+                   AND regexp_matches(obj, '^https?://')
+              THEN obj END AS ok
+  FROM q WHERE pred != '{_SG_TYPE}'
+),
+l AS (
+  SELECT coalesce(s.c, '<untyped>') AS src_cls, e.pred,
+         CASE WHEN e.datatype IS NOT NULL THEN e.datatype
+              WHEN e.lang IS NOT NULL THEN '<langString>'
+              WHEN e.ok IS NULL THEN '<plain>'
+              ELSE coalesce(d.c, '<untyped>') END AS dst_cls,
+         e.subj
+  FROM e LEFT JOIN t s ON e.subj = s.i LEFT JOIN t d ON e.ok = d.i
+)
+SELECT src_cls, pred, dst_cls, count(*) AS n_edges,
+       cast(count(DISTINCT subj) AS bigint) AS n_src
+FROM l GROUP BY src_cls, pred, dst_cls
+"""
+
+
+QUERIES.update({"schema_graph": q_schema_graph})
+ORACLES.update({"schema_graph": ORACLE_SCHEMA_GRAPH})

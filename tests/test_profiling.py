@@ -145,3 +145,44 @@ def test_sdtype_mixed_evidence_and_min_score(spark):
     assert sdtype_infer(
         quads, types, use_inverse=False, min_score=0.6
     ).where("entity = 'u'").isEmpty()
+
+
+def test_schema_graph_lift(spark):
+    from distributed_extraction_framework_spark.operators.profiling import (
+        schema_graph,
+    )
+
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    E = "http://ex/e"
+    rows = [
+        # e1: typed C (twice-typed C+D — multi-type fan-out)
+        (f"{E}1", T, "http://ex/C", None, None),
+        (f"{E}1", T, "http://ex/D", None, None),
+        (f"{E}2", T, "http://ex/C", None, None),
+        # e3 untyped
+        # resource edges
+        (f"{E}1", "http://ex/p", f"{E}2", None, None),   # (C|D) -> C
+        (f"{E}3", "http://ex/p", f"{E}1", None, None),   # untyped -> C|D
+        (f"{E}2", "http://ex/p", f"{E}9", None, None),   # C -> untyped obj
+        # literal strata
+        (f"{E}2", "http://ex/n", "hi", "en", None),      # langString
+        (f"{E}2", "http://ex/s", "4", None, "http://w3/int"),  # typed
+        (f"{E}2", "http://ex/t", "bare", None, None),    # plain (non-URI)
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, lang string, datatype string"
+    )
+    got = {
+        (r["src_cls"], r["pred"], r["dst_cls"]): (r["n_edges"], r["n_src"])
+        for r in schema_graph(quads).collect()
+    }
+    assert got == {
+        ("http://ex/C", "http://ex/p", "http://ex/C"): (1, 1),
+        ("http://ex/D", "http://ex/p", "http://ex/C"): (1, 1),
+        ("<untyped>", "http://ex/p", "http://ex/C"): (1, 1),
+        ("<untyped>", "http://ex/p", "http://ex/D"): (1, 1),
+        ("http://ex/C", "http://ex/p", "<untyped>"): (1, 1),
+        ("http://ex/C", "http://ex/n", "<langString>"): (1, 1),
+        ("http://ex/C", "http://ex/s", "http://w3/int"): (1, 1),
+        ("http://ex/C", "http://ex/t", "<plain>"): (1, 1),
+    }
