@@ -371,3 +371,51 @@ def test_fetch_schedule_one_shuffle_and_broadcast_delays(spark):
     assert len(re.findall(r"Exchange hashpartitioning\(host", plan)) == 1
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bpe_word_counts_single_corpus_shuffle(spark):
+    """BPE training touches the corpus ONCE: word_counts' plan has exactly
+    one Exchange (hashpartitioning on word) and partial aggregation below
+    it — everything downstream is vocabulary-sized."""
+    from distributed_extraction_framework_spark.operators.tokenizer import (
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(word_counts(docs))
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(word" in plan, plan
+
+
+def test_bpe_pair_counts_no_extra_corpus_shuffle(spark):
+    """pair_counts over the symbolized vocab adds only the pair-key
+    Exchange on top of word_counts' — never a corpus-sized one — and no
+    cartesian anywhere."""
+    from distributed_extraction_framework_spark.operators.tokenizer import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c a") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(bpe_pair_counts(docs))
+    assert plan.count("Exchange") == 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_schema_graph_equi_joins_only(spark):
+    """schema_graph's two class lifts must stay equi-joins (instance
+    keys), never a cartesian / nested-loop over the edge set."""
+    from distributed_extraction_framework_spark.operators.profiling import (
+        schema_graph,
+    )
+
+    quads = spark.createDataFrame(
+        [("http://e/1", "http://p/x", "http://e/2", None, None)],
+        "subj string, pred string, obj string, lang string, datatype string",
+    )
+    plan = _plan(schema_graph(quads))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
