@@ -9168,3 +9168,73 @@ FROM l GROUP BY src_cls, pred, dst_cls
 
 QUERIES.update({"schema_graph": q_schema_graph})
 ORACLES.update({"schema_graph": ORACLE_SCHEMA_GRAPH})
+
+
+# ---------------------------------------------------------------------------
+# linkpred_metrics — KG link-prediction evaluation (operators/evaluation.py):
+# MRR + Hits@k over a scored candidate table, rank computed as a COUNT of
+# strictly-better candidates (join + groupBy, no per-query sort window).
+# Fixture: every 50th order is a query; 20 candidate tails scored by the
+# portable md5 hash-bucket; the true tail is o_custkey % 20 (exactly one
+# true row per query by construction).
+
+
+def q_linkpred_metrics(spark, sf_dir):
+    """ranking_metrics over the deterministic scored-candidates fixture
+    vs a full SQL re-derivation (same md5 scores, same count-based rank,
+    same tie-break)."""
+    from ..operators.evaluation import ranking_metrics
+    from ..operators.sampling import hash_bucket
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    scored = (
+        orders.filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("query"),
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("cand"),
+            (F.col("o_custkey") % 20).alias("__true"),
+        )
+        .select(
+            "query", "cand",
+            hash_bucket(
+                F.concat_ws(":", F.lit("lp"), F.col("query"), F.col("cand"))
+            ).alias("score"),
+            (F.col("cand") == F.col("__true")).alias("is_true"),
+        )
+    )
+    return ranking_metrics(scored, ks=(1, 3, 10))
+
+
+ORACLE_LINKPRED_METRICS = """
+WITH q AS (
+  SELECT o_orderkey AS query, o_custkey % 20 AS tr
+  FROM orders WHERE o_orderkey % 50 = 0
+), sc AS (
+  SELECT query, cand,
+         cast('0x' || substr(md5('lp:' || query || ':' || cand), 1, 8)
+              AS bigint) / 4294967296.0 AS score,
+         (cand = tr) AS is_true
+  FROM q, unnest(range(0, 20)) AS t(cand)
+), truth AS (
+  SELECT query, score AS ts, cast(cand AS varchar) AS tc
+  FROM sc WHERE is_true
+), r AS (
+  SELECT sc.query,
+         1 + sum(CASE WHEN sc.score > t.ts
+                       OR (sc.score = t.ts
+                           AND cast(sc.cand AS varchar) < t.tc)
+                 THEN 1 ELSE 0 END) AS rank
+  FROM sc JOIN truth t ON sc.query = t.query
+  GROUP BY sc.query
+)
+SELECT cast(count(*) AS bigint) AS n_queries,
+       round(avg(1.0 / rank), 6) AS mrr,
+       round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS hits_1,
+       round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 6) AS hits_3,
+       round(avg(CASE WHEN rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS hits_10
+FROM r
+"""
+
+
+QUERIES.update({"linkpred_metrics": q_linkpred_metrics})
+ORACLES.update({"linkpred_metrics": ORACLE_LINKPRED_METRICS})

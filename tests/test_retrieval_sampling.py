@@ -282,3 +282,49 @@ def test_tfidf_keywords_topk(spark):
     assert got[(3, "cherry")] == round(2 * math.log(3 / 2), 4)
     assert all(n <= 2 for n in
                __import__("collections").Counter(d for d, _ in got).values())
+
+
+def test_linkpred_ranks_and_metrics(spark):
+    from distributed_extraction_framework_spark.operators.evaluation import (
+        linkpred_ranks,
+        ranking_metrics,
+    )
+
+    # q1: true cand 'b' beaten only by 'a' (higher score) -> rank 2
+    # q2: true cand 'x' ties with 'w'; 'w' < 'x' wins the tie -> rank 2
+    # q3: true is best -> rank 1
+    rows = [
+        ("q1", "a", 0.9, False), ("q1", "b", 0.5, True), ("q1", "c", 0.1, False),
+        ("q2", "w", 0.7, False), ("q2", "x", 0.7, True), ("q2", "y", 0.2, False),
+        ("q3", "m", 0.8, True), ("q3", "n", 0.3, False),
+    ]
+    scored = spark.createDataFrame(
+        rows, "query string, cand string, score double, is_true boolean"
+    )
+    ranks = {r["query"]: r["rank"] for r in linkpred_ranks(scored).collect()}
+    assert ranks == {"q1": 2, "q2": 2, "q3": 1}
+    m = ranking_metrics(scored, ks=(1, 3)).first()
+    assert m["n_queries"] == 3
+    assert m["mrr"] == round((0.5 + 0.5 + 1.0) / 3, 6)
+    assert m["hits_1"] == round(1 / 3, 6)
+    assert m["hits_3"] == 1.0
+
+
+def test_linkpred_ranks_parallelism_invariant(spark):
+    from distributed_extraction_framework_spark.operators.evaluation import (
+        linkpred_ranks,
+    )
+    from distributed_extraction_framework_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.range(40).select(
+        (F.col("id") % 8).alias("q"),
+        F.col("id").alias("cand"),
+        hash_bucket(F.col("id").cast("string")).alias("score"),
+        (F.col("id") < 8).alias("is_true"),
+    ).withColumnsRenamed({"q": "query"})
+    a = sorted(map(tuple, linkpred_ranks(base.repartition(1)).collect()))
+    b = sorted(map(tuple, linkpred_ranks(base.repartition(11)).collect()))
+    assert a == b
