@@ -291,7 +291,9 @@ def main() -> None:
                   "kg_change_events", "reified_provenance", "rule_mining",
                   "rule_chains", "rule_apply", "hearst_isa", "copula_isa",
                   "nil_clusters_text", "taxonomy_edges", "entity_summaries",
-                  "class_completeness", "webkg_fused"):
+                  "class_completeness", "webkg_fused",
+                  # final-session wave: tokenizer / summary / eval
+                  "bpe_pair_counts", "schema_graph", "linkpred_metrics"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     out = {
