@@ -293,7 +293,8 @@ def main() -> None:
                   "nil_clusters_text", "taxonomy_edges", "entity_summaries",
                   "class_completeness", "webkg_fused",
                   # final-session wave: tokenizer / summary / eval
-                  "bpe_pair_counts", "schema_graph", "linkpred_metrics"):
+                  "bpe_pair_counts", "schema_graph", "linkpred_metrics",
+                  "value_outliers"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     out = {

@@ -169,3 +169,71 @@ def functional_properties(
             >= F.lit(threshold)
         ).alias("functional"),
     )
+
+
+_NUMERIC_DT = (
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#int",
+    "http://www.w3.org/2001/XMLSchema#long",
+    "http://www.w3.org/2001/XMLSchema#decimal",
+    "http://www.w3.org/2001/XMLSchema#double",
+    "http://www.w3.org/2001/XMLSchema#float",
+)
+
+
+def numeric_outliers(
+    quads: DataFrame,
+    k: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust per-predicate outlier detection over numeric literals →
+    ``(subj, pred, value, med, mad, z)`` for every value whose modified
+    z-score ``0.6745·(v − median)/MAD`` exceeds ``k`` in magnitude
+    (Iglewicz & Hoaglin 1993, the published robust-outlier rule — a
+    population figure typo'd 100× survives mean/σ screening because it
+    drags σ with it; it cannot drag the median).
+
+    Completes the data-quality family (SHACL shapes, functional-property
+    discovery, fusion conflict reports, class completeness): those catch
+    STRUCTURAL breakage, this catches plausible-shaped but wrong VALUES
+    — the classic broken-unit-conversion extractor regression.
+
+    Predicates whose MAD is 0 (half the values identical) produce no
+    rows — no dispersion, no robust scale. Non-castable lexical forms
+    drop out via ``try_cast``.
+
+    Scale shape: the stats table is PREDICATE-sized — two aggregations
+    (median, then MAD of residuals) joined back by one broadcast-able
+    equi-join on ``pred``; the violations output is error-sized. Exact
+    ``percentile`` shuffles each predicate's values to one reducer —
+    fine to vocabulary-scale; at 10^12 triples set ``approx=True`` for
+    the one-pass ``percentile_approx`` sketch (same two-tier pattern as
+    materialize.void_stats' exact/HLL switch).
+    """
+    pct = (
+        (lambda c: F.percentile_approx(c, 0.5, 100000))
+        if approx
+        else (lambda c: F.percentile(c, 0.5))
+    )
+    vals = quads.filter(F.col("datatype").isin(*_NUMERIC_DT)).select(
+        "subj", "pred", F.col("obj").try_cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+    med = vals.groupBy("pred").agg(pct(F.col("value")).alias("med"))
+    mad = (
+        vals.join(F.broadcast(med), "pred")
+        .groupBy("pred", "med")
+        .agg(pct(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+        .filter(F.col("mad") > 0)
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        vals.join(F.broadcast(mad), "pred")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > k)
+        .select(
+            "subj", "pred", "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "z",
+        )
+    )

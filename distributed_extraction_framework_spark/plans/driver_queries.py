@@ -9238,3 +9238,66 @@ FROM r
 
 QUERIES.update({"linkpred_metrics": q_linkpred_metrics})
 ORACLES.update({"linkpred_metrics": ORACLE_LINKPRED_METRICS})
+
+
+# ---------------------------------------------------------------------------
+# value_outliers — robust per-predicate numeric-outlier detection
+# (operators/validation.py:numeric_outliers): modified z-score over
+# median/MAD (Iglewicz & Hoaglin), exact-percentile tier. Fixture: order
+# totals with a deterministic 100x corruption stratum (o_orderkey % 997 = 0
+# — the broken-unit-conversion regression shape) plus a uniform second
+# predicate that must produce NO outliers.
+
+_VO_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+_VO_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+VALUE_OUTLIERS_CTE = f"""
+SELECT 'O' || o_orderkey AS subj, 'http://ex.org/p/total' AS pred,
+       CAST(o_totalprice * CASE WHEN o_orderkey % 997 = 0
+                                THEN 100.0 ELSE 1.0 END AS STRING) AS obj,
+       '{_VO_DOUBLE}' AS datatype
+FROM {{tbl}}
+UNION ALL
+SELECT 'O' || o_orderkey, 'http://ex.org/p/bucket',
+       CAST(o_custkey % 100 AS STRING), '{_VO_INT}'
+FROM {{tbl}}
+"""
+
+
+def q_value_outliers(spark, sf_dir):
+    """numeric_outliers over the corrupted-totals fixture vs a SQL
+    re-derivation (quantile_cont median/MAD, same modified-z rule)."""
+    from ..operators.validation import numeric_outliers
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__defs_vo_orders"
+    )
+    quads = spark.sql(
+        VALUE_OUTLIERS_CTE.replace("{tbl}", "__defs_vo_orders")
+    ).withColumn("lang", F.lit(None).cast("string"))
+    return numeric_outliers(quads, k=3.5)
+
+
+ORACLE_VALUE_OUTLIERS = f"""
+WITH q AS ({VALUE_OUTLIERS_CTE.replace('{tbl}', 'orders')}),
+v AS (
+  SELECT subj, pred, try_cast(obj AS DOUBLE) AS value
+  FROM q WHERE datatype IN ('{_VO_DOUBLE}', '{_VO_INT}')
+    AND try_cast(obj AS DOUBLE) IS NOT NULL
+), med AS (
+  SELECT pred, quantile_cont(value, 0.5) AS med FROM v GROUP BY pred
+), mad AS (
+  SELECT v.pred, any_value(med.med) AS med,
+         quantile_cont(abs(v.value - med.med), 0.5) AS mad
+  FROM v JOIN med ON v.pred = med.pred GROUP BY v.pred
+)
+SELECT v.subj, v.pred, v.value,
+       round(mad.med, 6) AS med, round(mad.mad, 6) AS mad,
+       round(0.6745 * (v.value - mad.med) / mad.mad, 6) AS z
+FROM v JOIN mad ON v.pred = mad.pred
+WHERE mad.mad > 0 AND abs(0.6745 * (v.value - mad.med) / mad.mad) > 3.5
+"""
+
+
+QUERIES.update({"value_outliers": q_value_outliers})
+ORACLES.update({"value_outliers": ORACLE_VALUE_OUTLIERS})

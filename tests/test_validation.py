@@ -79,3 +79,44 @@ def test_functional_properties(spark, kg):
     import pytest as _pt
     with _pt.raises(ValueError):
         functional_properties(kg, 0.0)
+
+
+def test_numeric_outliers_catch_corruption_stratum(spark):
+    from distributed_extraction_framework_spark.operators.validation import (
+        numeric_outliers,
+    )
+    from pyspark.sql import functions as F
+
+    xsd_d = "http://www.w3.org/2001/XMLSchema#double"
+    # 200 well-behaved values ~ N-ish around 1000 (deterministic), 3
+    # corrupted 100x, plus a zero-MAD predicate and a junk lexical form
+    rows = []
+    for i in range(200):
+        v = 1000.0 + (i % 21) - 10  # 990..1010
+        if i in (11, 97, 154):
+            v *= 100
+        rows.append((f"s{i}", "p:val", str(v), xsd_d))
+    rows += [(f"c{i}", "p:const", "7.0", xsd_d) for i in range(10)]
+    rows.append(("bad", "p:val", "not-a-number", xsd_d))
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, datatype string"
+    ).withColumn("lang", F.lit(None).cast("string"))
+    out = numeric_outliers(quads, k=3.5).collect()
+    assert {r["subj"] for r in out} == {"s11", "s97", "s154"}
+    assert all(r["pred"] == "p:val" and r["z"] > 3.5 for r in out)
+
+
+def test_numeric_outliers_approx_tier_runs(spark):
+    from distributed_extraction_framework_spark.operators.validation import (
+        numeric_outliers,
+    )
+    from pyspark.sql import functions as F
+
+    xsd_i = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [(f"s{i}", "p:n", str(i % 10), xsd_i) for i in range(100)]
+    rows.append(("hot", "p:n", "100000", xsd_i))
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, datatype string"
+    ).withColumn("lang", F.lit(None).cast("string"))
+    out = numeric_outliers(quads, k=3.5, approx=True).collect()
+    assert {r["subj"] for r in out} == {"hot"}
