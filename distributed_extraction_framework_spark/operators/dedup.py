@@ -396,28 +396,20 @@ def simhash_near_duplicates(
 # 4. exact n-gram Jaccard via inverted index
 # --------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-    max_df: int | None = 1000,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for every pair sharing ≥1 n-gram.
-
-    All Catalyst: explode distinct n-grams → self-join the inverted index
-    on the n-gram → count common grams per pair → |A∪B| = |A|+|B|-common.
-    Documents sharing no n-gram never meet (no cross join anywhere).
-
-    ``max_df`` caps the posting-list length per gram before the self-join:
-    a gram shared by k documents contributes k² candidate rows, so one
-    ubiquitous stop-phrase ("of the united") makes a single join key
-    quadratic in the corpus. Grams with document frequency > max_df are
-    dropped from BOTH the index and the per-doc gram counts — Jaccard over
-    the sub-max_df gram space, the standard df-cap semantics. Pass None
-    for the uncapped exact form (small corpora / verification only).
-    """
+    """Shared candidate machinery for the n-gram pair scores →
+    ``(id_a, id_b, common, na, nb)`` for every pair sharing ≥1 surviving
+    n-gram. Explode distinct n-grams → self-join the inverted index on
+    the gram → count common grams per pair; documents sharing no n-gram
+    never meet (no cross join anywhere). ``max_df`` drops hot grams from
+    BOTH the index and the per-doc counts before the quadratic self-join
+    (df-cap semantics, see :func:`ngram_jaccard_pairs`)."""
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     grams = F.array_distinct(
         F.transform(
@@ -449,15 +441,75 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
+    return common.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"),
+        "id_a",
+    ).join(
+        sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"),
+        "id_b",
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair sharing ≥1 n-gram →
+    ``(id_a, id_b, jaccard)``; |A∪B| = |A|+|B|-common.
+
+    All Catalyst, built on :func:`_ngram_pair_counts`. ``max_df`` caps
+    the posting-list length per gram before the self-join: a gram shared
+    by k documents contributes k² candidate rows, so one ubiquitous
+    stop-phrase ("of the united") makes a single join key quadratic in
+    the corpus. Grams with document frequency > max_df are dropped from
+    BOTH the index and the per-doc gram counts — Jaccard over the
+    sub-max_df gram space, the standard df-cap semantics. Pass None for
+    the uncapped exact form (small corpora / verification only).
+    """
     return (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        _ngram_pair_counts(df, id_col, text_col, n, max_df)
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram containment (overlap coefficient,
+    |A∩B| / min(|A|,|B|)) for every pair sharing ≥1 n-gram →
+    ``(id_a, id_b, containment)``.
+
+    The asymmetric complement of :func:`ngram_jaccard_pairs`: a short
+    page quoted wholesale inside a long aggregator page has containment
+    ≈ 1 but Jaccard ≈ |short|/|long| ≈ 0 — Jaccard-threshold dedup never
+    sees it. Broder's containment measure (SEQUENCES'97, public) is the
+    standard web-curation answer for boilerplate inclusion, syndicated
+    excerpts, and quote-stuffing. Same inverted-index plan and df-cap
+    scale shape as the Jaccard form (one gram shuffle + one capped
+    self-join); the pair survives if EITHER side is mostly contained in
+    the other, so the u<v canonical pair orientation loses nothing.
+    """
+    return (
+        _ngram_pair_counts(df, id_col, text_col, n, max_df)
+        .withColumn(
+            "containment", F.col("common") / F.least("na", "nb")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

@@ -269,6 +269,88 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _support_of(und: DataFrame) -> DataFrame:
+    """Triangle support per canonical ``(u, v)`` edge of an already-
+    canonical undirected edge set (``u < v``): each x<y<z triangle
+    contributes 1 to each of its three edges. Same compact-forward wedge
+    join as :func:`triangles`, then a 3-way projection + one groupBy."""
+    e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    sides = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+    )
+    return sides.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over the canonical undirected edge set →
+    ``(u, v, support)`` with ``u < v``; edges in no triangle carry 0.
+
+    The edge-strength signal under k-truss decomposition (Cohen,
+    "Trusses: cohesive subgraphs for social network analysis", NSA TR
+    2008, public): an edge's support is how many triangles close over
+    it — 0 for bridges/spam links, high inside genuinely cohesive
+    communities. Scale shape: one wedge shuffle (bounded by the
+    lexicographic orientation, see :func:`triangles`) + one (u, v)
+    groupBy; the zero-support fill is a broadcast-eligible left join of
+    the edge set against the schema-smaller support table.
+    """
+    und = undirected_edges(edges)
+    return (
+        und.join(_support_of(und), ["u", "v"], "left")
+        .select(
+            "u", "v",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """Edges of the ``k``-truss → ``(u, v, support)``: iteratively peel
+    edges whose triangle support < k-2 until fixpoint (Cohen 2008). The
+    2-truss is the full edge set; every edge of a k-truss lies in at
+    least k-2 triangles of the surviving subgraph.
+
+    The edge-level strengthening of :func:`kcore` (a k-truss is always
+    inside the (k-1)-core but prunes far more aggressively) — the
+    community-core extractor for web-graph noise stripping. Per round:
+    one wedge-join support computation + one filter; convergence is read
+    from an ``observe()`` fused into the round's checkpoint (one action
+    per round, the same idiom as :func:`kcore`). Rounds needed = peeling
+    depth, typically ≪ 20 on web graphs.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    from pyspark.sql import Observation
+
+    cur = undirected_edges(edges).localCheckpoint(eager=True)
+    prev_m = cur.count()
+    for _ in range(max_iter):
+        if prev_m == 0:
+            break
+        obs = Observation()
+        nxt = (
+            cur.join(_support_of(cur), ["u", "v"], "left")
+            .where(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        m = obs.get["m"] or 0
+        cur = nxt
+        if m == prev_m:
+            break
+        prev_m = m
+    return cur.join(_support_of(cur), ["u", "v"], "left").select(
+        "u", "v",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+    )
+
+
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame | list[str],

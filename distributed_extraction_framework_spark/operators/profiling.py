@@ -28,6 +28,8 @@ stops); SURVEY.md §2 'beyond the reference' family.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -161,6 +163,54 @@ def sdtype_infer(
         scores.withColumn("__rn", F.row_number().over(wbest))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def characteristic_sets(
+    quads: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    sep: str = "|",
+) -> DataFrame:
+    """Characteristic-set statistics (Neumann & Moerkotte, ICDE 2011,
+    public) → ``(cs, n_preds, n_subjects, n_triples)``: for every
+    distinct predicate COMBINATION observed on a subject (its
+    characteristic set, rendered as the ``sep``-joined sorted predicate
+    list), how many subjects carry exactly that set and how many triples
+    they hold in total.
+
+    This is THE cardinality statistic for star-shaped SPARQL joins: a
+    BGP asking ``?s :name ?n ; :size ?z`` matches exactly the subjects
+    whose characteristic set is a superset of {name, size}, so summing
+    ``n_subjects`` over superset rows answers the cardinality question
+    without touching the triple table — the published technique RDF-3X
+    and modern SPARQL optimizers use. It doubles as a structural profile
+    of what entity SHAPES the 10^12-triple graph actually contains
+    (schema discovery without a schema).
+
+    Scale shape: one subject-keyed aggregation (map-side-combinable;
+    ``collect_set`` keeps only distinct predicates per subject —
+    bounded by |P|, a few thousand, not by the subject's triple count)
+    followed by a second aggregation on the set itself, whose output is
+    characteristic-set-sized: Neumann & Moerkotte measure ~10³-10⁴
+    distinct sets on billion-triple graphs. No joins, no explode.
+    """
+    per_subj = quads.groupBy(subj_col).agg(
+        F.concat_ws(sep, F.sort_array(F.collect_set(pred_col))).alias("cs"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_subj.groupBy("cs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subjects"),
+            F.sum("__n").cast("long").alias("n_triples"),
+        )
+        .select(
+            "cs",
+            F.size(F.split("cs", re.escape(sep))).alias("n_preds"),
+            "n_subjects",
+            "n_triples",
+        )
     )
 
 

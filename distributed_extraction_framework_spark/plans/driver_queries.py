@@ -9301,3 +9301,123 @@ WHERE mad.mad > 0 AND abs(0.6745 * (v.value - mad.med) / mad.mad) > 3.5
 
 QUERIES.update({"value_outliers": q_value_outliers})
 ORACLES.update({"value_outliers": ORACLE_VALUE_OUTLIERS})
+
+
+# ---------------------------------------------------------------------------
+# Final-round wave: characteristic sets (Neumann-Moerkotte star-join
+# cardinality statistics), per-edge triangle support (the k-truss signal),
+# and n-gram containment near-dup (Broder's overlap coefficient — catches
+# the short-page-quoted-in-long-page inclusions Jaccard thresholds miss).
+# ---------------------------------------------------------------------------
+
+
+def q_characteristic_sets(spark, sf_dir):
+    """Characteristic-set statistics (operators/profiling.
+    characteristic_sets) over the deterministic typed-KG fixture vs a
+    full SQL re-derivation of the two-level aggregation."""
+    from ..operators.profiling import characteristic_sets
+
+    _docs_tbl(spark, sf_dir).createOrReplaceTempView("__defs_cs_docs")
+    quads = spark.sql(SCHEMA_KG_CTE.replace("{tbl}", "__defs_cs_docs"))
+    return characteristic_sets(quads)
+
+
+ORACLE_CHARACTERISTIC_SETS = f"""
+WITH q AS ({SCHEMA_KG_CTE.replace('{tbl}', 'documents')}),
+per AS (
+  SELECT subj,
+         array_to_string(list_sort(list(DISTINCT pred)), '|') AS cs,
+         count(*) AS n
+  FROM q GROUP BY subj
+)
+SELECT cs,
+       cast(len(string_split(cs, '|')) AS int) AS n_preds,
+       cast(count(*) AS bigint) AS n_subjects,
+       cast(sum(n) AS bigint) AS n_triples
+FROM per GROUP BY cs
+"""
+
+
+def q_edge_support(spark, sf_dir):
+    """Per-edge triangle support over the wiki-link graph
+    (operators/graph.edge_support) vs the same compact-forward triangle
+    projection in ANSI SQL, zero-filled over the canonical edge set."""
+    from ..operators.graph import edge_support
+
+    return edge_support(_pl_edges(spark, sf_dir))
+
+
+ORACLE_EDGE_SUPPORT = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+und AS (
+  SELECT DISTINCT least(s, o) AS u, greatest(s, o) AS v FROM pl WHERE s <> o
+),
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM und a
+  JOIN und b ON a.v = b.u
+  JOIN und c ON c.u = a.u AND c.v = b.v
+),
+sup AS (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT x AS u, y AS v FROM tri
+    UNION ALL SELECT y AS u, z AS v FROM tri
+    UNION ALL SELECT x AS u, z AS v FROM tri)
+  GROUP BY u, v
+)
+SELECT und.u, und.v, cast(coalesce(sup.s, 0) AS bigint) AS support
+FROM und LEFT JOIN sup ON und.u = sup.u AND und.v = sup.v
+"""
+
+
+def q_ngram_containment(spark, sf_dir):
+    # same df-capped inverted-index plan as ngram_jaccard (the production
+    # shape); the overlap-coefficient score surfaces inclusion pairs a
+    # 0.5-Jaccard gate never sees
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = D.ngram_containment_pairs(d, n=3, threshold=0.8, max_df=50)
+    return p.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+ORACLE_NGRAM_CONTAINMENT = """
+WITH d AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS w
+  FROM documents WHERE trim(coalesce(text,'')) <> ''
+), g AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS grams
+  FROM d
+), gf AS (
+  SELECT id, grams FROM g WHERE len(grams) > 0
+), inv AS (
+  SELECT id, unnest(grams) AS gram FROM gf
+), iv0 AS (SELECT id, gram FROM inv WHERE gram <> ''),
+dfreq AS (SELECT gram FROM iv0 GROUP BY gram HAVING count(*) <= 50),
+iv AS (SELECT id, gram FROM iv0 JOIN dfreq USING (gram)),
+sizes AS (SELECT id, count(*) AS n FROM iv GROUP BY id),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+  FROM iv a JOIN iv b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(common / least(sa.n, sb.n), 6) AS containment
+FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE common / least(sa.n, sb.n) >= 0.8
+"""
+
+
+QUERIES.update({
+    "characteristic_sets": q_characteristic_sets,
+    "edge_support": q_edge_support,
+    "ngram_containment": q_ngram_containment,
+})
+ORACLES.update({
+    "characteristic_sets": ORACLE_CHARACTERISTIC_SETS,
+    "edge_support": ORACLE_EDGE_SUPPORT,
+    "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
+})

@@ -522,3 +522,26 @@ def test_png_decode_all_filters_and_colortypes():
                   + M._png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
                   + M._png_chunk(b"IEND", b""))
     assert M._decode_png(interlaced) is None
+
+
+def test_ngram_containment_inclusion(spark):
+    """A short doc quoted verbatim inside a long doc: containment 1.0
+    even though Jaccard is far below any dedup threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"p{i} q{i} r{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "unrelated text entirely here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            df, threshold=0.9, max_df=None
+        ).collect()
+    }
+    assert got == {(1, 2): pytest.approx(1.0)}
+    # the same pair is invisible to a 0.5-Jaccard gate
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.5, max_df=None).count() == 0

@@ -414,3 +414,50 @@ def test_weighted_sssp_raises_when_frontier_never_settles(spark):
     )
     with pytest.raises(RuntimeError, match="frontier still active"):
         weighted_sssp(edges, ["n0"], max_iter=2)
+
+
+def test_edge_support_and_k_truss(spark):
+    from distributed_extraction_framework_spark.operators.graph import (
+        edge_support,
+        k_truss,
+    )
+
+    # two triangles sharing edge b-c (so b-c has support 2), plus a
+    # pendant chain d-e-f: supports 2/1/1/1/1, pendants 0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("c", "d"),
+         ("d", "e"), ("e", "f")],
+        "src string, dst string",
+    )
+    sup = {(r["u"], r["v"]): r["support"] for r in edge_support(edges).collect()}
+    assert sup == {
+        ("a", "b"): 1, ("b", "c"): 2, ("a", "c"): 1,
+        ("b", "d"): 1, ("c", "d"): 1,
+        ("d", "e"): 0, ("e", "f"): 0,
+    }
+    # 3-truss (support >= 1): both triangles survive, pendants peel
+    t3 = {(r["u"], r["v"]) for r in k_truss(edges, k=3).collect()}
+    assert t3 == {("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d")}
+    # 4-truss (support >= 2 in the SURVIVING subgraph): peeling b-c's
+    # neighbors drops its support too — the whole graph peels away
+    assert k_truss(edges, k=4).count() == 0
+    # 2-truss = the canonical undirected edge set, support zero-filled
+    assert k_truss(edges, k=2).count() == 7
+    with pytest.raises(ValueError):
+        k_truss(edges, k=1)
+
+
+def test_k_truss_four_clique(spark):
+    from distributed_extraction_framework_spark.operators.graph import k_truss
+
+    # K4 plus one dangling triangle: the 4-truss is exactly the K4
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+          ("c", "d")]
+    edges = spark.createDataFrame(
+        k4 + [("d", "e"), ("d", "f"), ("e", "f")],
+        "src string, dst string",
+    )
+    got = {(r["u"], r["v"]): r["support"] for r in k_truss(edges, k=4).collect()}
+    assert set(got) == set(k4)
+    # inside the surviving K4 every edge closes exactly 2 triangles
+    assert set(got.values()) == {2}

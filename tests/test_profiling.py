@@ -186,3 +186,22 @@ def test_schema_graph_lift(spark):
         ("http://ex/C", "http://ex/s", "http://w3/int"): (1, 1),
         ("http://ex/C", "http://ex/t", "<plain>"): (1, 1),
     }
+
+
+def test_characteristic_sets(spark):
+    from distributed_extraction_framework_spark.operators.profiling import (
+        characteristic_sets,
+    )
+
+    quads = spark.createDataFrame(
+        [
+            ("s1", "p:name"), ("s1", "p:name"), ("s1", "p:size"),
+            ("s2", "p:size"), ("s2", "p:name"),
+            ("s3", "p:name"),
+        ],
+        "subj string, pred string",
+    )
+    got = {r["cs"]: (r["n_preds"], r["n_subjects"], r["n_triples"])
+           for r in characteristic_sets(quads).collect()}
+    # s1 and s2 share {name,size} (s1's repeated name is 3 triples, 2 preds)
+    assert got == {"p:name|p:size": (2, 2, 5), "p:name": (1, 1, 1)}
