@@ -294,9 +294,30 @@ def main() -> None:
                   "class_completeness", "webkg_fused",
                   # final-session wave: tokenizer / summary / eval
                   "bpe_pair_counts", "schema_graph", "linkpred_metrics",
-                  "value_outliers"):
+                  "value_outliers", "characteristic_sets", "edge_support",
+                  "ngram_containment"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
+    # north-star quality metric: triple-extraction P/R vs the sequential
+    # pure-Python reference extractor (the differential-golden protocol of
+    # tests/test_extractors.py, surfaced here so the bench artifact carries
+    # the quality number next to the throughput numbers)
+    from distributed_extraction_framework_spark.oracle.pyref import extract_corpus
+    from distributed_extraction_framework_spark.sources.synth import (
+        local_pages, synth_pages,
+    )
+
+    pr_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PR_PAGES", "2000"))
+    got = {
+        (r["dataset"], r["subj"], r["pred"], r["obj"], r["lang"],
+         r["datatype"], r["context"])
+        for r in extract(synth_pages(spark, pr_pages, partitions=CPUS)).collect()
+    }
+    want = extract_corpus(local_pages(pr_pages))
+    tp = len(got & want)
+    precision = round(tp / len(got), 6) if got else 1.0
+    recall = round(tp / len(want), 6) if want else 1.0
+
     out = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -309,6 +330,9 @@ def main() -> None:
         "n_pages": N_PAGES_FLAGSHIP,
         "cpus": CPUS,
         "docs_per_sec_extract": docs_per_sec,
+        "extraction_precision": precision,
+        "extraction_recall": recall,
+        "pr_pages": pr_pages,
     }
     line = json.dumps(out)
     # the r4 artifact was truncated mid-JSON by the capture pipe — also

@@ -484,8 +484,14 @@ def abstracts(e) -> Column:
     t = F.regexp_replace(t, r"\[\[([^\[\]]*)\]\]", r"$1")
     t = F.regexp_replace(t, r"'''", "")
     # substring_index ≡ split_part(t,"\n\n",1) without the per-row
-    # Pattern.compile of Spark 4's split_part (see enrich_pages)
-    first_para = F.trim(F.substring_index(t, "\n\n", 1))
+    # Pattern.compile of Spark 4's split_part (see enrich_pages).
+    # NB: full-whitespace trim (tabs/newlines too) — F.trim strips ONLY
+    # 0x20, which left '\t'-led abstracts diverging from the reference's
+    # strip() semantics (caught by the bench P/R differential at 2k pages)
+    fp = F.substring_index(t, "\n\n", 1)
+    first_para = F.regexp_replace(
+        F.regexp_replace(fp, r"^\s+", ""), r"\s+$", ""
+    )
     q = F.array(
         quad("abstracts", _c("subj"), S.DBO_ABSTRACT, first_para,
              lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context"))

@@ -806,7 +806,10 @@ s3 AS (SELECT title, regexp_replace(t, '\\[\\[Category:[^\\[\\]]*\\]\\]', '', 'g
 s4 AS (SELECT title, regexp_replace(t, '\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]', '\\1', 'g') AS t FROM s3),
 s5 AS (SELECT title, regexp_replace(t, '\\[\\[([^\\[\\]]*)\\]\\]', '\\1', 'g') AS t FROM s4),
 s6 AS (SELECT title, replace(t, chr(39) || chr(39) || chr(39), '') AS t FROM s5),
-s7 AS (SELECT title, trim(split_part(t, chr(10) || chr(10), 1)) AS abstract FROM s6)
+s7 AS (SELECT title,
+              regexp_replace(regexp_replace(
+                  split_part(t, chr(10) || chr(10), 1),
+                  '^\\s+', ''), '\\s+$', '') AS abstract FROM s6)
 SELECT '{RES}' || title AS subj, abstract AS obj, 'en' AS lang
 FROM s7 WHERE length(abstract) > 0
 """
