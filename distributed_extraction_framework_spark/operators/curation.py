@@ -33,13 +33,24 @@ def _token_array(text: Column) -> Column:
 
 def shingle_array(text: Column, n: int) -> Column:
     """Word n-gram strings of ``text`` as an array Column (empty when the
-    document has fewer than ``n`` tokens — short docs can't collide)."""
-    toks = _token_array(text)
-    offsets = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(offsets, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    document has fewer than ``n`` tokens — short docs can't collide).
+
+    The token array is LET-BOUND via a single-element ``transform`` so the
+    ``regexp_extract_all`` tokenization runs once per row: capturing the
+    raw expression in the per-offset lambda re-evaluates it per shingle
+    position (interpreted HOF lambdas get no common-subexpression
+    elimination — measured 8× wall on the sf0.1 documents table)."""
+
+    def _build(toks: Column) -> Column:
+        offsets = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                offsets, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(_token_array(text)), _build), 0)
 
 
 def shingle_df(

@@ -410,19 +410,33 @@ def _ngram_pair_counts(
     never meet (no cross join anywhere). ``max_df`` drops hot grams from
     BOTH the index and the per-doc counts before the quadratic self-join
     (df-cap semantics, see :func:`ngram_jaccard_pairs`)."""
+    # split ONCE in its own projection: referencing the split expression
+    # inside the transform lambda re-evaluates the regex split per gram
+    # position (interpreted HOF lambdas get no subexpression elimination —
+    # measured 5× wall on the sf0.1 documents table); CollapseProject keeps
+    # the alias because it is referenced more than once downstream
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    dw = df.select(F.col(id_col).alias("id"), words.alias("__w"))
+    w = F.col("__w")
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
     )
-    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
+    g = dw.select("id", grams.alias("grams")).filter(
         F.size("grams") > 0
     )
     inv = g.select("id", F.explode("grams").alias("gram")).filter(
         F.col("gram") != ""
     )
+    # materialize the postings ONCE: the index subtree is consumed by the
+    # df-cap aggregate, BOTH sides of the self-join, and the per-doc sizes —
+    # unpinned, Catalyst re-executes the gram explosion (a transform/slice/
+    # concat per position per row) up to 6× in one plan (measured: 8 scans /
+    # 24 transform evals, ~7× wall). localCheckpoint is the single-JVM form;
+    # on a real cluster swap for .checkpoint() or a stage-parquet snapshot.
+    inv = inv.localCheckpoint(eager=True)
     if max_df is not None:
         # document frequency per gram (one map-side-combined shuffle on the
         # gram); the hot tail is dropped before any pairing happens
@@ -430,6 +444,7 @@ def _ngram_pair_counts(
         inv = (
             inv.join(dfreq.filter(F.col("_df") <= max_df), "gram")
             .drop("_df")
+            .localCheckpoint(eager=True)  # capped postings: 3 consumers
         )
         sizes = inv.groupBy("id").agg(F.count("*").alias("n_grams"))
     else:
