@@ -24,7 +24,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -410,21 +410,25 @@ def _ngram_pair_counts(
     never meet (no cross join anywhere). ``max_df`` drops hot grams from
     BOTH the index and the per-doc counts before the quadratic self-join
     (df-cap semantics, see :func:`ngram_jaccard_pairs`)."""
-    # split ONCE in its own projection: referencing the split expression
-    # inside the transform lambda re-evaluates the regex split per gram
-    # position (interpreted HOF lambdas get no subexpression elimination —
-    # measured 5× wall on the sf0.1 documents table); CollapseProject keeps
-    # the alias because it is referenced more than once downstream
+    # split ONCE per row: the regex split is LET-BOUND via a single-element
+    # ``transform`` so the per-offset lambda references a bound variable,
+    # not the raw expression — capturing the split in the lambda re-runs it
+    # per gram position (interpreted HOF lambdas get no common-subexpression
+    # elimination, and an alias projection doesn't survive CollapseProject:
+    # the optimizer inlines it straight back into the lambda; measured 5×
+    # wall on the sf0.1 documents table). Same idiom as curation.shingle_array.
     words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    dw = df.select(F.col(id_col).alias("id"), words.alias("__w"))
-    w = F.col("__w")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+
+    def _build(w: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            )
         )
-    )
-    g = dw.select("id", grams.alias("grams")).filter(
+
+    grams = F.get(F.transform(F.array(words), _build), 0)
+    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
         F.size("grams") > 0
     )
     inv = g.select("id", F.explode("grams").alias("gram")).filter(
