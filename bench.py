@@ -295,7 +295,11 @@ def main() -> None:
                   # final-session wave: tokenizer / summary / eval
                   "bpe_pair_counts", "schema_graph", "linkpred_metrics",
                   "value_outliers", "characteristic_sets", "edge_support",
-                  "ngram_containment"):
+                  "ngram_containment",
+                  # mergeable-sketch wave
+                  "hll_registers", "hll_estimate", "countmin_sketch",
+                  "countmin_lookup", "bloom_semijoin", "kmv_distinct",
+                  "kmv_jaccard", "weighted_sample", "anf_ball2"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     # north-star quality metric: triple-extraction P/R vs the sequential

@@ -9424,3 +9424,360 @@ ORACLES.update({
     "edge_support": ORACLE_EDGE_SUPPORT,
     "ngram_containment": ORACLE_NGRAM_CONTAINMENT,
 })
+
+
+# --------------------------------------------------------------------------
+# Mergeable-sketch gates (operators/sketches.py): the 100 TB cardinality /
+# membership / frequency toolbox, hash-verified STRUCTURALLY — the oracle
+# recomputes the registers / cells / packed words themselves, not just the
+# estimates, because the portable md5-integer hashing makes every sketch
+# state engine-reproducible.
+# --------------------------------------------------------------------------
+
+_TOKS = (
+    "SELECT unnest(regexp_extract_all(lower(text), '([a-z0-9]+)', 1)) "
+    "AS tok FROM documents"
+)
+
+
+def _tok_df(spark, sf_dir):
+    return _docs_tbl(spark, sf_dir).select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z0-9]+)', 1)")
+        ).alias("tok")
+    )
+
+
+def q_hll_registers(spark, sf_dir):
+    """Per-event-type HyperLogLog register table (p=8) of distinct
+    users (operators/sketches.hll_registers) — the register table, not
+    the estimate, is the gated artifact."""
+    from ..operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, "user_id", p=8, group_cols=["event_type"])
+
+
+ORACLE_HLL_REGISTERS = """
+WITH h AS (
+  SELECT event_type,
+         cast('0x' || substr(md5(cast(user_id as varchar)), 1, 8) as bigint) AS h
+  FROM events
+), rr AS (
+  SELECT event_type,
+         cast(h // 16777216 as int) AS register,
+         cast(CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h % 16777216)) END as int) AS rho
+  FROM h
+)
+SELECT event_type, register, max(rho) AS rho FROM rr GROUP BY 1, 2
+"""
+
+
+def q_hll_estimate(spark, sf_dir):
+    """HLL cardinality estimates (p=8, linear-counting small-range
+    correction) next to the exact distinct count per event type."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = hll_registers(ev, "user_id", p=8, group_cols=["event_type"])
+    est = hll_estimate(regs, p=8, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_cnt")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "est", "exact_cnt"
+    )
+
+
+ORACLE_HLL_ESTIMATE = """
+WITH h AS (
+  SELECT event_type,
+         cast('0x' || substr(md5(cast(user_id as varchar)), 1, 8) as bigint) AS h
+  FROM events
+), rr AS (
+  SELECT event_type, cast(h // 16777216 as int) AS register,
+         cast(CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h % 16777216)) END as int) AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, register, max(rho) AS rho FROM rr GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, sum(pow(2.0, -rho)) AS s, count(*) AS nz
+  FROM regs GROUP BY 1
+), raws AS (
+  SELECT event_type, s, nz,
+         (cast(0.7182725932495458 as double) * 65536) / (s + (256 - nz)) AS raw
+  FROM agg
+), est AS (
+  SELECT event_type,
+         round(CASE WHEN raw <= 640 AND (256 - nz) > 0
+               THEN 256.0 * ln(256.0 / (256 - nz)) ELSE raw END, 4) AS est
+  FROM raws
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_cnt FROM events GROUP BY 1
+)
+SELECT est.event_type, est, exact_cnt FROM est JOIN exact USING (event_type)
+"""
+
+
+def q_countmin_sketch(spark, sf_dir):
+    """4x256 Count-Min sketch of the document token stream
+    (operators/sketches.count_min_sketch) — the full cell grid."""
+    from ..operators.sketches import count_min_sketch
+
+    return count_min_sketch(_tok_df(spark, sf_dir), "tok", depth=4, width=256)
+
+
+ORACLE_COUNTMIN_SKETCH = f"""
+WITH tk AS ({_TOKS}),
+cells AS (
+  SELECT i.i AS row,
+         cast(cast('0x' || substr(md5(cast(i.i as varchar) || '|' || tok), 1, 8)
+              as bigint) % 256 as int) AS col
+  FROM tk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+)
+SELECT row, col, cast(count(*) as bigint) AS cnt FROM cells GROUP BY 1, 2
+"""
+
+
+def q_countmin_lookup(spark, sf_dir):
+    """Count-Min point queries for the 20 most frequent tokens next to
+    their true counts (est >= cnt always; min over the 4 rows)."""
+    from ..operators.sketches import count_min_lookup, count_min_sketch
+
+    toks = _tok_df(spark, sf_dir)
+    sk = count_min_sketch(toks, "tok", depth=4, width=256)
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+    )
+    return count_min_lookup(sk, top, "tok", depth=4, width=256).join(
+        top, "tok"
+    ).select("tok", "est", "cnt")
+
+
+ORACLE_COUNTMIN_LOOKUP = f"""
+WITH tk AS ({_TOKS}),
+truth AS (
+  SELECT tok, cast(count(*) as bigint) AS cnt FROM tk GROUP BY tok
+  ORDER BY cnt DESC, tok ASC LIMIT 20
+),
+cells AS (
+  SELECT i.i AS row,
+         cast(cast('0x' || substr(md5(cast(i.i as varchar) || '|' || tok), 1, 8)
+              as bigint) % 256 as int) AS col
+  FROM tk CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+),
+sk AS (SELECT row, col, cast(count(*) as bigint) AS cnt FROM cells GROUP BY 1, 2),
+probe AS (
+  SELECT t.tok, i.i AS row,
+         cast(cast('0x' || substr(md5(cast(i.i as varchar) || '|' || t.tok), 1, 8)
+              as bigint) % 256 as int) AS col
+  FROM truth t CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+)
+SELECT p.tok, cast(min(coalesce(sk.cnt, 0)) as bigint) AS est,
+       any_value(t.cnt) AS cnt
+FROM probe p
+JOIN truth t ON t.tok = p.tok
+LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+GROUP BY p.tok
+"""
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-prefilter semi-join (operators/sketches.bloom_build/
+    bloom_probe): filter built from BUILDING-segment customers (m=2048,
+    k=3 — sized to force some false positives so the gate proves the
+    bit arithmetic, not just the happy path), probed by every order.
+    ``is_member`` marks true members vs Bloom false positives."""
+    from ..operators.sketches import bloom_build, bloom_probe
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = bloom_build(build, "c_custkey", m_bits=2048, k=3)
+    passing = bloom_probe(orders, "o_custkey", bloom, m_bits=2048, k=3)
+    return (
+        passing.join(
+            build.withColumn("__m", F.lit(1)),
+            passing["o_custkey"] == build["c_custkey"], "left",
+        )
+        .select(
+            "o_orderkey", "o_custkey",
+            F.coalesce(F.col("__m"), F.lit(0)).cast("int").alias("is_member"),
+        )
+    )
+
+
+ORACLE_BLOOM_SEMIJOIN = """
+WITH build AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS (
+  SELECT cast('0x' || substr(md5(cast(j.j as varchar) || '|' ||
+              cast(c_custkey as varchar)), 1, 8) as bigint) % 2048 AS p
+  FROM build CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+),
+words AS (
+  SELECT p // 32 AS word_idx, bit_or(1::bigint << cast(p % 32 as int)) AS word
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         cast('0x' || substr(md5(cast(j.j as varchar) || '|' ||
+              cast(o_custkey as varchar)), 1, 8) as bigint) % 2048 AS p
+  FROM orders CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+),
+pass AS (
+  SELECT o_orderkey, o_custkey
+  FROM probe pr JOIN words w ON w.word_idx = pr.p // 32
+  WHERE (w.word & (1::bigint << cast(pr.p % 32 as int))) <> 0
+  GROUP BY o_orderkey, o_custkey HAVING count(*) = 3
+)
+SELECT o_orderkey, o_custkey,
+       cast(CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+            THEN 1 ELSE 0 END as int) AS is_member
+FROM pass
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-128 hashes) distinct-count estimate of lineitem part
+    keys next to nothing — (n_seen, est); n_seen = 128 engages the
+    (k-1)/U_(k) estimator rather than the exact-small path."""
+    from ..operators.sketches import kmv_estimate, kmv_sketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return kmv_estimate(kmv_sketch(li, "l_partkey", k=128), k=128)
+
+
+ORACLE_KMV_DISTINCT = """
+WITH s AS (
+  SELECT DISTINCT cast('0x' || substr(md5(cast(l_partkey as varchar)), 1, 15)
+         as bigint) AS h
+  FROM lineitem ORDER BY h LIMIT 128
+),
+agg AS (SELECT count(*) AS n_seen, max(h) AS kth FROM s)
+SELECT n_seen,
+  round(CASE WHEN n_seen < 128 THEN cast(n_seen as double)
+        ELSE 127.0 / ((cast(kth as double) + 1.0) /
+                      cast(1152921504606846976 as double)) END, 4) AS est
+FROM agg
+"""
+
+
+def q_kmv_jaccard(spark, sf_dir):
+    """KMV Jaccard between the customer sets of 1-URGENT and 2-HIGH
+    orders (k=128): union-sketch bottom-k, shared fraction — sketches
+    compose without re-reading the data (Beyer et al. 2007 §5)."""
+    from ..operators.sketches import kmv_jaccard, kmv_sketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = kmv_sketch(
+        orders.where(F.col("o_orderpriority") == "1-URGENT"), "o_custkey", k=128
+    )
+    b = kmv_sketch(
+        orders.where(F.col("o_orderpriority") == "2-HIGH"), "o_custkey", k=128
+    )
+    return kmv_jaccard(a, b, k=128)
+
+
+ORACLE_KMV_JACCARD = """
+WITH ha AS (
+  SELECT DISTINCT cast('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15)
+         as bigint) AS h
+  FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY h LIMIT 128
+),
+hb AS (
+  SELECT DISTINCT cast('0x' || substr(md5(cast(o_custkey as varchar)), 1, 15)
+         as bigint) AS h
+  FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY h LIMIT 128
+),
+u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT 128),
+ib AS (SELECT h FROM ha INTERSECT SELECT h FROM hb),
+shared AS (SELECT u.h FROM u JOIN ib ON u.h = ib.h)
+SELECT (SELECT count(*) FROM u) AS n_union_sketch,
+       (SELECT count(*) FROM shared) AS n_shared,
+       round(cast((SELECT count(*) FROM shared) as double) /
+             (SELECT count(*) FROM u), 4) AS jaccard_est
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis A-ES weighted sample without replacement:
+    50 parts, weight = retail price; key-deterministic, so the oracle
+    draws the SAME sample."""
+    from ..operators.sketches import weighted_sample
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return weighted_sample(part, "p_partkey", "p_retailprice", 50).select(
+        "p_partkey", "p_retailprice"
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT p_partkey, p_retailprice,
+    pow((cast('0x' || substr(md5(cast(p_partkey as varchar)), 1, 8) as bigint)
+         + 1.0) / 4294967296.0,
+        1.0 / p_retailprice) AS akey
+  FROM part WHERE p_retailprice > 0
+)
+SELECT p_partkey, p_retailprice FROM keyed
+ORDER BY akey DESC, p_partkey ASC LIMIT 50
+"""
+
+
+def q_anf_ball2(spark, sf_dir):
+    """ANF/HyperBall register table at radius 2 over the page-links
+    graph (operators/sketches.anf_registers, p=5): per-node HLL sketch
+    of the 2-hop out-ball, register-exact vs the SQL 2-hop unroll."""
+    from ..operators.sketches import anf_registers
+
+    return anf_registers(_pl_edges(spark, sf_dir), rounds=2, p=5)
+
+
+ORACLE_ANF_BALL2 = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+e2 AS (SELECT DISTINCT s, o FROM pl),
+n AS (SELECT s AS node FROM e2 UNION SELECT o FROM e2),
+ball AS (
+  SELECT node, node AS member FROM n
+  UNION SELECT s, o FROM e2
+  UNION SELECT a.s, b.o FROM e2 a JOIN e2 b ON a.o = b.s
+),
+h AS (
+  SELECT node, cast('0x' || substr(md5(member), 1, 8) as bigint) AS h FROM ball
+),
+rr AS (
+  SELECT node, cast(h // 134217728 as int) AS register,
+         cast(CASE WHEN h % 134217728 = 0 THEN 28
+              ELSE 28 - length(bin(h % 134217728)) END as int) AS rho
+  FROM h
+)
+SELECT node, register, max(rho) AS rho FROM rr GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "hll_registers": q_hll_registers,
+    "hll_estimate": q_hll_estimate,
+    "countmin_sketch": q_countmin_sketch,
+    "countmin_lookup": q_countmin_lookup,
+    "bloom_semijoin": q_bloom_semijoin,
+    "kmv_distinct": q_kmv_distinct,
+    "kmv_jaccard": q_kmv_jaccard,
+    "weighted_sample": q_weighted_sample,
+    "anf_ball2": q_anf_ball2,
+})
+ORACLES.update({
+    "hll_registers": ORACLE_HLL_REGISTERS,
+    "hll_estimate": ORACLE_HLL_ESTIMATE,
+    "countmin_sketch": ORACLE_COUNTMIN_SKETCH,
+    "countmin_lookup": ORACLE_COUNTMIN_LOOKUP,
+    "bloom_semijoin": ORACLE_BLOOM_SEMIJOIN,
+    "kmv_distinct": ORACLE_KMV_DISTINCT,
+    "kmv_jaccard": ORACLE_KMV_JACCARD,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "anf_ball2": ORACLE_ANF_BALL2,
+})

@@ -1,0 +1,213 @@
+"""Property tests for the mergeable-sketch toolbox (operators/sketches.py).
+
+The driver gates (hll_registers … anf_ball2) already hash-verify the
+sketch STATES against SQL recomputation; these tests pin the sketch
+GUARANTEES — estimator accuracy, no-false-negative membership,
+upper-bound counting, merge = rebuild, weighted-inclusion bias — and the
+plan shapes (partial-agg exchange counts, broadcast-only probes) that
+make the sketches 100 TB-safe.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_extraction_framework_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def keys10k(spark):
+    return spark.range(10_000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k"),
+        (F.col("id") % 7).alias("g"),
+    )
+
+
+# ---------------------------------------------------------------- HLL ----
+
+
+def test_hll_estimate_accuracy_10k(spark, keys10k):
+    regs = SK.hll_registers(keys10k, "k", p=12)
+    est = SK.hll_estimate(regs, p=12).collect()[0]["est"]
+    # standard error ~ 1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(est - 10_000) / 10_000 < 0.065
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(30).select(F.col("id").cast("string").alias("k"))
+    est = SK.hll_estimate(SK.hll_registers(df, "k", p=12), p=12).collect()[0]["est"]
+    assert abs(est - 30) < 2  # LC is near-exact far below m
+
+
+def test_hll_merge_equals_rebuild(spark, keys10k):
+    a = keys10k.where(F.col("g") < 3)
+    b = keys10k.where(F.col("g") >= 3)
+    merged = SK.hll_merge(
+        SK.hll_registers(a, "k", p=8), SK.hll_registers(b, "k", p=8)
+    )
+    rebuilt = SK.hll_registers(keys10k, "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_hll_registers_single_exchange(spark, keys10k):
+    plan = SK.hll_registers(keys10k, "k", p=8)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # map-side partial agg, one shuffle
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_hll_grouped_bounds(spark, keys10k):
+    regs = SK.hll_registers(keys10k, "k", p=6, group_cols=["g"])
+    per_g = regs.groupBy("g").count().collect()
+    assert all(r["count"] <= 64 for r in per_g)  # <= m rows per group
+
+
+# ---------------------------------------------------------- Count-Min ----
+
+
+def test_count_min_upper_bound_and_tightness(spark):
+    # zipf-ish: key i appears (100 - i) times
+    df = spark.range(100).select(
+        F.explode(F.sequence(F.lit(1), 100 - F.col("id"))).alias("rep"),
+        F.concat(F.lit("t"), F.col("id")).alias("k"),
+    )
+    truth = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    sk = SK.count_min_sketch(df, "k", depth=4, width=512)
+    keys = spark.createDataFrame([(k,) for k in truth], ["k"])
+    est = {r["k"]: r["est"] for r in SK.count_min_lookup(sk, keys, "k", 4, 512).collect()}
+    n = sum(truth.values())
+    for k, t in truth.items():
+        assert est[k] >= t  # CM never underestimates
+        assert est[k] <= t + (math.e / 512) * n * 4  # way looser than w.h.p. bound
+
+
+def test_count_min_weighted(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 7), ("b", 1)], ["k", "w"])
+    sk = SK.count_min_sketch(df, "k", depth=2, width=64, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], ["k"])
+    est = {r["k"]: r["est"] for r in SK.count_min_lookup(sk, keys, "k", 2, 64).collect()}
+    assert est["a"] == 12 and est["b"] >= 1
+
+
+# --------------------------------------------------------------- Bloom ----
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    members = spark.range(500).select(F.concat(F.lit("m"), F.col("id")).alias("k"))
+    others = spark.range(500, 5_500).select(F.concat(F.lit("m"), F.col("id")).alias("k"))
+    bloom = SK.bloom_build(members, "k", m_bits=1 << 14, k=3)
+    assert SK.bloom_probe(members, "k", bloom, m_bits=1 << 14, k=3).count() == 500
+    fp = SK.bloom_probe(others, "k", bloom, m_bits=1 << 14, k=3).count()
+    # (1 - e^{-3*500/16384})^3 ~ 6.4e-4 -> expect ~3; allow generous slack
+    assert fp <= 40
+
+
+def test_bloom_probe_no_shuffle(spark):
+    members = spark.range(100).select(F.col("id").cast("string").alias("k"))
+    bloom = SK.bloom_build(members, "k", m_bits=4096, k=3)
+    probe = SK.bloom_probe(
+        spark.range(1000).select(F.col("id").cast("string").alias("k")),
+        "k", bloom, m_bits=4096, k=3,
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the fat side must not shuffle: the checkpointed filter leaves only
+    # broadcast exchanges in the probe plan
+    import re
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "Broadcast" in m.group(0), plan
+
+
+# ----------------------------------------------------------------- KMV ----
+
+
+def test_kmv_estimate_accuracy(spark):
+    df = spark.range(20_000).select(F.concat(F.lit("v"), F.col("id")).alias("k"))
+    est = SK.kmv_estimate(SK.kmv_sketch(df, "k", k=512), k=512).collect()[0]
+    assert est["n_seen"] == 512
+    # relative error ~ 1/sqrt(k-2) ~ 4.4%; allow 4 sigma
+    assert abs(est["est"] - 20_000) / 20_000 < 0.18
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+    est = SK.kmv_estimate(SK.kmv_sketch(df, "k", k=256), k=256).collect()[0]
+    assert est["n_seen"] == 50 and est["est"] == 50.0
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    a = spark.range(1000).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    b = spark.range(1000, 2000).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    sa, sb = SK.kmv_sketch(a, "k", k=128), SK.kmv_sketch(b, "k", k=128)
+    same = SK.kmv_jaccard(sa, sa, k=128).collect()[0]
+    assert same["jaccard_est"] == 1.0
+    disj = SK.kmv_jaccard(sa, sb, k=128).collect()[0]
+    assert disj["jaccard_est"] == 0.0
+
+
+def test_kmv_jaccard_half_overlap(spark):
+    a = spark.range(0, 2000).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    b = spark.range(1000, 3000).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+    j = SK.kmv_jaccard(
+        SK.kmv_sketch(a, "k", k=256), SK.kmv_sketch(b, "k", k=256), k=256
+    ).collect()[0]["jaccard_est"]
+    assert abs(j - 1 / 3) < 0.12  # true J = 1000/3000
+
+
+# -------------------------------------------------------- weighted A-ES ----
+
+
+def test_weighted_sample_bias(spark):
+    # two strata: weight 100 vs weight 1, equal counts; the heavy
+    # stratum must dominate a 100-row sample
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1000, 100.0).otherwise(1.0).alias("w"),
+    )
+    got = SK.weighted_sample(df, "k", "w", 100).collect()
+    heavy = sum(1 for r in got if r["k"] < 1000)
+    assert len(got) == 100 and heavy >= 85
+
+
+def test_weighted_sample_deterministic_and_zero_weight(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 1.0).otherwise(0.0).alias("w"),
+    )
+    s1 = sorted(r["k"] for r in SK.weighted_sample(df, "k", "w", 20).collect())
+    s2 = sorted(
+        r["k"] for r in SK.weighted_sample(df.repartition(7), "k", "w", 20).collect()
+    )
+    assert s1 == s2  # partitioning-independent
+    assert all(k % 2 == 0 for k in s1)  # zero-weight rows never sample
+
+
+# ----------------------------------------------------------------- ANF ----
+
+
+def test_anf_registers_match_exact_ball(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "f"), ("x", "y")],
+        ["src", "dst"],
+    )
+    got = sorted(map(tuple, SK.anf_registers(edges, rounds=2, p=4).collect()))
+    balls = {  # exact 2-hop out-balls (self included)
+        "a": {"a", "b", "e", "c", "f"}, "b": {"b", "c", "d"},
+        "c": {"c", "d"}, "d": {"d"}, "e": {"e", "f"}, "f": {"f"},
+        "x": {"x", "y"}, "y": {"y"},
+    }
+    rows = []
+    for node, members in balls.items():
+        mdf = spark.createDataFrame([(m,) for m in members], ["node"])
+        rows += [
+            (node, r["register"], r["rho"])
+            for r in SK.hll_registers(mdf, "node", p=4).collect()
+        ]
+    assert got == sorted(rows)
+
+
+def test_anf_rounds_zero_is_self(spark):
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    regs = SK.anf_registers(edges, rounds=0, p=4)
+    assert regs.groupBy("node").count().agg(F.max("count")).collect()[0][0] == 1
