@@ -299,7 +299,8 @@ def main() -> None:
                   # mergeable-sketch wave
                   "hll_registers", "hll_estimate", "countmin_sketch",
                   "countmin_lookup", "bloom_semijoin", "kmv_distinct",
-                  "kmv_jaccard", "weighted_sample", "anf_ball2"):
+                  "kmv_jaccard", "weighted_sample", "anf_ball2",
+                  "stream_hll", "histogram_quantiles", "neighborhood_fn"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     # north-star quality metric: triple-extraction P/R vs the sequential

@@ -493,3 +493,153 @@ def anf_registers(
         )
         cur = cur.localCheckpoint(eager=False)
     return cur
+
+
+# --------------------------------------------------------------------------
+# Equi-depth quantiles via a fixed-width histogram (two bounded passes)
+# --------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    bins: int = 4096,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate quantiles → ``(q, value)`` with deterministic error
+    ``<= range/bins``: pass 1 takes min/max, pass 2 builds a fixed-width
+    ``bins``-cell histogram (a partial-agg groupBy bounded at ``bins``
+    rows per task); the quantile is the upper edge of the first bin
+    whose cumulative count reaches ``ceil(q * n)``.
+
+    The ANALYZE-statistics shape: Spark's own ``approx_quantile``
+    (Greenwald-Khanna) is neither inspectable nor engine-portable; this
+    histogram is both — integer bin counts + one closed-form edge
+    expression, so the oracle reproduces the exact output. Two scans of
+    one column, shuffles bounded at ``bins`` rows, no sort anywhere
+    (a global sort at 10^12 rows is the thing this avoids).
+    """
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"each q must be in (0, 1]: {qs}")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    c = F.col(col).cast("double")
+    mm = df.agg(
+        F.min(c).alias("mn"), F.max(c).alias("mx"), F.count(c).alias("n")
+    ).collect()[0]
+    n = int(mm["n"])
+    if n == 0:
+        raise ValueError(f"no non-null values in {col!r}")
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    spark = df.sparkSession
+    if mx == mn:
+        return spark.createDataFrame(
+            [(float(q), round(mn, decimals)) for q in sorted(qs)],
+            "q double, value double",
+        )
+    width = (mx - mn) / bins
+    # clamp x = mx into the last bin
+    b = F.least(
+        F.floor((c - F.lit(mn)) / F.lit(width)).cast("int"), F.lit(bins - 1)
+    )
+    hist = (
+        df.where(c.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )  # histogram is <= bins rows: the single-reducer window is trivial
+    targets = spark.createDataFrame(
+        [(float(q), int(math.ceil(q * n))) for q in sorted(qs)],
+        "q double, target long",
+    )
+    picked = (
+        targets.join(cum, cum["cum"] >= targets["target"])
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    edge = F.lit(mn) + (F.col("bin") + 1) * F.lit(width)
+    return picked.select(
+        "q", F.round(edge, decimals).alias("value")
+    ).orderBy("q")
+
+
+# --------------------------------------------------------------------------
+# Neighborhood function / effective diameter from ANF registers
+# --------------------------------------------------------------------------
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    max_rounds: int,
+    p: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "",
+    decimals: int = 4,
+) -> DataFrame:
+    """ANF neighborhood function N(t) for t = 0..max_rounds →
+    ``(t, nf)``: the sum over nodes of the HLL ball-size estimates at
+    radius t (Palmer et al. 2002 §3). Per-node estimates are rounded to
+    ``decimals`` then summed through DECIMAL(18,6) — exact and order-
+    independent, so the whole curve is oracle-reproducible.
+
+    Cost: ``max_rounds`` rounds of ONE join + ONE groupBy-max each
+    (register state <= 2^p rows per node), plus one m-row aggregation
+    per round for the curve point. Feed :func:`effective_diameter` for
+    the 90%-saturation radius."""
+    rows = []
+    register, rho = _hll_register_rho(F.col("node"), p, salt)
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    cur = nodes.select("node", register.alias("register"), rho.alias("rho"))
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct().localCheckpoint(eager=False)
+
+    def _nf(regs: DataFrame) -> float:
+        est = hll_estimate(regs, p=p, group_cols=["node"], decimals=decimals)
+        row = est.agg(
+            F.sum(F.col("est").cast("decimal(18,6)")).alias("s")
+        ).collect()[0]
+        return float(row["s"])
+
+    rows.append((0, _nf(cur)))
+    for t in range(1, max_rounds + 1):
+        from_nbrs = e.join(cur, e["__d"] == cur["node"]).select(
+            F.col("__s").alias("node"), "register", "rho"
+        )
+        cur = (
+            cur.unionByName(from_nbrs)
+            .groupBy("node", "register")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        rows.append((t, _nf(cur)))
+    return edges.sparkSession.createDataFrame(rows, "t int, nf double")
+
+
+def effective_diameter(nf_rows: list[tuple[int, float]], fraction: float = 0.9) -> float:
+    """Interpolated effective diameter: the smallest t where N(t)
+    reaches ``fraction`` of N(max), linearly interpolated within the
+    step (the standard ANF/HyperBall reporting convention). Driver-side
+    arithmetic over the (tiny) curve."""
+    pts = sorted(nf_rows)
+    target = fraction * pts[-1][1]
+    prev_t, prev_v = pts[0]
+    if prev_v >= target:
+        return float(prev_t)
+    for t, v in pts[1:]:
+        if v >= target:
+            if v == prev_v:
+                return float(t)
+            return prev_t + (target - prev_v) / (v - prev_v) * (t - prev_t)
+        prev_t, prev_v = t, v
+    return float(pts[-1][0])

@@ -9781,3 +9781,143 @@ ORACLES.update({
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "anf_ball2": ORACLE_ANF_BALL2,
 })
+
+
+def q_stream_hll(spark, sf_dir):
+    """Streaming HyperLogLog (streaming/events.stream_hll_registers):
+    the register table built incrementally over micro-batches (memory
+    sink, complete mode) — gated against the SAME oracle as the batch
+    ``hll_registers``, so streaming/batch sketch parity is hash-exact."""
+    import tempfile
+    import uuid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = tempfile.mkdtemp(prefix="defs_stream_hll_")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    stream = STR.read_event_stream(spark, d)
+    regs = STR.stream_hll_registers(
+        stream, "user_id", p=8, group_cols=["event_type"]
+    )
+    name = f"defs_shll_{uuid.uuid4().hex[:8]}"  # unique: rerun-safe
+    STR.run_to_memory(regs, name, output_mode="complete")
+    return spark.table(name)
+
+
+def q_histogram_quantiles(spark, sf_dir):
+    """Two-pass fixed-width-histogram quantiles of l_extendedprice
+    (operators/sketches.histogram_quantiles, 1024 bins): deterministic
+    error <= range/1024, no global sort; the oracle replays the same
+    bin arithmetic and cumulative pick."""
+    from ..operators.sketches import histogram_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram_quantiles(
+        li, "l_extendedprice", qs=[0.01, 0.25, 0.5, 0.75, 0.99], bins=1024
+    )
+
+
+ORACLE_HISTOGRAM_QUANTILES = """
+WITH mm AS (
+  SELECT min(cast(l_extendedprice as double)) AS mn,
+         max(cast(l_extendedprice as double)) AS mx,
+         count(l_extendedprice) AS n
+  FROM lineitem
+),
+hist AS (
+  SELECT least(cast(floor((cast(l_extendedprice as double) - mn)
+                    / ((mx - mn) / 1024)) as int), 1023) AS bin,
+         count(*) AS cnt
+  FROM lineitem, mm GROUP BY 1
+),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+targets AS (
+  SELECT q, cast(ceil(q * n) as bigint) AS target
+  FROM (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q), mm
+),
+picked AS (
+  SELECT q, min(bin) AS bin
+  FROM targets JOIN cum ON cum.cum >= targets.target
+  GROUP BY q
+)
+SELECT cast(q as double) AS q,
+       round(mn + (bin + 1) * ((mx - mn) / 1024), 6) AS value
+FROM picked, mm
+"""
+
+
+def q_neighborhood_fn(spark, sf_dir):
+    """ANF neighborhood-function curve N(0..3) over the page-links graph
+    (operators/sketches.neighborhood_function, p=5): per-node ball
+    estimates rounded then summed through DECIMAL — the whole curve is
+    engine-exact vs the SQL hop-unrolled replay."""
+    from ..operators.sketches import neighborhood_function
+
+    return neighborhood_function(_pl_edges(spark, sf_dir), max_rounds=3, p=5)
+
+
+# per-radius ball CTEs (0..3 hops) → registers (m=32: divisor 2^27,
+# rho base 28, alpha_32 = 0.697 — the Flajolet small-m constant) →
+# per-node estimate rounded to 4 → DECIMAL sum (order-independent)
+ORACLE_NEIGHBORHOOD_FN = f"""
+{_oracle_pages()},
+{_PL_EDGES_CTE.strip()},
+e2 AS (SELECT DISTINCT s, o FROM pl),
+n AS (SELECT s AS node FROM e2 UNION SELECT o FROM e2),
+b0 AS (SELECT node, node AS member FROM n),
+b1 AS (SELECT node, member FROM b0
+       UNION SELECT s, o FROM e2),
+b2 AS (SELECT node, member FROM b1
+       UNION SELECT a.s, b.o FROM e2 a JOIN e2 b ON a.o = b.s),
+b3 AS (SELECT node, member FROM b2
+       UNION SELECT a.s, c.o FROM e2 a JOIN e2 b ON a.o = b.s
+                                        JOIN e2 c ON b.o = c.s),
+balls AS (
+  SELECT 0 AS t, node, member FROM b0
+  UNION ALL SELECT 1, node, member FROM b1
+  UNION ALL SELECT 2, node, member FROM b2
+  UNION ALL SELECT 3, node, member FROM b3
+),
+h AS (
+  SELECT t, node,
+         cast('0x' || substr(md5(member), 1, 8) as bigint) AS h
+  FROM balls
+),
+rr AS (
+  SELECT t, node, cast(h // 134217728 as int) AS register,
+         cast(CASE WHEN h % 134217728 = 0 THEN 28
+              ELSE 28 - length(bin(h % 134217728)) END as int) AS rho
+  FROM h
+),
+regs AS (
+  SELECT t, node, register, max(rho) AS rho FROM rr GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT t, node, sum(pow(2.0, -rho)) AS s, count(*) AS nz
+  FROM regs GROUP BY 1, 2
+),
+raws AS (
+  SELECT t, node,
+         (cast(0.697 as double) * 32 * 32) / (s + (32 - nz)) AS raw, nz
+  FROM agg
+),
+est AS (
+  SELECT t, node,
+         round(CASE WHEN raw <= 80 AND (32 - nz) > 0
+               THEN 32.0 * ln(32.0 / (32 - nz)) ELSE raw END, 4) AS est
+  FROM raws
+)
+SELECT t, cast(sum(cast(est as decimal(18,6))) as double) AS nf
+FROM est GROUP BY t
+"""
+
+
+QUERIES.update({
+    "stream_hll": q_stream_hll,
+    "histogram_quantiles": q_histogram_quantiles,
+    "neighborhood_fn": q_neighborhood_fn,
+})
+ORACLES.update({
+    "stream_hll": ORACLE_HLL_REGISTERS,
+    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
+    "neighborhood_fn": ORACLE_NEIGHBORHOOD_FN,
+})

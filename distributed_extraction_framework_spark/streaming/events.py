@@ -186,6 +186,22 @@ def stream_exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_hll_registers(
+    df: DataFrame, key_col: str, p: int = 12, group_cols=None
+) -> DataFrame:
+    """Streaming HyperLogLog: the batch ``hll_registers`` plan (ONE
+    groupBy-max) is a monotone aggregation, so it runs under readStream
+    unchanged — state is m = 2^p rows per group FOREVER, regardless of
+    how many keys stream past, and ``max`` makes the result order-
+    independent across micro-batches: the stream converges to exactly
+    the batch register table (driver-gated against the SAME oracle).
+    This is the streaming cardinality answer at ingest scale: distinct
+    URLs/entities per hour without keeping the key set in the store."""
+    from ..operators.sketches import hll_registers
+
+    return hll_registers(df, key_col, p=p, group_cols=group_cols)
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against current files
     (test/smoke harness: memory sink + processAllAvailable)."""

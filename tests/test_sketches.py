@@ -211,3 +211,69 @@ def test_anf_rounds_zero_is_self(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     regs = SK.anf_registers(edges, rounds=0, p=4)
     assert regs.groupBy("node").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+# ------------------------------------------------- histogram quantiles ----
+
+
+def test_histogram_quantiles_accuracy(spark):
+    df = spark.range(10_000).select((F.col("id") * 1.0).alias("v"))
+    got = {r["q"]: r["value"] for r in SK.histogram_quantiles(
+        df, "v", qs=[0.25, 0.5, 0.9], bins=1000).collect()}
+    # error bound: range/bins = 9999/1000 ~ 10
+    for q, v in got.items():
+        assert abs(v - q * 9999) <= 9999 / 1000 + 1e-6
+
+
+def test_histogram_quantiles_constant_and_errors(spark):
+    df = spark.range(10).select(F.lit(7.5).alias("v"))
+    got = SK.histogram_quantiles(df, "v", qs=[0.5], bins=16).collect()
+    assert got[0]["value"] == 7.5
+    with pytest.raises(ValueError):
+        SK.histogram_quantiles(df, "v", qs=[0.0])
+    with pytest.raises(ValueError):
+        SK.histogram_quantiles(df.where("v > 100"), "v", qs=[0.5])
+
+
+# ------------------------------------ neighborhood fn / eff. diameter ----
+
+
+def test_neighborhood_function_monotone_and_saturates(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    nf = {r["t"]: r["nf"] for r in SK.neighborhood_function(edges, 5, p=6).collect()}
+    assert all(nf[t] <= nf[t + 1] + 1e-9 for t in range(5))
+    assert nf[4] == nf[5]  # path diameter 4: saturated
+
+
+def test_effective_diameter_interpolation():
+    nf = [(0, 10.0), (1, 40.0), (2, 100.0), (3, 100.0)]
+    d = SK.effective_diameter(nf, fraction=0.9)
+    assert 1.0 < d < 2.0  # target 90 lands inside the (1, 2] step
+    assert SK.effective_diameter(nf, fraction=0.1) == 0.0
+
+
+# ------------------------------------------------------- streaming HLL ----
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    from distributed_extraction_framework_spark.streaming import events as STR
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+        (F.col("id") % 137).alias("user_id"),
+        F.concat(F.lit("t"), F.col("id") % 3).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = str(tmp_path / "ev")
+    df.repartition(5).write.parquet(d)
+    stream = STR.read_event_stream(spark, d)
+    regs = STR.stream_hll_registers(stream, "user_id", p=6, group_cols=["event_type"])
+    STR.run_to_memory(regs, "t_stream_hll", output_mode="complete")
+    got = sorted(map(tuple, spark.table("t_stream_hll").collect()))
+    batch = sorted(map(tuple, SK.hll_registers(
+        spark.read.parquet(d), "user_id", p=6, group_cols=["event_type"]).collect()))
+    assert got == batch
