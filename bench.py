@@ -300,7 +300,8 @@ def main() -> None:
                   "hll_registers", "hll_estimate", "countmin_sketch",
                   "countmin_lookup", "bloom_semijoin", "kmv_distinct",
                   "kmv_jaccard", "weighted_sample", "anf_ball2",
-                  "stream_hll", "histogram_quantiles", "neighborhood_fn"):
+                  "stream_hll", "histogram_quantiles", "neighborhood_fn",
+                  "zorder_keys"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     # north-star quality metric: triple-extraction P/R vs the sequential

@@ -643,3 +643,59 @@ def effective_diameter(nf_rows: list[tuple[int, float]], fraction: float = 0.9) 
             return prev_t + (target - prev_v) / (v - prev_v) * (t - prev_t)
         prev_t, prev_v = t, v
     return float(pts[-1][0])
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering for multi-dimensional file skipping
+# --------------------------------------------------------------------------
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton key interleaving the low ``bits`` bits of each column
+    (col 0 gets the least-significant lane). Inputs must already be
+    non-negative integers in [0, 2^bits); callers normalize (rank,
+    bucket, or clamp) first.
+
+    Plain Catalyst shift/mask arithmetic — engine-portable, so the
+    clustering layout a job produced is independently checkable. Total
+    key width = len(cols) * bits <= 62."""
+    d = len(cols)
+    if d < 1:
+        raise ValueError("need at least one column")
+    if bits < 1 or d * bits > 62:
+        raise ValueError(f"need 1 <= bits and {d} * bits <= 62: {bits}")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        x = c.cast("long")
+        for i in range(bits):
+            # bit i of column j -> key bit (i * d + j)
+            key = key + F.pmod(
+                F.floor(x / F.lit(1 << i)).cast("long"), F.lit(2)
+            ) * F.lit(1 << (i * d + j))
+    return key
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    partitions: int = 64,
+    key_name: str = "__zkey",
+) -> DataFrame:
+    """Range-partition + sort rows by their Morton key so each output
+    file covers a small hyper-rectangle of ALL ``cols`` at once — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY`` layout, as a plain DataFrame
+    transform for parquet sinks.
+
+    Why it matters at 100 TB: parquet footers carry per-file min/max
+    per column; a linear sort gives pruning on ONE leading column only,
+    while Z-ordering bounds the min/max RANGE of every interleaved
+    column in every file, so selective filters on ANY of them skip
+    most files. One range exchange + in-partition sort — the same cost
+    as a plain sorted write. The key column is retained (``key_name``)
+    for layout verification; drop it before publishing if unwanted.
+    """
+    keyed = df.withColumn(key_name, zorder_key([F.col(c) for c in cols], bits))
+    return keyed.repartitionByRange(partitions, key_name).sortWithinPartitions(
+        key_name
+    )

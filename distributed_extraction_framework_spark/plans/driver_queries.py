@@ -9921,3 +9921,42 @@ ORACLES.update({
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "neighborhood_fn": ORACLE_NEIGHBORHOOD_FN,
 })
+
+
+def q_zorder_keys(spark, sf_dir):
+    """Morton keys over (l_partkey % 1024, l_suppkey % 1024), bits=10
+    (operators/sketches.zorder_key) — the multi-dimensional clustering
+    key behind OPTIMIZE ZORDER-style layouts, bit-interleave replayed
+    exactly in SQL."""
+    from ..operators.sketches import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(
+            [F.pmod(F.col("l_partkey"), F.lit(1024)),
+             F.pmod(F.col("l_suppkey"), F.lit(1024))],
+            bits=10,
+        ).alias("zkey"),
+    )
+
+
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+ORACLE_ZORDER_KEYS = f"""
+SELECT l_orderkey, l_linenumber,
+       cast({_zorder_sql_expr('(l_partkey % 1024)', '(l_suppkey % 1024)', 10)}
+            as bigint) AS zkey
+FROM lineitem
+"""
+
+
+QUERIES.update({"zorder_keys": q_zorder_keys})
+ORACLES.update({"zorder_keys": ORACLE_ZORDER_KEYS})

@@ -277,3 +277,47 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     batch = sorted(map(tuple, SK.hll_registers(
         spark.read.parquet(d), "user_id", p=6, group_cols=["event_type"]).collect()))
     assert got == batch
+
+
+# -------------------------------------------------------------- Z-order ----
+
+
+def test_zorder_key_known_values(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", SK.zorder_key([F.col("x"), F.col("y")], bits=4).alias("z")
+        ).collect()
+    }
+    # interleave: x lanes at even bits, y lanes at odd bits
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
+    # x=3 (0b011), y=5 (0b101) -> bits: x0=1,y0=1,x1=1,y1=0,x2=0,y2=1
+    assert got[(3, 5)] == 0b100111
+
+
+def test_cluster_by_zorder_bounds_both_dims(spark):
+    # 64x64 grid; 16 range partitions of the Morton key = 16x16 tiles,
+    # so BOTH dims stay narrow per partition; a linear x-sort leaves the
+    # full y range (63) in every partition.
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), F.floor(F.col("id") / 64).alias("y")
+    )
+    clustered = SK.cluster_by_zorder(grid, ["x", "y"], bits=6, partitions=16)
+    spans = (
+        clustered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    assert all(r["sx"] <= 31 and r["sy"] <= 31 for r in spans)
+
+
+def test_zorder_validation():
+    with pytest.raises(ValueError):
+        SK.zorder_key([], bits=4)
+    with pytest.raises(ValueError):
+        SK.zorder_key([F.lit(1), F.lit(2)], bits=32)  # 64 > 62
