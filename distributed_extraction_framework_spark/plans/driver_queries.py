@@ -9960,3 +9960,39 @@ FROM lineitem
 
 QUERIES.update({"zorder_keys": q_zorder_keys})
 ORACLES.update({"zorder_keys": ORACLE_ZORDER_KEYS})
+
+
+def q_windowed_hll(spark, sf_dir):
+    """Per-hour-per-event-type HLL register table
+    (streaming/events.windowed_hll_registers, p=8): the "distinct users
+    per hour" answer with window-bounded state; batch form gated, the
+    streaming form is parity-tested in tests/test_sketches.py."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    regs = STR.windowed_hll_registers(
+        e, "ts", "user_id", window="1 hour", p=8, group_cols=["event_type"]
+    )
+    return regs.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "register", "rho",
+    )
+
+
+ORACLE_WINDOWED_HLL = """
+WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type,
+         cast('0x' || substr(md5(cast(user_id as varchar)), 1, 8) as bigint) AS h
+  FROM events
+), rr AS (
+  SELECT hour, event_type,
+         cast(h // 16777216 as int) AS register,
+         cast(CASE WHEN h % 16777216 = 0 THEN 25
+              ELSE 25 - length(bin(h % 16777216)) END as int) AS rho
+  FROM h
+)
+SELECT hour, event_type, register, max(rho) AS rho FROM rr GROUP BY 1, 2, 3
+"""
+
+
+QUERIES.update({"windowed_hll": q_windowed_hll})
+ORACLES.update({"windowed_hll": ORACLE_WINDOWED_HLL})

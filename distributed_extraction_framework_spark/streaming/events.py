@@ -202,6 +202,46 @@ def stream_hll_registers(
     return hll_registers(df, key_col, p=p, group_cols=group_cols)
 
 
+def windowed_hll_registers(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    p: int = 12,
+    group_cols=None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-time-window HLL register table → ``(win_start, win_end,
+    *group_cols, register, rho)`` — "distinct users per hour" at ingest
+    scale with state bounded at windows × groups × 2^p rows, never the
+    key set. Works in batch AND under readStream (pass ``watermark`` to
+    let closed windows evict); monotone max keeps micro-batch order
+    irrelevant within a window, exactly like :func:`stream_hll_registers`.
+    Feed ``operators.sketches.hll_estimate`` with
+    group_cols=["win_start", "win_end", ...] for the per-window curve."""
+    from ..operators.sketches import _hll_register_rho
+
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    register, rho = _hll_register_rho(F.col(key_col), p)
+    group_cols = list(group_cols or [])
+    return (
+        df.select(
+            F.window(ts_col, window).alias("win"),
+            *group_cols,
+            register.alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("win", *group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *group_cols, "register", "rho",
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query to completion against current files
     (test/smoke harness: memory sink + processAllAvailable)."""

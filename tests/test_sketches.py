@@ -321,3 +321,30 @@ def test_zorder_validation():
         SK.zorder_key([], bits=4)
     with pytest.raises(ValueError):
         SK.zorder_key([F.lit(1), F.lit(2)], bits=32)  # 64 > 62
+
+
+def test_windowed_hll_stream_matches_batch(spark, tmp_path):
+    from distributed_extraction_framework_spark.streaming import events as STR
+
+    df = spark.range(3_000).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-03-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=(F.col("id") % 300).cast("int"))).alias("ts"),
+        (F.col("id") % 97).alias("user_id"),
+        F.concat(F.lit("t"), F.col("id") % 2).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    d = str(tmp_path / "ev")
+    df.repartition(6).write.parquet(d)
+    stream = STR.read_event_stream(spark, d)
+    regs = STR.windowed_hll_registers(
+        stream, "ts", "user_id", window="1 hour", p=6,
+        group_cols=["event_type"], watermark="2 hours",
+    )
+    STR.run_to_memory(regs, "t_win_hll", output_mode="complete")
+    got = sorted(map(tuple, spark.table("t_win_hll").collect()))
+    batch = sorted(map(tuple, STR.windowed_hll_registers(
+        spark.read.parquet(d), "ts", "user_id", window="1 hour", p=6,
+        group_cols=["event_type"]).collect()))
+    assert got == batch and len(got) > 0
