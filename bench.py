@@ -301,7 +301,7 @@ def main() -> None:
                   "countmin_lookup", "bloom_semijoin", "kmv_distinct",
                   "kmv_jaccard", "weighted_sample", "anf_ball2",
                   "stream_hll", "histogram_quantiles", "neighborhood_fn",
-                  "zorder_keys", "windowed_hll"):
+                  "zorder_keys", "windowed_hll", "countmin_join_size"):
         timed_extra(_name,
                     lambda _n=_name: _sink(Q.QUERIES[_n](spark, SF_DIR)))
     # north-star quality metric: triple-extraction P/R vs the sequential

@@ -699,3 +699,24 @@ def cluster_by_zorder(
     return keyed.repartitionByRange(partitions, key_name).sortWithinPartitions(
         key_name
     )
+
+
+def count_min_join_size(
+    a: DataFrame, b: DataFrame, depth: int
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built
+    with the SAME (depth, width, salt) → one row ``(est)``: the sketch
+    inner product ``min over rows of Σ_col a·b`` (Cormode-Muthukrishnan
+    2005 §4.2) upper-bounds ``Σ_key cnt_a(key)·cnt_b(key)`` — the join
+    size — within eps·N_a·N_b w.h.p.
+
+    The planning primitive sketches exist for at warehouse scale:
+    deciding salting/broadcast strategy for a join WITHOUT scanning
+    either fat input again — two d×w tables join on (row, col), one
+    d-row aggregate, driver never sees a key."""
+    prod = a.join(
+        b.withColumnRenamed("cnt", "__cnt_b"), ["row", "col"]
+    ).groupBy("row").agg(
+        F.sum(F.col("cnt") * F.col("__cnt_b")).alias("__dot")
+    )
+    return prod.agg(F.min("__dot").alias("est"))

@@ -9996,3 +9996,51 @@ SELECT hour, event_type, register, max(rho) AS rho FROM rr GROUP BY 1, 2, 3
 
 QUERIES.update({"windowed_hll": q_windowed_hll})
 ORACLES.update({"windowed_hll": ORACLE_WINDOWED_HLL})
+
+
+def q_countmin_join_size(spark, sf_dir):
+    """Sketch-driven join-size estimation
+    (operators/sketches.count_min_join_size): |orders ⋈ lineitem on
+    orderkey| from two 4×1024 Count-Min sketches — the salting/broadcast
+    planning primitive, next to the exact join size for calibration."""
+    from ..operators.sketches import count_min_join_size, count_min_sketch
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ska = count_min_sketch(orders, "o_orderkey", depth=4, width=1024)
+    skb = count_min_sketch(li, "l_orderkey", depth=4, width=1024)
+    est = count_min_join_size(ska, skb, depth=4)
+    exact = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).agg(F.count(F.lit(1)).alias("exact_size"))
+    return est.crossJoin(exact)
+
+
+ORACLE_COUNTMIN_JOIN_SIZE = """
+WITH ca AS (
+  SELECT i.i AS row,
+         cast(cast('0x' || substr(md5(cast(i.i as varchar) || '|' ||
+              cast(o_orderkey as varchar)), 1, 8) as bigint) % 1024 as int) AS col,
+         count(*) AS cnt
+  FROM orders CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+  GROUP BY 1, 2
+), cb AS (
+  SELECT i.i AS row,
+         cast(cast('0x' || substr(md5(cast(i.i as varchar) || '|' ||
+              cast(l_orderkey as varchar)), 1, 8) as bigint) % 1024 as int) AS col,
+         count(*) AS cnt
+  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+  GROUP BY 1, 2
+), dots AS (
+  SELECT ca.row, sum(ca.cnt * cb.cnt) AS dot
+  FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
+  GROUP BY ca.row
+)
+SELECT (SELECT cast(min(dot) as bigint) FROM dots) AS est,
+       (SELECT count(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+       AS exact_size
+"""
+
+
+QUERIES.update({"countmin_join_size": q_countmin_join_size})
+ORACLES.update({"countmin_join_size": ORACLE_COUNTMIN_JOIN_SIZE})

@@ -58,8 +58,9 @@ urls = spark.range(0, n, 1, 256).select(
     F.concat(F.lit("h"), (d % hosts).cast("string"), F.lit(".example"))
     .alias("host"),
     F.concat(F.lit("https://h"), (d % hosts).cast("string"),
-             F.lit(".example/path/"), ((d // url_div) % (n // url_div))
-             .cast("string")).alias("url"),
+             F.lit(".example/path/"),
+             (F.floor(d / url_div) % (n // url_div)).cast("string"))
+    .alias("url"),
 )
 urls.write.mode("overwrite").parquet(path)
 print("generated", n)

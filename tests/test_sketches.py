@@ -348,3 +348,18 @@ def test_windowed_hll_stream_matches_batch(spark, tmp_path):
         spark.read.parquet(d), "ts", "user_id", window="1 hour", p=6,
         group_cols=["event_type"]).collect()))
     assert got == batch and len(got) > 0
+
+
+def test_count_min_join_size(spark):
+    # a: key i of 100 appears i+1 times; b: every key once ->
+    # true join size = sum(i+1) = 5050
+    a = spark.range(100).select(
+        F.explode(F.sequence(F.lit(0), F.col("id"))).alias("rep"),
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+    )
+    b = spark.range(100).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    ska = SK.count_min_sketch(a, "k", depth=4, width=1024)
+    skb = SK.count_min_sketch(b, "k", depth=4, width=1024)
+    est = SK.count_min_join_size(ska, skb, depth=4).collect()[0]["est"]
+    assert est >= 5050  # inner product never underestimates
+    assert est <= 5050 + (5050 * 100) // 1024  # loose eps*Na*Nb slack
