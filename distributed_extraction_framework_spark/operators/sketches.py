@@ -169,6 +169,14 @@ def hll_estimate(
     correction ``m * ln(m / V)``. The 2^-rho powers are exact binary
     doubles, so the only cross-engine float surface is one ln/division —
     rounded to ``decimals`` for the oracle comparison.
+
+    Benchmarking footgun: ``.count()`` on this result does NOT time the
+    sketch — Catalyst prunes the unused ``est`` column and
+    RemoveRedundantAggregates then elides the register aggregate
+    underneath, leaving a bare ``distinct(group_cols)`` scan (measured:
+    5.7 s vs the real 100 s on 512M rows). Consume the estimates
+    (``.agg(F.sum("est"))``, collect, or write) to execute the plan you
+    think you are timing.
     """
     m = 1 << p
     group_cols = list(group_cols or [])

@@ -32,7 +32,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "128000000"))
+N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "256000000"))
 # 1000 hosts x (N_ROWS / 50) distinct urls: ~50 repeats per url models
 # recrawl duplication; p=12 registers -> state 1000 * 4096 rows max
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALING_HOSTS", "1000"))
@@ -73,6 +73,8 @@ from distributed_extraction_framework_spark.session import get_spark
 from distributed_extraction_framework_spark.operators.sketches import (
     hll_estimate, hll_registers)
 
+from pyspark.sql import functions as F
+
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); path = sys.argv[3]
 spark = get_spark(app_name=f"defs-sketch-scale-{{cpus}}",
                   master=f"local[{{cpus}}]",
@@ -83,8 +85,15 @@ spark = get_spark(app_name=f"defs-sketch-scale-{{cpus}}",
 urls = spark.read.parquet(path)
 
 def one_pass():
+    # CONSUME the estimates (sum), do not count() the groups: count()
+    # lets RemoveRedundantAggregates prune the agg functions and elide
+    # the inner sketch aggregate entirely, reducing the job to a bare
+    # distinct(host) scan — md5 never runs (measured: 5.7 s vs the real
+    # 100 s at 8 cores on 512M rows). Ledger trials 1-3 made exactly
+    # that mistake; their rows are marked DIAGNOSTIC.
     regs = hll_registers(urls, "url", p=12, group_cols=["host"])
-    return hll_estimate(regs, p=12, group_cols=["host"]).count()
+    est = hll_estimate(regs, p=12, group_cols=["host"])
+    return est.agg(F.sum("est")).collect()
 
 one_pass()  # untimed warmup: codegen + shuffle services warm
 walls = []
