@@ -85,6 +85,7 @@ print("generated", n)
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from distributed_extraction_framework_spark.session import get_spark
 from distributed_extraction_framework_spark.operators.fusion import (
     resolve_functional)
@@ -99,7 +100,15 @@ spark = get_spark(app_name=f"defs-fusion-scale-{{cpus}}",
 claims = spark.read.parquet(path)
 
 def one_pass():
-    return resolve_functional(claims).count()
+    # CONSUME the resolved values — .count() here is a trap: Catalyst
+    # prunes every unused aggregate function and collapses the whole
+    # operator to distinct(subj) JOIN distinct(subj) (verified on the
+    # optimized plan), so a counted pass never runs the votes aggregate,
+    # min_by argmax, or countDistinct at all. Ledger trials predating
+    # 2026-08-20 made exactly that mistake and are marked DIAGNOSTIC.
+    r = resolve_functional(claims)
+    return r.agg(F.sum(F.length("obj")), F.sum("votes"),
+                 F.sum("n_sources"), F.sum("n_values")).collect()
 
 one_pass()  # untimed warmup: codegen + shuffle services warm
 walls = []

@@ -102,6 +102,10 @@ def main() -> None:
     sampler.start()
     t0 = time.time()
     out = web_page_triples(crawl, id_col="page_id")
+    # count() prunes the final string-assembly projection (regex/Arrow/
+    # explode stages — the memory-relevant ones — still run); fine for a
+    # memory-cliff canary that also wants n_triples, NOT for scaling
+    # ledgers (see bench_webtext_scaling.py, which sums string lengths).
     n_triples = out.count()
     wall = round(time.time() - t0, 1)
     sampler.stop()
