@@ -70,8 +70,12 @@ def resolve_functional(claims: DataFrame, source_col: str = "source") -> DataFra
     * ``n_values`` — how many distinct objects competed;
     * ``n_sources`` — distinct sources asserting ANYTHING for the key.
 
-    Plan shape (measured on 32M claims, scripts/bench_fusion_scaling.py:
-    3.2x faster than the first-cut window form at 8 cores):
+    Plan shape (honest A/B on 32M claims, scripts/bench_fusion_forms.py
+    — output fully consumed so no aggregate is optimizer-pruned: min_by
+    form 9.7 s vs window form 13.9 s at 8 cores, 1.43x; an earlier 3.2x
+    note was measured under ``.count()`` consumption, where Catalyst
+    collapsed the min_by plan to a degenerate distinct-join while the
+    window form survived — BENCH/fusion_forms.json):
     * Catalyst fuses the shared ``distinct`` into EACH downstream
       aggregate (no ReuseExchange — verified on the finalized adaptive
       plan), so claims is scanned twice, but both scans are
