@@ -70,26 +70,37 @@ def resolve_functional(claims: DataFrame, source_col: str = "source") -> DataFra
     * ``n_values`` — how many distinct objects competed;
     * ``n_sources`` — distinct sources asserting ANYTHING for the key.
 
-    Plan shape (honest A/B on 32M claims, scripts/bench_fusion_forms.py
-    — output fully consumed so no aggregate is optimizer-pruned: min_by
-    form 9.7 s vs window form 13.9 s at 8 cores, 1.43x; an earlier 3.2x
-    note was measured under ``.count()`` consumption, where Catalyst
-    collapsed the min_by plan to a degenerate distinct-join while the
-    window form survived — BENCH/fusion_forms.json):
-    * Catalyst fuses the shared ``distinct`` into EACH downstream
-      aggregate (no ReuseExchange — verified on the finalized adaptive
-      plan), so claims is scanned twice, but both scans are
-      column-pruned and feed map-side partial aggregation: the shuffled
-      volume is post-combine key cardinality, not raw claims — strictly
-      less wire traffic than the old form's count-distinct EXPAND;
+    Plan shape — all three choices measured honestly (output fully
+    consumed so Catalyst can't prune any aggregate; an earlier 3.2x note
+    was measured under ``.count()`` consumption, where the min_by plan
+    collapsed to a degenerate distinct-join — footgun recorded in
+    BENCH/fusion_forms.json):
+    * **One exchange of the claims, then everything co-partitioned**:
+      the up-front ``repartition("subj", "pred")`` hash-partitions once
+      on the common key prefix; HashPartitioning(subj, pred) satisfies
+      the ClusteredDistribution of the 4-key distinct, BOTH downstream
+      aggregations, AND the final winners⋈stats join (subset-of-keys
+      rule), so the whole resolve runs exchange-free after that single
+      shuffle — 2 exchanges total in the physical plan (the repartition
+      appears once per branch and is runtime-ReusedExchange under AQE)
+      vs 5 for the un-hinted form. At 8 cores the two forms tie
+      (10.5 s / 10.6 s on 32M claims: map-side pre-dedup of the
+      un-hinted form compensates); at the bandwidth-saturated 32-core
+      level the single-exchange form is 24% faster (14.6 s vs 19.2 s on
+      128M claims) — fewer shuffle rounds is what survives scale-up,
+      so it's the default.
     * the per-key argmax is ``min_by`` over the key
       struct(-votes, obj) — lexicographic struct ordering gives
-      max-votes-then-min-obj in ONE hash aggregation; the window form
-      paid a full exchange + SORT of the votes table for the same
-      answer. NULL objs would sort first here; callers fuse extracted
-      literals, which are never NULL.
+      max-votes-then-min-obj in ONE hash aggregation (vs the window
+      form's full exchange + SORT of the votes table: 13.9 s vs 9.7 s
+      at 8 cores/32M, scripts/bench_fusion_forms.py). NULL objs would
+      sort first here; callers fuse extracted literals, never NULL.
     """
-    d = claims.select("subj", "pred", "obj", source_col).distinct()
+    d = (
+        claims.select("subj", "pred", "obj", source_col)
+        .repartition("subj", "pred")
+        .distinct()
+    )
     v = d.groupBy("subj", "pred", "obj").agg(F.count("*").alias("votes"))
     stats = d.groupBy("subj", "pred").agg(
         F.countDistinct(source_col).alias("n_sources")
