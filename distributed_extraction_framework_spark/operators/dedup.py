@@ -709,11 +709,17 @@ def strip_host_boilerplate(
     is absorbed by partial aggregation; no window over the corpus.
     """
     host = F.col(host_col)
+    # \Q...\E + coalesce: same contract as paragraph_dedup — sep is a
+    # LITERAL separator (F.split takes a regex: bare '***' throws,
+    # '. ' shreds word-by-word) and a NULL text must not null out the
+    # split (code-review r5 #4)
     paras = (
         df.select(
             F.col(id_col).alias("id"), host.alias("_h"),
-            F.posexplode(F.split(F.col(text_col), F.lit(sep)))
-            .alias("pos", "_raw"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")),
+                        "\\Q" + sep + "\\E")
+            ).alias("pos", "_raw"),
         )
         .select("id", "_h", "pos", F.trim(F.col("_raw")).alias("para"))
         .filter(F.col("para") != "")

@@ -163,6 +163,8 @@ def truth_finder(
     IEEE ops; ranking orders by the ROUNDED score so ties break
     identically across engines (driver_queries.py numeric discipline).
     """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
     c = (
         claims.select(F.col(source_col).alias("src"), "subj", "pred", "obj")
         .distinct()

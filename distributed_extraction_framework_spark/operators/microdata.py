@@ -239,9 +239,12 @@ def extract_microdata(
     ``web_page_triples`` rewrites to has_entity provenance edges."""
     _check_keep_cols(keep_cols, ("id", "subj", "pred", "obj", "obj_kind"))
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
+    # lower() first: attribute names are case-insensitive in HTML and
+    # _parse_attrs lowercases them, so the prefilter must not drop
+    # <DIV ITEMSCOPE ...> pages (code-review r5 #8)
     marked = df.select(
         F.col(id_col).alias("id"), *keep_cols, h.alias("_h")
-    ).filter(F.instr("_h", "itemscope") > 0)
+    ).filter(F.instr(F.lower("_h"), "itemscope") > 0)
 
     @F.pandas_udf(ArrayType(_TRIPLE))
     def scan(html: pd.Series, rid: pd.Series) -> pd.Series:

@@ -71,7 +71,10 @@ from .structured_data import (RDF_TYPE, _TRIPLE, _check_keep_cols,
 # subject-establishing markers; attribute values never contain an
 # unescaped quote, so requiring a preceding separator keeps prose
 # containing the word "about" out of the Python stage
-_PREFILTER_RE = r"""[\s"'](typeof|about)\s*="""
+# (?i): HTML attribute names are case-insensitive and the scanner
+# lowercases them — a case-sensitive prefilter silently dropped pages
+# with TYPEOF=/About= markup the scanner handles (code-review r5 #8)
+_PREFILTER_RE = r"""(?i)[\s"'](typeof|about)\s*="""
 
 _URL_ATTRS = ("href", "src")
 

@@ -289,12 +289,23 @@ def owl_entailment(
         )
 
     def _same_as(rel: DataFrame, key: str, val: str) -> DataFrame:
+        # prp-fp/prp-ifp require BOTH triples to share the same property
+        # p — joining on the key alone would derive sameAs across
+        # different functional properties (e.g. birthPlace vs deathPlace
+        # of one subject), silently merging unrelated entities
+        # (code-review r5 #1), so the property is part of the join key.
         fam = res.join(F.broadcast(rel.select("prop")),
                        res["pred"] == F.col("prop"))
-        left = fam.select(F.col(key).alias("__k"), F.col(val).alias("a"))
-        right = fam.select(F.col(key).alias("__k"), F.col(val).alias("b"))
+        left = fam.select(
+            F.col(key).alias("__k"), F.col("pred").alias("__p"),
+            F.col(val).alias("a"),
+        )
+        right = fam.select(
+            F.col(key).alias("__k"), F.col("pred").alias("__p"),
+            F.col(val).alias("b"),
+        )
         return (
-            left.join(right, "__k")
+            left.join(right, ["__k", "__p"])
             .where(F.col("a") < F.col("b"))
             .select(
                 F.col("a").alias("subj"),

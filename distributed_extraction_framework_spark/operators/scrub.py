@@ -101,6 +101,10 @@ def canonical_url(url: Column) -> Column:
 
     1. strip the fragment;
     2. lowercase the scheme and the host;
+    2b. drop userinfo (RFC 3986 §3.2.1 — ``user@host`` names the same
+        resource as ``host``; also keeps :func:`~distributed_extraction_framework_spark.
+        operators.webarchive.surt_key` and this function agreeing on
+        page identity, code-review r5 #7);
     3. drop a leading ``www.`` label;
     4. drop the scheme's default port (``:80`` http, ``:443`` https);
     5. drop tracking query params (utm_*, gclid, fbclid, ref), SORT the
@@ -113,6 +117,7 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
     hostport = F.regexp_replace(hostport, r"^www\.", "")
     hostport = F.when(
         scheme == "http", F.regexp_replace(hostport, r":80$", "")

@@ -721,10 +721,24 @@ def count_min_join_size(
     The planning primitive sketches exist for at warehouse scale:
     deciding salting/broadcast strategy for a join WITHOUT scanning
     either fat input again — two d×w tables join on (row, col), one
-    d-row aggregate, driver never sees a key."""
+    d-row aggregate, driver never sees a key.
+
+    Sketch cells are SPARSE (zero cells are absent), so a row with no
+    overlapping cells has dot product 0 — the min must see that 0, not
+    skip the row: the inner join alone returned NULL for disjoint
+    sketches and overestimated whenever any single row had a zero dot
+    (code-review r5 #6). Every row id 0..depth-1 is therefore seeded
+    with a 0 default before the min."""
     prod = a.join(
         b.withColumnRenamed("cnt", "__cnt_b"), ["row", "col"]
     ).groupBy("row").agg(
         F.sum(F.col("cnt") * F.col("__cnt_b")).alias("__dot")
     )
-    return prod.agg(F.min("__dot").alias("est"))
+    rows = a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        rows.join(prod, "row", "left")
+        .select(F.coalesce("__dot", F.lit(0).cast("long")).alias("__dot"))
+        .agg(F.min("__dot").alias("est"))
+    )

@@ -286,10 +286,18 @@ def extract_jsonld(
 HTML_A_RE = r"(?is)<a\s[^>]*href\s*=\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
 # <meta …> carries its key in property= (Open Graph) or name= (classic),
 # and attribute order varies in the wild: match both orders separately.
-META_KC_RE = (r"(?is)<meta\s[^>]*(?:property|name)\s*=\s*[\"']([^\"']+)[\"']"
-              r"[^>]*content\s*=\s*[\"']([^\"']*)[\"']")
-META_CK_RE = (r"(?is)<meta\s[^>]*content\s*=\s*[\"']([^\"']*)[\"']"
-              r"[^>]*(?:property|name)\s*=\s*[\"']([^\"']+)[\"']")
+# Attribute names need a LEFT BOUNDARY — `[^>]*name` alone also matches
+# the tail of data-name/aria-name and `[^>]*content` the tail of
+# data-content, injecting spurious pairs (code-review r5 #5). No
+# lookbehind in the Java∩RE2 subset, so the boundary is an explicit
+# separator char: the attr is either first after `<meta\s` (optional
+# group empty) or preceded by whitespace/quote.
+META_KC_RE = (r"(?is)<meta\s(?:[^>]*[\s\"'])?(?:property|name)"
+              r"\s*=\s*[\"']([^\"']+)[\"']"
+              r"[^>]*[\s\"']content\s*=\s*[\"']([^\"']*)[\"']")
+META_CK_RE = (r"(?is)<meta\s(?:[^>]*[\s\"'])?content"
+              r"\s*=\s*[\"']([^\"']*)[\"']"
+              r"[^>]*[\s\"'](?:property|name)\s*=\s*[\"']([^\"']+)[\"']")
 TAG_STRIP_RE = r"<[^>]+>"
 
 
@@ -504,9 +512,13 @@ def extract_entity_markup(
     marked = df.select(
         F.col(id_col).alias("id"), *keep_cols, h.alias("_h")
     ).filter(
-        (F.instr("_h", "itemscope") > 0) | F.col("_h").rlike(_PREFILTER_RE)
+        # case-insensitive gates: HTML attr names are case-insensitive
+        # and both scanners lowercase them (code-review r5 #8)
+        (F.instr(F.lower("_h"), "itemscope") > 0)
+        | F.col("_h").rlike(_PREFILTER_RE)
     )
     rdfa_mark = _re.compile(_PREFILTER_RE)
+    md_mark = _re.compile(r"(?i)itemscope")
 
     @F.pandas_udf(ArrayType(_TRIPLE))
     def scan(html: pd.Series, rid: pd.Series) -> pd.Series:
@@ -514,7 +526,7 @@ def extract_entity_markup(
         for x, i in zip(html, rid):
             t: list = []
             if x:
-                if "itemscope" in x:
+                if md_mark.search(x):
                     t.extend(_md_scan(x, i))
                 if rdfa_mark.search(x):
                     t.extend(_rdfa_scan(x, i))
@@ -766,7 +778,12 @@ def table_triples(
     """
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
     rows_of = lambda c: F.regexp_extract_all(c, F.lit(TR_RE), F.lit(1))  # noqa: E731
-    hdr = F.element_at(F.col("_rows"), 1)
+    # try_element_at: a <table> block with zero <tr> rows yields an empty
+    # _rows array, and plain element_at on it THROWS under ANSI mode (the
+    # Spark 4 default) — one hostile page must never fail the job
+    # (code-review r5 #2); the NULL propagates into _hdr_cells and the
+    # hdr_ok filter drops the table.
+    hdr = F.try_element_at(F.col("_rows"), F.lit(1))
     hdr_ok = (
         (F.size(F.col("_hdr_cells")) > 0)
         # a first row is a pure header iff every cell tag letter is 'h'
@@ -962,7 +979,10 @@ def corpus_from_crawl(
 #   cell through an exchange to answer a question each row answers
 #   about itself).
 
-TABLE_BLOCK_RE = r"(?is)<table[^>]*>(.*?)</table>"
+# one source of truth for table isolation and tag stripping: the
+# Catalyst path (extract_tables/table_triples) and this pandas path
+# must not drift apart (code-review r5 #10)
+TABLE_BLOCK_RE = TABLE_RE
 
 _CELL = StructType([
     StructField("tbl", IntegerType(), False),
@@ -975,7 +995,7 @@ _CELL = StructType([
 
 _ROW_SPLIT_RE = re.compile(r"(?is)<tr[^>]*>")
 _CELL_RE = re.compile(r"(?is)<(t[hd])[^>]*>(.*?)</t[hd]\s*>")
-_TAG_RE = re.compile(r"<[^>]+>")
+_TAG_RE = re.compile(TAG_STRIP_RE)  # same pattern as the Catalyst path
 _ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
              ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
 

@@ -4619,7 +4619,9 @@ WITH u AS (
   FROM s1
 ), hp AS (
   SELECT id, scheme,
-         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+         regexp_replace(regexp_replace(
+                        lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                        '^[^@]*@', ''),
                         '^www\\.', '') AS hostport,
          regexp_replace(rest, '^[^/?]+', '') AS pathq
   FROM parts
@@ -5185,14 +5187,14 @@ WITH inj AS (
   FROM documents
 ), kc AS (
   SELECT doc_id, unnest(list_zip(
-    regexp_extract_all(h, '(?is)<meta\\s[^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 1),
-    regexp_extract_all(h, '(?is)<meta\\s[^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']', 2)
+    regexp_extract_all(h, '(?is)<meta\\s(?:[^>]*[\\s"''])?(?:property|name)\\s*=\\s*["'']([^"'']+)["''][^>]*[\\s"'']content\\s*=\\s*["'']([^"'']*)["'']', 1),
+    regexp_extract_all(h, '(?is)<meta\\s(?:[^>]*[\\s"''])?(?:property|name)\\s*=\\s*["'']([^"'']+)["''][^>]*[\\s"'']content\\s*=\\s*["'']([^"'']*)["'']', 2)
   )) AS p
   FROM inj
 ), ck AS (
   SELECT doc_id, unnest(list_zip(
-    regexp_extract_all(h, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 2),
-    regexp_extract_all(h, '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*(?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 1)
+    regexp_extract_all(h, '(?is)<meta\\s(?:[^>]*[\\s"''])?content\\s*=\\s*["'']([^"'']*)["''][^>]*[\\s"''](?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 2),
+    regexp_extract_all(h, '(?is)<meta\\s(?:[^>]*[\\s"''])?content\\s*=\\s*["'']([^"'']*)["''][^>]*[\\s"''](?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 1)
   )) AS p
   FROM inj
 )
@@ -5512,7 +5514,9 @@ WITH u AS (
   FROM s1
 ), hp AS (
   SELECT id, ts, scheme,
-         regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+         regexp_replace(regexp_replace(
+                        lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                        '^[^@]*@', ''),
                         '^www\\.', '') AS hostport,
          regexp_replace(rest, '^[^/?]+', '') AS pathq
   FROM parts
@@ -10032,9 +10036,13 @@ WITH ca AS (
   FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
   GROUP BY 1, 2
 ), dots AS (
-  SELECT ca.row, sum(ca.cnt * cb.cnt) AS dot
-  FROM ca JOIN cb ON ca.row = cb.row AND ca.col = cb.col
-  GROUP BY ca.row
+  -- left-join from the full row set: a row with zero overlapping cells
+  -- has dot 0 and the min must see it (sparse cells; code-review r5 #6)
+  SELECT r.i AS row, coalesce(sum(ca.cnt * cb.cnt), 0) AS dot
+  FROM (SELECT unnest(range(0, 4)) AS i) r
+  LEFT JOIN ca ON ca.row = r.i
+  LEFT JOIN cb ON cb.row = ca.row AND cb.col = ca.col
+  GROUP BY r.i
 )
 SELECT (SELECT cast(min(dot) as bigint) FROM dots) AS est,
        (SELECT count(*) FROM orders JOIN lineitem ON o_orderkey = l_orderkey)

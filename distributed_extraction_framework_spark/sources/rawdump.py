@@ -50,8 +50,11 @@ def read_mediawiki_dump(
             F.concat(
                 F.lit(base_url), F.regexp_replace(title, " ", "_")
             ).alias("url"),
+            # try_to_timestamp: plain to_timestamp THROWS on a malformed
+            # dump timestamp under ANSI mode before coalesce can apply
+            # the default (code-review r5 #3)
             F.coalesce(
-                F.to_timestamp(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
                 F.lit("2024-01-01 00:00:00").cast("timestamp"),
             ).alias("warc_ts"),
             F.lit(None).cast("binary").alias("html"),

@@ -83,8 +83,11 @@ def parse_warc_fragments(df: DataFrame, col: str = "value") -> DataFrame:
         df.filter(rtype.isin("response", "conversion"))
         .select(
             _header(frag, "WARC-Target-URI").alias("url"),
-            F.to_timestamp(
-                _header(frag, "WARC-Date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            # try_to_timestamp: a malformed or missing WARC-Date must
+            # degrade to NULL, not throw under ANSI mode — crawl
+            # archives are hostile input (code-review r5 #3)
+            F.try_to_timestamp(
+                _header(frag, "WARC-Date"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
             ).alias("warc_ts"),
             F.when(rtype == "response", http_payload.cast("binary"))
             .alias("html"),

@@ -208,6 +208,36 @@ def test_table_triples_header_keying(spark):
     }
 
 
+def test_table_triples_rowless_table_survives_ansi(spark):
+    """A <table> block with zero <tr> rows must be dropped, not throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode (code-review
+    r5 #2) — one hostile page must never fail the job."""
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        table_triples,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://p/1", "<table>junk no rows</table>"),
+         (2, "https://p/2",
+          "<table><tr><th>k</th></tr><tr><td>v</td></tr></table>")],
+        ["page_id", "url", "html"],
+    )
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in table_triples(df).collect()}
+    assert got == {("https://p/2#table0-row1", "k", "v")}
+
+
+def test_microdata_uppercase_attrs_pass_prefilter(spark):
+    """HTML attr names are case-insensitive: <DIV ITEMSCOPE ...> must
+    not be dropped by the prefilter (code-review r5 #8)."""
+    html = ('<DIV ITEMSCOPE ITEMTYPE="https://schema.org/Thing" '
+            'ITEMID="https://e/up"><span ITEMPROP="name">N</span></DIV>')
+    df = spark.createDataFrame([(1, html)], ["page_id", "html"])
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in extract_microdata(df).collect()}
+    assert ("https://e/up", "name", "N") in got
+
+
 def test_new_extractors_shuffle_free(spark):
     from distributed_extraction_framework_spark.operators.structured_data import (
         extract_link_rels,

@@ -83,6 +83,27 @@ def test_functional_and_inverse_functional_sameas(spark):
     }
 
 
+def test_functional_sameas_requires_same_property(spark):
+    """prp-fp joins on (subject, PROPERTY) — two different functional
+    properties of one subject must NOT merge their values (code-review
+    r5 #1: birthPlace=Paris + deathPlace=London must not derive
+    sameAs(London, Paris)); same for prp-ifp on (object, property)."""
+    quads = _quads(spark, [
+        ("s", "p:birthPlace", "Paris"),
+        ("s", "p:deathPlace", "London"),
+        ("u1", "p:mbox", "m"),
+        ("u2", "p:homepage", "m"),
+    ])
+    fp = spark.createDataFrame(
+        [("p:birthPlace",), ("p:deathPlace",)], "prop string"
+    )
+    ifp = spark.createDataFrame(
+        [("p:mbox",), ("p:homepage",)], "prop string"
+    )
+    got = _got(owl_entailment(quads, functional=fp, inverse_functional=ifp))
+    assert got == set()
+
+
 def test_equivalent_class_fires_both_ways(spark):
     rt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     quads = _quads(spark, [

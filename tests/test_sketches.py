@@ -363,3 +363,17 @@ def test_count_min_join_size(spark):
     est = SK.count_min_join_size(ska, skb, depth=4).collect()[0]["est"]
     assert est >= 5050  # inner product never underestimates
     assert est <= 5050 + (5050 * 100) // 1024  # loose eps*Na*Nb slack
+
+
+def test_count_min_join_size_disjoint_is_zero(spark):
+    """Sparse sketch cells: a row with no overlapping cells has dot 0
+    and the min must see it — disjoint key sets estimate 0, not NULL
+    (code-review r5 #6)."""
+    a = spark.range(50).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(50).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    ska = SK.count_min_sketch(a, "k", depth=4, width=1 << 20)
+    skb = SK.count_min_sketch(b, "k", depth=4, width=1 << 20)
+    est = SK.count_min_join_size(ska, skb, depth=4).collect()[0]["est"]
+    # width >> n^2 makes cross-key collisions vanishingly unlikely, so
+    # at least one of the 4 rows has an exact-zero dot product
+    assert est == 0

@@ -66,6 +66,23 @@ def test_read_warc_mixed_records(spark, tmp_path):
     assert got["https://w/3"]["lang"] == "fr"
 
 
+def test_read_warc_malformed_date_degrades_to_null(spark, tmp_path):
+    """A corrupt or missing WARC-Date must yield warc_ts NULL, not an
+    ANSI CANNOT_PARSE_TIMESTAMP job failure (code-review r5 #3)."""
+    path = str(tmp_path / "baddate.warc")
+    write_warc_file(
+        [
+            _wet("https://w/ok", "2024-01-01T00:00:01Z", "fine"),
+            _wet("https://w/bad", "not-a-date", "still extracted"),
+        ],
+        path,
+    )
+    got = {r["url"]: r for r in read_warc(spark, path).collect()}
+    assert str(got["https://w/ok"]["warc_ts"]) == "2024-01-01 00:00:01"
+    assert got["https://w/bad"]["warc_ts"] is None
+    assert got["https://w/bad"]["text"] == "still extracted"
+
+
 def test_read_warc_split_straddling(spark, tmp_path):
     # many records + a tiny maxPartitionBytes force records to straddle
     # input splits; the lineSep datasource must still yield whole records
