@@ -127,6 +127,12 @@ class VectorScanner:
     _BMASK = np.uint64((1 << 22) - 1)
 
     def __init__(self, patterns: list[str]):
+        if any("\x00" in p for p in patterns):
+            # NUL is the batch row separator in find_all_batch — a
+            # NUL-bearing pattern could exact-verify across the gap and
+            # attribute a phantom mention to the earlier row (same guard
+            # as CScanner; code-review r5 wave-2 #8)
+            raise RuntimeError("NUL byte in pattern")
         self.by_len: dict[int, tuple[np.ndarray, dict[bytes, str]]] = {}
         grouped: dict[int, dict[bytes, str]] = {}
         for p in patterns:

@@ -208,12 +208,29 @@ _NUM = re.compile(r"^-?\d+(\.\d+)?$")
 
 
 def _balanced(text: str, start: int) -> int:
-    """text[start] == '{' → index just past the matching '}'."""
+    """text[start] == '{' → index just past the matching '}'.
+
+    Braces inside double-quoted literals don't count (``"a}b"`` is a
+    legal literal that previously truncated the block — code-review r5
+    wave-2 #10); ``\\"`` inside a literal does not close it."""
     depth = 0
-    for j in range(start, len(text)):
-        depth += {"{": 1, "}": -1}.get(text[j], 0)
-        if depth == 0:
-            return j + 1
+    in_lit = False
+    j = start
+    while j < len(text):
+        ch = text[j]
+        if in_lit:
+            if ch == "\\":
+                j += 2
+                continue
+            if ch == '"':
+                in_lit = False
+        elif ch == '"':
+            in_lit = True
+        else:
+            depth += {"{": 1, "}": -1}.get(ch, 0)
+            if depth == 0:
+                return j + 1
+        j += 1
     raise ValueError(f"unbalanced braces in {text[start:start + 40]!r}…")
 
 
@@ -227,8 +244,21 @@ def _extract_filters(body: str) -> tuple[str, list[str]]:
             continue
         out.append(body[i: m.start()])
         depth, j = 1, m.end()
+        in_lit = False
         while j < len(body) and depth:
-            depth += {"(": 1, ")": -1}.get(body[j], 0)
+            ch = body[j]
+            if in_lit:
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == '"':
+                    in_lit = False
+            elif ch == '"':
+                in_lit = True
+            else:
+                # parens inside quoted literals don't count — e.g.
+                # FILTER(regex(?l, "a)b")) (code-review r5 wave-2 #10)
+                depth += {"(": 1, ")": -1}.get(ch, 0)
             j += 1
         if depth:
             raise ValueError(f"unbalanced FILTER parens in {body!r}")
@@ -358,6 +388,16 @@ def _parse_group(body: str) -> Group:
         terms = [_parse_term(t) for t in _TOKEN.findall(inner)]
         if not terms or any(t.kind not in ("uri", "lit") for t in terms):
             raise ValueError(f"VALUES accepts only constants: {inner!r}")
+        # _TOKEN has no numeric/UNDEF branch: anything it does not match
+        # must REJECT loudly, not silently vanish from the inline
+        # relation (VALUES ?v { <a> 5 } previously kept only <a> —
+        # code-review r5 wave-2 #4)
+        leftover = _TOKEN.sub("", inner).strip()
+        if leftover:
+            raise ValueError(
+                f"unsupported VALUES term(s) {leftover!r}: only <uri> and "
+                f'"literal" constants are supported'
+            )
         g.values.append((m.group("var"), terms))
     body, g.binds = _extract_binds(body)
     for _, expr in g.binds:
@@ -501,7 +541,7 @@ def parse_bgp(query: str):
     q = parse_query(query)
     g0 = q.groups[0]
     if (len(q.groups) != 1 or g0.optionals or g0.values or g0.minus
-            or g0.exists or g0.binds or g0.subselects
+            or g0.exists or g0.binds or g0.subselects or g0.graphs
             or q.group_by or q.order_by or q.offset is not None
             or q.having is not None
             or any(it.agg for it in q.select)):
@@ -1297,7 +1337,14 @@ _AGG_FN = {
     "count": lambda c, d: (F.countDistinct(c) if d else F.count(c))
     if c is not None else F.count(F.lit(1)),
     "sum": lambda c, d: (F.sum_distinct if d else F.sum)(c.cast("double")),
-    "avg": lambda c, d: F.avg(c.cast("double")),
+    # AVG(DISTINCT ?x) = sum over the distinct values / their count
+    # (Spark has no avg_distinct; DISTINCT was previously silently
+    # ignored — code-review r5 wave-2 #5)
+    "avg": lambda c, d: (
+        F.sum_distinct(c.cast("double")) / F.countDistinct(c)
+        if d else F.avg(c.cast("double"))
+    ),
+    # DISTINCT is a no-op for MIN/MAX/SAMPLE (same extremum either way)
     "min": lambda c, d: F.min(c),
     "max": lambda c, d: F.max(c),
     # SAMPLE may return any value of the group; MIN is a deterministic
@@ -1306,7 +1353,7 @@ _AGG_FN = {
 }
 
 
-def _agg_col(it: SelItem):
+def _agg_col(it: SelItem, all_cols: list[str] | None = None):
     c = F.col(it.arg) if it.arg else None
     if it.agg == "group_concat":
         # deterministic rendering: SPARQL leaves group order undefined, so
@@ -1314,6 +1361,15 @@ def _agg_col(it: SelItem):
         vals = F.collect_set(c) if it.distinct else F.collect_list(c)
         return F.array_join(
             F.sort_array(vals), it.sep if it.sep is not None else " "
+        ).alias(it.name)
+    if it.agg == "count" and c is None and it.distinct:
+        # COUNT(DISTINCT *) counts DISTINCT SOLUTIONS (SPARQL 1.1
+        # §18.5.1.2) — previously the distinct flag was silently dropped
+        # (code-review r5 wave-2 #5)
+        if not all_cols:
+            raise ValueError("COUNT(DISTINCT *) over a zero-column group")
+        return F.countDistinct(
+            F.struct(*[F.col(x) for x in all_cols])
         ).alias(it.name)
     return _AGG_FN[it.agg](c, it.distinct).alias(it.name)
 
@@ -1354,7 +1410,7 @@ def _compile_parsed(quads: DataFrame, q: ParsedQuery) -> DataFrame:
         stray = [it.name for it in plain if it.name not in keys]
         if stray:
             raise ValueError(f"non-grouped SELECT vars {stray} need GROUP BY")
-        agg_cols = [_agg_col(it) for it in aggs]
+        agg_cols = [_agg_col(it, result.columns) for it in aggs]
         # HAVING: aggregate calls inside the condition become internal
         # agg columns (?__hN), computed in the same groupBy — one
         # aggregation, filtered after (map-side partials included); the
@@ -1373,7 +1429,7 @@ def _compile_parsed(quads: DataFrame, q: ParsedQuery) -> DataFrame:
                 return f"?{name}"
 
             having = _HAGG.sub(_h_sub, having)
-        agg_cols += [_agg_col(it) for it in having_items]
+        agg_cols += [_agg_col(it, result.columns) for it in having_items]
         result = (result.groupBy(*keys).agg(*agg_cols) if keys
                   else result.agg(*agg_cols))
         if having:
@@ -1680,7 +1736,19 @@ def _add(quads: DataFrame, new: DataFrame) -> DataFrame:
         & (new["obj"] == g["_do"]) & new["lang"].eqNullSafe(g["_dl"]),
         "left_anti",
     )
-    return quads.select("subj", "pred", "obj", "lang").unionByName(fresh)
+    # preserve the STORE's schema: the DELETE forms are anti-joins that
+    # keep every column, and narrowing here to 4 columns broke GRAPH
+    # blocks ('context' gone) and the materialize writers ('dataset'
+    # gone) after an INSERT (code-review r5 wave-2 #6). Inserted rows
+    # take NULL for columns the template cannot express, typed from the
+    # store schema.
+    extra = [f for f in quads.schema.fields
+             if f.name not in ("subj", "pred", "obj", "lang")]
+    fresh = fresh.select(
+        "subj", "pred", "obj", "lang",
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in extra],
+    )
+    return quads.unionByName(fresh)
 
 
 def _template_block(query: str, pos: int):

@@ -469,7 +469,16 @@ def write_graph_tables(
         if table_format == "iceberg":
             counts[name] = spark.table(f"{catalog}.graph.{name}").count()
         else:
-            counts[name] = spark.read.parquet(f"{warehouse}/{name}").count()
+            try:
+                counts[name] = spark.read.parquet(
+                    f"{warehouse}/{name}"
+                ).count()
+            except Exception:
+                # an EMPTY partitioned table writes _SUCCESS but zero
+                # part files (no inferable schema) — a legal degenerate
+                # output (e.g. a literals-only extractor set has no
+                # edges), not an error
+                counts[name] = 0
     return counts
 
 

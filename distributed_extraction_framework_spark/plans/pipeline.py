@@ -81,14 +81,62 @@ class Pipeline:
 
     # -- bookkeeping --------------------------------------------------------
     def _fingerprint(self, pages: DataFrame) -> str:
-        """Cheap input identity: files + count (content-hash would rescan)."""
+        """Cheap input identity: file list + file count + schema; inputs
+        that are NOT file-backed get an order-independent content hash
+        (sum of per-row xxhash64 + count, one narrow scan).
+
+        The content hash closes a resume hole (code-review r5 wave-2
+        #2): a ``createDataFrame``/checkpointed input has
+        ``inputFiles() == []``, and with a constant fingerprint a
+        warehouse primed by dataset A would silently serve A's snapshots
+        for any later in-memory dataset B. Content (not
+        ``semanticHash``) because logically identical re-created frames
+        must keep resuming — plan hashes embed expression ids and
+        differ across identical ``createDataFrame`` calls (measured).
+        File-backed inputs never pay the scan; a rewritten FILE under an
+        unchanged name still collides — parquet writers version their
+        part-file names, so that needs a deliberately adversarial
+        overwrite; documented, not defended.
+        """
         try:
             files = sorted(pages.inputFiles())
         except Exception:
             files = []
         import hashlib
 
-        return hashlib.md5(("|".join(files)).encode()).hexdigest()[:16]
+        parts = ["|".join(files), str(len(files)),
+                 pages.schema.simpleString()]
+        if not files:
+            try:
+                row = pages.agg(
+                    F.sum(F.xxhash64(*[F.col(c) for c in pages.columns]))
+                    .alias("h"),
+                    F.count(F.lit(1)).alias("n"),
+                ).first()
+                parts.append(f"{row['h']}|{row['n']}")
+            except Exception:
+                pass
+        return hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:16]
+
+    def _config_sig(self) -> str:
+        """Config identity folded into every stage fingerprint: resuming a
+        warehouse with a CHANGED config must rebuild, not serve snapshots
+        built under the old one (code-review r5 wave-2 #1 — previously
+        only the WebKG subclass did this). ``output_formats`` is NOT in
+        this signature — no quad stage depends on it; the exports stage
+        keys on its own (key, serializer) pairs so a format change
+        re-exports without rebuilding the DAG."""
+        import hashlib
+
+        c = self.cfg
+        ont = sorted(c.ontology) if c.ontology else None
+        sig = repr((
+            sorted(c.extractors) if c.extractors else None,
+            tuple(c.resolve_datasets), c.link_entities, c.canonicalize,
+            c.use_disambiguation_set, c.salt_buckets, c.partition_by_lang,
+            bool(c.shapes), ont, c.normalize_units,
+        ))
+        return hashlib.md5(sig.encode()).hexdigest()[:8]
 
     def _stage_path(self, stage: str) -> str:
         return f"{self.cfg.warehouse}/{stage}"
@@ -207,9 +255,17 @@ class Pipeline:
         out = self._read_stage(path)
         wall = int((time.time() - t0) * 1000)
         if partition_col:
-            for r in out.groupBy(partition_col).count().collect():
+            rows = out.groupBy(partition_col).count().collect()
+            for r in rows:
                 self._record(stage, f"{partition_col}={r[partition_col]}",
                              r["count"], wall, fingerprint)
+            if not rows:
+                # an EMPTY partitioned stage has no per-partition rows;
+                # without this marker it is never 'complete' and every
+                # resume rebuilds it — exactly the degenerate-corpus case
+                # the schema sidecar above exists for (code-review r5
+                # wave-2 #7)
+                self._record(stage, "*", 0, wall, fingerprint)
         else:
             self._record(stage, "*", out.count(), wall, fingerprint)
         self._flush_lineage()
@@ -221,7 +277,7 @@ class Pipeline:
 
         Every stage is resumable; metrics land in ``{warehouse}/metrics``.
         """
-        fp = self._fingerprint(pages)
+        fp = f"{self._fingerprint(pages)}-{self._config_sig()}"
         obs = Observation("extract_metrics")
         pages_obs = Observation("pages_metrics")
 
@@ -345,8 +401,13 @@ class Pipeline:
         # K1: multi-format export fan-out (N-Triples/N-Quads/Turtle/... with
         # suffix-implied codecs) as a resumable stage of the DAG
         if self.cfg.output_formats:
-            fmt_key = ",".join(sorted(self.cfg.output_formats))
-            # keyed on the FORMAT SET: adding a format re-runs the fan-out
+            fmt_key = ",".join(
+                f"{k}={v}" for k, v in sorted(self.cfg.output_formats.items())
+            )
+            # keyed on the (key, serializer) PAIRS: adding a format OR
+            # changing a key's serializer re-runs the fan-out (keys-only
+            # keying kept a stale export on a value change — code-review
+            # r5 wave-2 #9)
             if not self._lineage_complete("exports", fp, partition=fmt_key):
                 t0 = time.time()
                 M.write_formats(final, self._stage_path("exports"),
@@ -359,14 +420,26 @@ class Pipeline:
                 self._flush_lineage()
 
         t0 = time.time()
+        graph_builders = (
+            ("edges", M.edges_table), ("literals", M.literals_table),
+            ("nodes", M.nodes_table), ("predicates", M.predicates_table),
+        )
         if not self._committed("edges", fp):
             counts = M.write_graph_tables(final, self.cfg.warehouse)
+            # schema sidecars: an empty graph table (e.g. no edges under
+            # a literals-only extractor set) has no inferable parquet
+            # schema; the sidecar keeps the read-back total like every
+            # _run_stage output (the builder gives the schema without
+            # executing anything)
+            for name, builder in graph_builders:
+                self._write_stage_schema(self._stage_path(name),
+                                         builder(final))
             wall = int((time.time() - t0) * 1000)
             for name, n in counts.items():
                 self._record(name, "*", n, wall, fp)
             self._flush_lineage()
-        for name in ("edges", "literals", "nodes", "predicates"):
-            outputs[name] = self.spark.read.parquet(self._stage_path(name))
+        for name, _ in graph_builders:
+            outputs[name] = self._read_stage(self._stage_path(name))
 
         # metrics table (the reference's accumulator report, C3): counters
         # come from the extraction stage's observe() — captured BY the stage

@@ -115,10 +115,14 @@ class WebKGPipeline(Pipeline):
 
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
         cfg = self.cfg
+        # output_formats deliberately absent: the exports stage keys on
+        # its own (key, serializer) pairs (below), so a format change
+        # re-exports without rebuilding the DAG; cdx knobs ARE here —
+        # cdx_files changes the written index (code-review r5 wave-2 #9)
         cfg_sig = hashlib.md5(repr((
             cfg.latest_only, cfg.resolve_redirects,
-            sorted(cfg.output_formats) if cfg.output_formats else None,
             cfg.url_col, cfg.skolem_base, cfg.fuse_literals,
+            cfg.cdx, cfg.cdx_files,
         )).encode()).hexdigest()[:8]
         fp = f"{self._fingerprint(pages)}-{cfg_sig}"
         out: dict[str, DataFrame] = {}
@@ -245,7 +249,11 @@ class WebKGPipeline(Pipeline):
             out["web_fused"] = self._run_stage("web_fused", fp, build_fused)
 
         if cfg.output_formats:
-            fmt_key = ",".join(sorted(cfg.output_formats))
+            # (key, serializer) pairs, not keys alone — a serializer
+            # change must re-export (code-review r5 wave-2 #9)
+            fmt_key = ",".join(
+                f"{k}={v}" for k, v in sorted(cfg.output_formats.items())
+            )
             if not self._lineage_complete("exports", fp, partition=fmt_key):
                 t0 = time.time()
                 M.write_formats(

@@ -905,3 +905,83 @@ def test_graph_var_excludes_default_graph_rows(spark):
     # zero-length identity never materializes default-graph nodes
     star = _pairs(quads, "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s <p>* ?t } }")
     assert all(g == "g1" for g, _, _ in star)
+
+
+# ---------------------------------------------------------------------------
+# code-review r5 wave-2 regressions
+# ---------------------------------------------------------------------------
+
+def test_parse_bgp_rejects_graph_queries(spark, quads):
+    """GRAPH blocks are extended constructs: parse_bgp must raise, not
+    silently drop the graph-scoped patterns (wave-2 #3)."""
+    q = ('SELECT ?s WHERE { ?s <p> ?o . GRAPH ?g { ?s <q> ?x } }')
+    with pytest.raises(ValueError, match="extended query"):
+        parse_bgp(q)
+    with pytest.raises(ValueError, match="extended query"):
+        parse_bgp('SELECT ?s WHERE { GRAPH <g1> { ?s <q> ?x } }')
+
+
+def test_values_numeric_term_rejected(spark, quads):
+    """_TOKEN has no numeric branch; a numeric VALUES term must raise
+    instead of vanishing from the inline relation (wave-2 #4)."""
+    with pytest.raises(ValueError, match="VALUES"):
+        bgp_query(
+            quads,
+            'SELECT ?v WHERE { ?v <%s> ?t . VALUES ?v { "a" 5 } }' % TYPE,
+        )
+
+
+def test_count_distinct_star_and_avg_distinct(spark):
+    """COUNT(DISTINCT *) counts distinct solutions; AVG(DISTINCT ?x)
+    averages the distinct values (wave-2 #5)."""
+    rows = [
+        ("s1", "p:v", "1", None),
+        ("s1", "p:v", "1", None),   # duplicate quad row
+        ("s2", "p:v", "1", None),
+        ("s3", "p:v", "4", None),
+    ]
+    q = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, lang string"
+    )
+    got = bgp_query(
+        q, "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s <p:v> ?x }"
+    ).collect()[0]["n"]
+    assert got == 3  # (s1,1) (s2,1) (s3,4) — duplicate row collapsed
+    avg = bgp_query(
+        q, "SELECT (AVG(DISTINCT ?x) AS ?a) WHERE { ?s <p:v> ?x }"
+    ).collect()[0]["a"]
+    assert avg == pytest.approx(2.5)  # (1+4)/2, not (1+1+4)/3
+
+
+def test_literal_braces_and_parens_parse(spark):
+    """Braces/parens inside quoted literals must not confuse the block
+    and FILTER scanners (wave-2 #10)."""
+    rows = [("s1", "p:v", "a}b", None), ("s2", "p:v", "x)y", None),
+            ("s3", "p:v", "plain", None)]
+    q = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, lang string"
+    )
+    got = {r["s"] for r in bgp_query(
+        q, 'SELECT ?s WHERE { ?s <p:v> "a}b" }').collect()}
+    assert got == {"s1"}
+    got = {r["s"] for r in bgp_query(
+        q, 'SELECT ?s WHERE { ?s <p:v> ?o . FILTER(regex(?o, "x[)]y")) }'
+    ).collect()}
+    assert got == {"s2"}
+
+
+def test_insert_preserves_store_schema(spark):
+    """INSERT DATA must keep dataset/context columns (NULL-filled for
+    inserted rows), matching the DELETE forms (wave-2 #6)."""
+    from distributed_extraction_framework_spark.plans.bgp import sparql_update
+
+    rows = [("s1", "p:v", "o1", None, "labels", "ctx1")]
+    q = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, lang string, "
+              "dataset string, context string"
+    )
+    out = sparql_update(q, 'INSERT DATA { <s2> <p:v> "o2" }')
+    assert set(out.columns) == {"subj", "pred", "obj", "lang",
+                                "dataset", "context"}
+    got = {(r["subj"], r["obj"], r["dataset"]) for r in out.collect()}
+    assert got == {("s1", "o1", "labels"), ("s2", "o2", None)}

@@ -418,3 +418,17 @@ def test_collective_link_caps_candidates_and_breaks_ties(spark):
     ).collect()
     # equal scores tie-break on entity string: A < B; C capped away anyway
     assert [(r["entity"], r["score"]) for r in rows] == [("A", 0.5)]
+
+
+def test_vector_scanner_rejects_nul_patterns():
+    """NUL is the batch row separator: VectorScanner must refuse
+    NUL-bearing patterns like CScanner does, instead of risking phantom
+    cross-row matches (code-review r5 wave-2 #8)."""
+    import pytest as _pytest
+
+    from distributed_extraction_framework_spark.operators.linking import (
+        VectorScanner,
+    )
+
+    with _pytest.raises(RuntimeError, match="NUL"):
+        VectorScanner(["ok", "bad\x00pattern"])
