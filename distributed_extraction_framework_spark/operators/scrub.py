@@ -96,6 +96,35 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)="
 
 
+def normalized_hostport(scheme: Column, rest: Column) -> Column:
+    """Shared host/port normalization (ONE source of truth for page
+    identity — :func:`canonical_url` here and ``webarchive.surt_key``
+    both call this, after a drift already had to be patched in both
+    copies; code-review r5 wave-3 #10): lowercase, drop userinfo
+    (RFC 3986 §3.2.1), drop a leading ``www.`` label, drop the scheme's
+    default port. ``rest`` is the URL with the scheme prefix removed."""
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    return F.when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+
+
+def surviving_query_params(query: Column) -> Column:
+    """Query-string params minus the tracking set, SORTED bytewise —
+    the shared param normalization of :func:`canonical_url` and
+    ``webarchive.surt_key``."""
+    return F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonical form of a URL, as one Catalyst expression tree:
 
@@ -116,25 +145,12 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
-    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
-    hostport = F.regexp_replace(hostport, r"^www\.", "")
-    hostport = F.when(
-        scheme == "http", F.regexp_replace(hostport, r":80$", "")
-    ).when(
-        scheme == "https", F.regexp_replace(hostport, r":443$", "")
-    ).otherwise(hostport)
+    hostport = normalized_hostport(scheme, rest)
     pathq = F.regexp_replace(rest, r"^[^/?]+", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
-        )
-    )
-    qs = F.array_join(params, "&")
+    qs = F.array_join(surviving_query_params(query), "&")
     return F.concat(
         scheme, F.lit("://"), hostport, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),

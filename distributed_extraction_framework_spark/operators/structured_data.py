@@ -249,6 +249,7 @@ def extract_jsonld(
     :func:`_scan_page_blocks`; :func:`web_page_triples` rewrites them to
     provenance edges in the same projection that consumes the triples.
     """
+    _check_keep_cols(keep_cols, ("id", "subj", "pred", "obj", "obj_kind"))
     blocks = (
         df.select(
             F.col(id_col).alias("id"), *keep_cols,
@@ -623,7 +624,9 @@ def extract_tables(
                 F.posexplode(cells).alias("col_idx", "_c"))
         .select(
             "id", "table_idx", "row_idx", "col_idx",
-            (F.col("_c.0") == "h").alias("is_header"),
+            # lower(): CELL_RE matches (?i) but the capture keeps the
+            # page's case — '<TH>' captures 'H' (code-review r5 wave-3 #2)
+            (F.lower(F.col("_c.0")) == "h").alias("is_header"),
             F.trim(F.regexp_replace(F.col("_c.1"), TAG_STRIP_RE, ""))
             .alias("cell"),
             *keep_cols,
@@ -786,9 +789,17 @@ def table_triples(
     hdr = F.try_element_at(F.col("_rows"), F.lit(1))
     hdr_ok = (
         (F.size(F.col("_hdr_cells")) > 0)
-        # a first row is a pure header iff every cell tag letter is 'h'
+        # a first row is a pure header iff every cell tag letter is 'h';
+        # lower() the captures — '<TD>' captures 'D' and would dodge the
+        # 'd' test, misclassifying a data row as a header (code-review
+        # r5 wave-3 #2)
         & ~F.array_contains(
-            F.regexp_extract_all(hdr, F.lit(CELL_RE), F.lit(1)), "d")
+            F.transform(
+                F.regexp_extract_all(hdr, F.lit(CELL_RE), F.lit(1)),
+                F.lower,
+            ),
+            "d",
+        )
     )
     pred_raw = F.element_at(F.col("_hdrs"), F.col("col_idx") + 1)
     return (
@@ -851,8 +862,17 @@ def host_graph(
         df, html_col=html_col, id_col=id_col, keep_cols=(url_col,)
     )
     src = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    # protocol-relative links ('//other.com/x') name a CROSS-host target
+    # even though HOST_RE (scheme-anchored) misses them; without this
+    # branch they rolled into the page's own host as phantom self-edges
+    # (code-review r5 wave-3 #8)
+    dst_proto_rel = F.regexp_extract(F.col("href"), r"^//([^/?#]+)", 1)
     dst_abs = F.regexp_extract(F.col("href"), HOST_RE, 1)
-    dst = F.when(dst_abs != "", dst_abs).otherwise(src)
+    dst = (
+        F.when(dst_abs != "", dst_abs)
+        .when(dst_proto_rel != "", dst_proto_rel)
+        .otherwise(src)
+    )
     return (
         links.select(src.alias("src_host"), dst.alias("dst_host"))
         .filter(F.col("src_host") != "")

@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 from .redirects import transitive_closure
-from .scrub import TRACKING_PARAM_RE
+from .scrub import TRACKING_PARAM_RE  # noqa: F401  (re-export for callers)
+from .scrub import normalized_hostport as _normalized_hostport
+from .scrub import surviving_query_params as _surviving_query_params
 from .structured_data import HREF_ATTR_RE, LINK_TAG_RE, _html_str
 
 # rel values are matched as the WHOLE single-valued attribute for
@@ -88,16 +90,11 @@ def surt_key(url: Column) -> Column:
     u = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
-    # userinfo dropped (RFC 3986 §3.2.1) — and a numeric password must
-    # not be mistaken for a port by the split below
-    hostport = F.regexp_replace(hostport, r"^[^@]*@", "")
-    hostport = F.regexp_replace(hostport, r"^www\.", "")
-    hostport = F.when(
-        scheme == "http", F.regexp_replace(hostport, r":80$", "")
-    ).when(
-        scheme == "https", F.regexp_replace(hostport, r":443$", "")
-    ).otherwise(hostport)
+    # shared normalization with scrub.canonical_url — ONE source of
+    # truth for page identity (code-review r5 wave-3 #10); userinfo
+    # dropping also keeps a numeric password from being mistaken for a
+    # port by the split below
+    hostport = _normalized_hostport(scheme, rest)
     host = F.regexp_extract(hostport, r"^([^:]*)", 1)
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
@@ -109,13 +106,7 @@ def surt_key(url: Column) -> Column:
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
-        )
-    )
-    qs = F.array_join(params, "&")
+    qs = F.array_join(_surviving_query_params(query), "&")
     return F.concat(
         keyhost, F.lit(")"), path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
@@ -165,8 +156,11 @@ def cdx_index(
             F.substring(F.ltrim(h), 1, 1) == "<", F.lit("text/html")
         ).otherwise(F.lit("text/plain"))
     )
+    # try_cast: the standard CDX placeholder status '-' (or any garbage
+    # status string) must degrade to NULL, not throw under ANSI mode
+    # (code-review r5 wave-3 #4)
     status = (
-        F.col(status_col).cast("int") if status_col else F.lit(200)
+        F.col(status_col).try_cast("int") if status_col else F.lit(200)
     )
     return df.select(
         surt_key(F.col(url_col)).alias("surt"),
@@ -189,10 +183,17 @@ def write_cdx(cdx: DataFrame, path: str, num_files: int = 32) -> None:
         cdx.repartitionByRange(num_files, "surt", "ts")
         .sortWithinPartitions("surt", "ts")
         .select(
+            # concat_ws SKIPS nulls — a null field would shift every
+            # later column and corrupt fixed-position CDX parsing, so
+            # null fields take the CDX '-' placeholder (code-review r5
+            # wave-3 #7)
             F.concat_ws(
-                " ", "surt", "ts", "url", "mime",
-                F.col("status").cast("string"), "digest",
-                F.col("length").cast("string"),
+                " ",
+                *[F.coalesce(c.cast("string"), F.lit("-")) for c in (
+                    F.col("surt"), F.col("ts"), F.col("url"),
+                    F.col("mime"), F.col("status"), F.col("digest"),
+                    F.col("length"),
+                )],
             ).alias("value")
         )
         .write.mode("overwrite")
@@ -303,11 +304,21 @@ def hreflang_clusters(
         lambda t: t.rlike(REL_ALTERNATE_WORD_RE)
         & t.rlike(HREFLANG_PRESENT_RE),
     )
-    hrefs = F.filter(
-        F.transform(alt, lambda t: F.regexp_extract(t, HREF_ATTR_RE, 1)),
-        lambda x: x != "",
-    )
     url = F.col(url_col)
+    # resolve against the page URL before clustering: a RAW relative
+    # alternate ('/de/') is identical text on unrelated hosts and would
+    # merge their clusters (code-review r5 wave-3 #3); unresolvable
+    # hrefs (protocol-relative, dotted) drop — same _resolve_href subset
+    # as canonical/next links
+    hrefs = F.filter(
+        F.transform(
+            alt,
+            lambda t: _resolve_href(
+                F.regexp_extract(t, HREF_ATTR_RE, 1), url
+            ),
+        ),
+        lambda x: x.isNotNull() & (x != ""),
+    )
     return df.select(
         F.col(id_col).alias("id"),
         url.alias("url"),
@@ -321,7 +332,10 @@ def hreflang_edges(
     url_col: str = "url",
     html_col: str = "html",
 ) -> DataFrame:
-    """(url, hreflang, href) — one row per declared alternate."""
+    """(url, hreflang, href) — one row per declared alternate; ``href``
+    is resolved against the page URL (root-relative alternates would
+    otherwise never match in :func:`hreflang_reciprocity`'s equi-join —
+    code-review r5 wave-3 #3); unresolvable hrefs drop."""
     h = F.coalesce(_html_str(df, html_col), F.lit(""))
     tag = F.col("_tag")
     return (
@@ -342,9 +356,11 @@ def hreflang_edges(
                     tag, r"""(?is)\bhreflang\s*=\s*["']([^"']+)["']""", 1
                 )
             ).alias("hreflang"),
-            F.regexp_extract(tag, HREF_ATTR_RE, 1).alias("href"),
+            _resolve_href(
+                F.regexp_extract(tag, HREF_ATTR_RE, 1), F.col("url")
+            ).alias("href"),
         )
-        .filter(F.col("href") != "")
+        .filter(F.col("href").isNotNull() & (F.col("href") != ""))
     )
 
 
@@ -445,9 +461,21 @@ def fetch_schedule(
     key; the window functions are single-pass so a mega-host costs one
     linear partition, and the cap bounds what it emits. ``delays`` is
     host-cardinality → broadcast."""
+    # politeness keys on the PHYSICAL host: strip userinfo and the
+    # scheme-default port like surt_key/canonical_url, or
+    # 'user@example.com' and 'example.com:443' get independent slot
+    # sequences (three parallel t=0 fetches against one box) and miss
+    # the robots-derived delays join (code-review r5 wave-3 #5)
+    scheme = F.lower(F.regexp_extract(F.col(url_col), _SCHEME_RE, 1))
     host = F.lower(
         F.regexp_extract(F.col(url_col), _SCHEME_RE + r"([^/?#]+)", 2)
     )
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
     if priority_col is not None:
         df = frontier.select(
             F.col(url_col).alias("url"), F.col(priority_col).alias("_prio")

@@ -171,9 +171,27 @@ def robots_admission(
     by robots.txt size, so the fan-out is a small constant), and one
     ``max(struct(...))`` argmax per URL collapses it — map-side
     partial agg, no window, frontier never self-joins."""
-    host = F.regexp_extract(
-        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+    # parse_robots lowercases stored agent names; match case-insensitively
+    # or agent='MyBot' silently falls back to the '*' group (code-review
+    # r5 wave-3 #6)
+    agent = agent.lower()
+    # physical-host identity, like fetch_schedule/surt_key: lowercase,
+    # strip userinfo and the scheme-default port — or
+    # 'https://user@example.com/...' silently dodges example.com's rules
+    # by never matching the rules join (found driving the verify pass
+    # after code-review r5 wave-3 #5)
+    scheme_c = F.lower(
+        F.regexp_extract(F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+    ))
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.when(
+        scheme_c == "http", F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme_c == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
     path0 = F.regexp_extract(
         F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
     )
@@ -198,9 +216,13 @@ def robots_admission(
     )
     joined = urls.join(grp, "_host", "left").withColumn(
         "_match",
-        F.col("rule_path").isNotNull()
-        & ((F.col("rule_path") == "")
-           | F.col("_path").startswith(F.col("rule_path"))),
+        # RFC 9309: an EMPTY-value rule matches NO path — the ubiquitous
+        # permissive idiom "Disallow:" (empty) means allow-all, and
+        # treating it as match-all blocked entire hosts (code-review r5
+        # wave-3 #1). startswith('') is true for every path, so the
+        # emptiness test must EXCLUDE, not short-circuit to match.
+        F.col("rule_path").isNotNull() & (F.col("rule_path") != "")
+        & F.col("_path").startswith(F.col("rule_path")),
     )
     best = (
         joined.groupBy("url")
@@ -239,6 +261,7 @@ def crawl_delays(rules: DataFrame, agent: str = "*") -> DataFrame:
     plus a ``host`` column; everything here is host-cardinality — one
     broadcast of the has-specific flags and one map-side-combined max.
     """
+    agent = agent.lower()  # stored agent names are lowercased (wave-3 #6)
     r = (
         rules.filter(F.col("directive") == "crawl-delay")
         .select(

@@ -153,3 +153,74 @@ def test_crawl_delays_shadowing_and_hostile_values(spark):
     got = {r["host"]: r["crawl_delay"]
            for r in crawl_delays(rules, agent="bot").collect()}
     assert got == {"a": 3.0, "b": 1.5}
+
+
+def test_robots_empty_disallow_allows_all(spark):
+    """RFC 9309: 'Disallow:' with an EMPTY value matches no path — the
+    ubiquitous permissive idiom must not block the host (code-review r5
+    wave-3 #1); an empty Allow likewise matches nothing."""
+    from distributed_extraction_framework_spark.sources.frontier import (
+        parse_robots, robots_admission,
+    )
+
+    from pyspark.sql import functions as F
+
+    txt = spark.createDataFrame(
+        [(0, "User-agent: *\nDisallow:")], "page_id long, text string"
+    )
+    rules = parse_robots(txt).withColumn("host", F.lit("h1"))
+    frontier = spark.createDataFrame(
+        [("https://h1/any/page",), ("https://h1/",)], "url string"
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_admission(frontier, rules).collect()}
+    assert got == {"https://h1/any/page": True, "https://h1/": True}
+
+
+def test_robots_agent_case_insensitive(spark):
+    """agent='MyBot' must match the lowercased stored group
+    (code-review r5 wave-3 #6), for admission AND crawl delays."""
+    from distributed_extraction_framework_spark.sources.frontier import (
+        crawl_delays, robots_admission,
+    )
+
+    rules = spark.createDataFrame(
+        [("h1", "mybot", "disallow", "/p"),
+         ("h1", "*", "disallow", "/"),
+         ("h1", "mybot", "crawl-delay", "7"),
+         ("h1", "*", "crawl-delay", "1")],
+        "host string, agent string, directive string, value string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://h1/p/x",), ("https://h1/open",)], "url string"
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_admission(frontier, rules, agent="MyBot")
+           .collect()}
+    # the specific group applies (and shadows the * catch-all disallow)
+    assert got == {"https://h1/p/x": False, "https://h1/open": True}
+    d = crawl_delays(rules, agent="MyBot").collect()[0]
+    assert d["crawl_delay"] == 7.0
+
+
+def test_robots_admission_host_identity(spark):
+    """userinfo / default-port URL variants must still match their
+    host's rules (found driving the verify pass after wave-3 #5)."""
+    from distributed_extraction_framework_spark.sources.frontier import (
+        robots_admission,
+    )
+
+    rules = spark.createDataFrame(
+        [("example.com", "*", "disallow", "/private")],
+        "host string, agent string, directive string, value string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://user@example.com/private/x",),
+         ("https://EXAMPLE.com:443/private/y",),
+         ("https://example.com/open",)], "url string"
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_admission(frontier, rules).collect()}
+    assert got["https://user@example.com/private/x"] is False
+    assert got["https://EXAMPLE.com:443/private/y"] is False
+    assert got["https://example.com/open"] is True

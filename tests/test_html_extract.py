@@ -527,3 +527,60 @@ def test_table_channel_plan_zero_shuffle(spark):
     plan = (_table_channel(df, "html", "page_id", "url")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_table_uppercase_cells_classified(spark):
+    """(?i) regexes keep the page's capture case: '<TD>' captures 'D'
+    and must still be recognized as a data cell, '<TH>' as a header
+    (code-review r5 wave-3 #2)."""
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_tables, table_triples,
+    )
+
+    html = ("<TABLE><TR><TD>Nav</TD><TD>Login</TD></TR>"
+            "<TR><TD>x</TD><TD>y</TD></TR></TABLE>"
+            "<TABLE><TR><TH>K</TH></TR><TR><TD>v</TD></TR></TABLE>")
+    df = spark.createDataFrame([(1, "https://p/u", html)],
+                               ["page_id", "url", "html"])
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in table_triples(df).collect()}
+    # table 0 (pure-TD first row) is NOT header-keyed; table 1 is
+    assert got == {("https://p/u#table1-row1", "K", "v")}
+    cells = extract_tables(df).collect()
+    headers = {(r["table_idx"], r["row_idx"]) for r in cells
+               if r["is_header"]}
+    assert headers == {(1, 0)}
+
+
+def test_host_graph_protocol_relative_links(spark):
+    """'//other.com/x' is a cross-host link, not a self-edge
+    (code-review r5 wave-3 #8)."""
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        host_graph,
+    )
+
+    html = ('<a href="//b.example/x">b</a>'
+            '<a href="/local">me</a>'
+            '<a href="https://c.example/y">c</a>')
+    df = spark.createDataFrame([(1, "https://a.example/p", html)],
+                               ["page_id", "url", "html"])
+    got = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in host_graph(df).collect()}
+    assert got == {("a.example", "b.example"): 1,
+                   ("a.example", "a.example"): 1,
+                   ("a.example", "c.example"): 1}
+
+
+def test_extract_jsonld_keep_cols_guard(spark):
+    """keep_cols colliding with output columns must fail fast
+    (code-review r5 wave-3 #9)."""
+    import pytest as _pytest
+
+    from distributed_extraction_framework_spark.operators.structured_data import (
+        extract_jsonld,
+    )
+
+    df = spark.createDataFrame([(1, "<p>x</p>", "s")],
+                               ["page_id", "html", "subj"])
+    with _pytest.raises(ValueError):
+        extract_jsonld(df, keep_cols=("subj",))

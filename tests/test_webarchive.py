@@ -421,3 +421,64 @@ def test_crawl_loop_two_cycles_file_urls(spark, tmp_path):
     assert seen_urls == {f"file://{site}/{n}"
                          for n in ("seed.html", "a.html", "b.html",
                                    "c.html")}
+
+
+def test_cdx_status_placeholder_and_null_ts(spark, tmp_path):
+    """A '-' status must not throw under ANSI mode (try_cast → NULL),
+    and a null field renders as the CDX '-' placeholder instead of
+    silently shifting columns (code-review r5 wave-3 #4/#7)."""
+    import glob
+
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        cdx_index, write_cdx,
+    )
+
+    rows = [("https://a.example/p", None, b"<html>x</html>", "-")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, status string"
+    )
+    cdx = cdx_index(df, status_col="status")
+    rec = cdx.collect()[0]
+    assert rec["status"] is None and rec["ts"] is None
+    out = str(tmp_path / "cdx")
+    write_cdx(cdx, out, num_files=1)
+    lines = [ln for p in sorted(glob.glob(out + "/part-*"))
+             for ln in open(p).read().splitlines()]
+    assert len(lines) == 1
+    fields = lines[0].split(" ")
+    assert len(fields) == 7            # no column shift
+    assert fields[1] == "-" and fields[4] == "-"
+
+
+def test_hreflang_relative_alternates_resolve_not_collide(spark):
+    """Raw relative alternates must not merge clusters across unrelated
+    hosts (code-review r5 wave-3 #3)."""
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        hreflang_clusters,
+    )
+
+    alt = ('<link rel="alternate" hreflang="de" href="/de/">')
+    rows = [("https://a.example/x", alt), ("https://b.example/y", alt)]
+    df = spark.createDataFrame(rows, "url string, html string")
+    df = df.withColumn("page_id", F.xxhash64("url"))
+    got = {r["url"]: r["cluster_id"]
+           for r in hreflang_clusters(df).collect()}
+    assert got["https://a.example/x"] == "https://a.example/de/"
+    assert got["https://b.example/y"] == "https://b.example/de/"
+    assert got["https://a.example/x"] != got["https://b.example/y"]
+
+
+def test_fetch_schedule_host_identity(spark):
+    """userinfo and scheme-default ports collapse to one politeness
+    partition (code-review r5 wave-3 #5)."""
+    from distributed_extraction_framework_spark.operators.webarchive import (
+        fetch_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://example.com/a",), ("https://user@example.com/b",),
+         ("https://example.com:443/c",)], "url string"
+    )
+    got = fetch_schedule(frontier).collect()
+    assert {r["host"] for r in got} == {"example.com"}
+    assert sorted(r["slot"] for r in got) == [0, 1, 2]
