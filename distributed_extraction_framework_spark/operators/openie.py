@@ -52,6 +52,14 @@ HEARST_PATTERNS = [
 ]
 
 COPULA_PATTERN = f"({NP}) (?:is|was|are|were) (?:a|an|the) ([a-z]+(?: [a-z]+)?)"
+# the greedy 2-word object captures a trailing function word ('Paris is
+# a city in France' → 'city in'); the RE2-portable fix (no lookahead in
+# the DuckDB-mirrored grammar) strips it AFTER extraction — both the
+# Spark path and the oracle SQL apply this same pattern (code-review r5
+# wave-4 #9)
+COPULA_OBJ_STRIP = (
+    " (?:in|of|for|on|at|by|with|from|as|to|and|or|that|which|who)$"
+)
 
 
 def _matches(df: DataFrame, id_col: str, text_col: str, pattern: str) -> DataFrame:
@@ -107,7 +115,10 @@ def copula_facts(
     return m.select(
         id_col,
         F.regexp_extract("_m", COPULA_PATTERN, 1).alias("subj"),
-        F.regexp_extract("_m", COPULA_PATTERN, 2).alias("obj"),
+        F.regexp_replace(
+            F.regexp_extract("_m", COPULA_PATTERN, 2),
+            COPULA_OBJ_STRIP, "",
+        ).alias("obj"),
     )
 
 

@@ -92,6 +92,7 @@ def sdtype_infer(
     types: DataFrame,
     min_score: float = 0.0,
     use_inverse: bool = True,
+    resource_obj_pattern: str | None = None,
 ) -> DataFrame:
     """Type completion for untyped entities → ``(entity, cls, score)``,
     the best-scoring class per untyped entity (SDType — Paulheim &
@@ -114,10 +115,20 @@ def sdtype_infer(
     broadcastable); scoring is one broadcast join + one groupBy on the
     entity key. Nothing is pairwise in entities.
     """
+    # inverse-feature gate: which objects count as ENTITIES. Null
+    # datatype/lang is necessary but NOT sufficient — several producers
+    # (e.g. plans/webkg) emit PLAIN literals with both null, and a
+    # literal that equals a real entity label would merge votes with it
+    # (code-review r5 wave-4 #2). Pass resource_obj_pattern (e.g.
+    # '^https?://' for a web KG whose entities are IRIs) to add the
+    # decisive shape test; the default stays None because entity ids are
+    # not IRIs in every graph (e.g. curie-style ids).
     res_obj = F.col("datatype").isNull() if "datatype" in quads.columns \
         else F.lit(True)
     if "lang" in quads.columns:
         res_obj = res_obj & F.col("lang").isNull()
+    if resource_obj_pattern is not None:
+        res_obj = res_obj & F.col("obj").rlike(resource_obj_pattern)
     feats = quads.select(F.col("subj").alias("entity"), "pred")
     if use_inverse:
         feats = feats.unionByName(

@@ -42,19 +42,28 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    # the right row travels as ONE struct so last(ignorenulls) picks the
+    # latest right ROW atomically — carrying each column independently
+    # mixed values from different right rows whenever the latest row had
+    # a NULL column (code-review r5 wave-4 #1: merge_asof returns the
+    # latest row as-is, NULLs included)
+    rrow = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(right_ts).alias("__ts"),
+    )
     l_tag = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None).cast(
+            right.select(rrow.alias("_rrow")).schema["_rrow"].dataType
+        ).alias("_rrow"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(right_ts).alias("_r_ts"),
+        rrow.alias("_rrow"),
     )
     w = (
         Window.partitionBy("_k")
@@ -63,14 +72,13 @@ def asof_join(
     )
     carried = l_tag.unionByName(r_tag).select(
         "_k", "_ts", "_side", "_lrow",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in right_cols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_crow"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c_{c}").alias(c + suffix if c in left.columns else c)
+        *[F.col(f"_crow.{c}").alias(c + suffix if c in left.columns else c)
           for c in right_cols],
-        F.col("_c_ts").alias(right_ts + suffix),
+        F.col("_crow.__ts").alias(right_ts + suffix),
     )
     return out
 
@@ -91,6 +99,11 @@ def range_join(
     wide-interval skew is bounded because an interval replicates into
     width/bucket_width buckets and AQE splits hot buckets.
     """
+    # inverted/empty intervals (end <= start) match no point under
+    # start <= p < end, but an inverted one would make F.sequence emit a
+    # DESCENDING billion-element array (job failure) and poison the
+    # avg-width default — drop them up front (code-review r5 wave-4 #4)
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     if bucket_width is None:
         stats = intervals.agg(
             F.avg(F.col(end_col) - F.col(start_col)).alias("w")
@@ -126,7 +139,30 @@ def hypertable_rollup(
     tiers: tuple[str, ...] = ("5 minutes", "1 hour", "1 day"),
 ) -> dict[str, DataFrame]:
     """Multi-resolution continuous aggregates: tier k+1 reads tier k's
-    partials (count/sum/min/max compose; avg derives at read time)."""
+    partials (count/sum/min/max compose; avg derives at read time).
+
+    Each coarser tier must be an integer MULTIPLE of the previous one —
+    rolling up partials is only exact when fine buckets nest inside
+    coarse windows; a straddling bucket (e.g. 7 min into 1 hour) would
+    be credited entirely to the window containing its start, silently
+    mis-counting (code-review r5 wave-4 #7) — so non-nesting tiers
+    raise instead.
+    """
+    _UNIT_S = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+               "week": 604800}
+
+    def _secs(d: str) -> int:
+        n, unit = d.strip().split()
+        return int(n) * _UNIT_S[unit.rstrip("s")]
+
+    sizes = [_secs(t) for t in tiers]
+    for prev, cur_s, t in zip(sizes, sizes[1:], tiers[1:]):
+        if cur_s % prev != 0:
+            raise ValueError(
+                f"tier {t!r} ({cur_s}s) is not a multiple of the previous "
+                f"tier ({prev}s): fine buckets would straddle coarse "
+                f"windows and the rollup would mis-count"
+            )
     out: dict[str, DataFrame] = {}
     cur = events.groupBy(
         F.window(ts_col, tiers[0]).alias("win"), *group_cols

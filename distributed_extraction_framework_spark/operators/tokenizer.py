@@ -154,11 +154,39 @@ def bpe_train(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    spark = docs.sparkSession
+
+    # DataFrame.unpersist() does NOT free localCheckpoint blocks (it
+    # clears cacheManager entries, not the checkpoint RDD's storage), so
+    # a long training run accumulated one vocabulary-sized block set per
+    # iteration until JVM GC happened to collect the dead RDDs
+    # (code-review r5 wave-4 #10). The checkpoint RDD is tracked by id at
+    # creation and its blocks are dropped EXPLICITLY once the next
+    # iteration's checkpoint is eagerly materialized (the old vocab is
+    # never read again, so losing its blocks is safe).
+    def _persistent_ids() -> set[int]:
+        conv = spark._jvm.scala.collection.JavaConverters \
+            .mapAsJavaMapConverter(
+                spark.sparkContext._jsc.sc().getPersistentRDDs()
+            ).asJava()
+        return {int(k) for k in conv.keySet().toArray()}
+
+    def _drop_blocks(ids: set[int]) -> None:
+        conv = spark._jvm.scala.collection.JavaConverters \
+            .mapAsJavaMapConverter(
+                spark.sparkContext._jsc.sc().getPersistentRDDs()
+            ).asJava()
+        for k in list(conv.keySet().toArray()):
+            if int(k) in ids:
+                conv.get(k).unpersist(False)
+
+    before = _persistent_ids()
     vocab = (
         word_counts(docs, text_col, min_parallelism)
         .withColumn("syms", _initial_symbols(F.col("word")))
         .localCheckpoint(eager=True)
     )
+    vocab_ids = _persistent_ids() - before
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (
@@ -174,12 +202,14 @@ def bpe_train(
         # re-pin every iteration: keeps the fold expression depth at 1
         # regardless of merge count (32k merges would otherwise nest 32k
         # aggregate() layers into one plan)
+        before = _persistent_ids()
         nxt = vocab.withColumn(
             "syms", _apply_merge(F.col("syms"), lhs, rhs)
         ).localCheckpoint(eager=True)
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+        nxt_ids = _persistent_ids() - before
+        _drop_blocks(vocab_ids)
+        vocab, vocab_ids = nxt, nxt_ids
+    _drop_blocks(vocab_ids)
     return merges
 
 

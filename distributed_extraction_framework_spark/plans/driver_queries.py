@@ -7516,12 +7516,13 @@ def q_copula_isa(spark, sf_dir):
 
 
 def _copula_oracle_sql() -> str:
+    from ..operators.openie import COPULA_OBJ_STRIP as ST
     from ..operators.openie import COPULA_PATTERN as CP
 
     return f"""{_openie_oracle_prefix()},
 m AS (SELECT doc_id, unnest(regexp_extract_all(text, '{CP}')) AS m FROM t)
 SELECT doc_id, regexp_extract(m, '{CP}', 1) AS subj,
-       regexp_extract(m, '{CP}', 2) AS obj
+       regexp_replace(regexp_extract(m, '{CP}', 2), '{ST}', '') AS obj
 FROM m"""
 
 

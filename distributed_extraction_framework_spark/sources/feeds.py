@@ -27,8 +27,17 @@ _ENTRY_RE = r"(?is)<entry\b[^>]*>(.*?)</entry>"
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 # RSS <link> carries the URL as TEXT; Atom <link> carries it as an href
 # attribute (and is usually self-closing).
-_RSS_LINK_RE = r"(?is)<link[^>]*>([^<]+)</link>"
-_ATOM_LINK_RE = r"""(?is)<link\b[^>]*\bhref\s*=\s*["']([^"']+)["']"""
+# RSS capture is (.*?) not [^<]+ — a CDATA-wrapped link starts with '<'
+# and would silently drop the entry (code-review r5 wave-4 #5); _unwrap
+# strips the wrapper after extraction.
+_RSS_LINK_RE = r"(?is)<link[^>]*>(.*?)</link>"
+# Atom: the entry URL is the link with rel="alternate" — or no rel at
+# all (the spec default). Taking the FIRST href regardless of rel
+# returned rel="replies"/"self" URLs on Blogger-style feeds
+# (code-review r5 wave-4 #6), so link TAGS are filtered by rel first.
+_ATOM_LINK_TAG_RE = r"(?is)<link\b[^>]*>"
+_ATOM_REL_RE = r"""(?is)\brel\s*=\s*["']([^"']*)["']"""
+_HREF_RE = r"""(?is)\bhref\s*=\s*["']([^"']+)["']"""
 _GUID_RE = r"(?is)<guid[^>]*>(.*?)</guid>"
 _ATOM_ID_RE = r"(?is)<id[^>]*>(.*?)</id>"
 _PUBDATE_RE = r"(?is)<pubdate[^>]*>(.*?)</pubdate>"
@@ -67,14 +76,24 @@ def parse_feeds(
     x = F.coalesce(F.col(xml_col).cast("string"), F.lit(""))
 
     def blocks(
-        pattern: str, kind: str, link_re: str, id_re: str, ts_re: str
+        pattern: str, kind: str, id_re: str, ts_re: str
     ) -> DataFrame:
         b = F.col("_b")
-        link = (
-            F.trim(F.regexp_extract(b, link_re, 1))
-            if kind == "rss"
-            else F.regexp_extract(b, link_re, 1)
-        )
+        if kind == "rss":
+            link = _unwrap(F.regexp_extract(b, _RSS_LINK_RE, 1))
+        else:
+            cand = F.filter(
+                F.regexp_extract_all(b, F.lit(_ATOM_LINK_TAG_RE), F.lit(0)),
+                lambda t: F.lower(F.regexp_extract(t, _ATOM_REL_RE, 1))
+                .isin("alternate", ""),
+            )
+            # try_element_at: an entry with only rel="self"/"replies"
+            # links has an EMPTY candidate array, and plain element_at
+            # throws under ANSI mode
+            link = F.regexp_extract(
+                F.coalesce(F.try_element_at(cand, F.lit(1)), F.lit("")),
+                _HREF_RE, 1,
+            )
         rows = (
             df.select(
                 F.col(id_col).alias("id"),
@@ -103,7 +122,6 @@ def parse_feeds(
             "title", "link", "entry_id", "ts_raw",
         )
 
-    return blocks(_ITEM_RE, "rss", _RSS_LINK_RE, _GUID_RE, _PUBDATE_RE
-                  ).unionByName(
-        blocks(_ENTRY_RE, "atom", _ATOM_LINK_RE, _ATOM_ID_RE, _UPDATED_RE)
+    return blocks(_ITEM_RE, "rss", _GUID_RE, _PUBDATE_RE).unionByName(
+        blocks(_ENTRY_RE, "atom", _ATOM_ID_RE, _UPDATED_RE)
     )

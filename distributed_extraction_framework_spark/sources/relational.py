@@ -60,13 +60,24 @@ def _lexical(col: Column, dt: T.DataType) -> Column:
     return col.cast("string")
 
 
+def _iri_safe(col: Column) -> Column:
+    """Percent-encode a value embedded in a row/FK IRI (W3C Direct
+    Mapping §7.2 percent-encodes key values). ``url_encode`` is
+    form-encoding (space → '+'), so '+' is rewritten to '%20' after —
+    '+' itself encodes to '%2B' first, so the rewrite is unambiguous.
+    Without this, values containing ';'/'=' made DIFFERENT composite-key
+    rows concatenate to the SAME subject IRI, silently fusing their
+    triples (code-review r5 wave-4 #8)."""
+    return F.regexp_replace(F.url_encode(col.cast("string")), r"\+", "%20")
+
+
 def _row_subject(base: str, table: str, pk: list[str]) -> Column:
     parts: list[Column] = [F.lit(f"{base}{table}/")]
     for i, k in enumerate(pk):
         if i:
             parts.append(F.lit(";"))
         parts.append(F.lit(f"{k}="))
-        parts.append(F.col(k).cast("string"))
+        parts.append(_iri_safe(F.col(k)))
     return F.concat(*parts)
 
 
@@ -86,6 +97,14 @@ def direct_map(
     """
     pk_cols = [pk] if isinstance(pk, str) else list(pk)
     fks = fks or {}
+    # rows with a NULL primary-key column have no subject (concat
+    # null-propagates) and previously emitted (NULL, pred, obj) rows —
+    # invalid RDF (code-review r5 wave-4 #3). The spec maps keyless rows
+    # to fresh blank nodes; a deterministic, engine-portable subset of
+    # that is to DROP them (fresh bnodes are per-ROW identities that a
+    # re-run could not reproduce), documented here.
+    for k in pk_cols:
+        df = df.where(F.col(k).isNotNull())
     subj = _row_subject(base, table, pk_cols)
     pieces: list[DataFrame] = []
     for field in df.schema.fields:
@@ -96,7 +115,7 @@ def direct_map(
             ref_table, ref_pk = fks[c]
             obj = F.concat(
                 F.lit(f"{base}{ref_table}/{ref_pk}="),
-                F.col(c).cast("string"),
+                _iri_safe(F.col(c)),
             )
             pieces.append(
                 df.where(F.col(c).isNotNull()).select(

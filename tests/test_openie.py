@@ -67,3 +67,16 @@ def test_nil_clusters(spark, docs):
     assert got["unknown thing"].n_mentions == 2
     assert got["unknown thing"].n_docs == 1
     assert "flink core" in got and "python lang" in got
+
+
+def test_copula_object_strips_trailing_function_word(spark):
+    """'Paris is a city in France' must yield obj 'city', not 'city in'
+    (code-review r5 wave-4 #9)."""
+    df = spark.createDataFrame(
+        [(1, "Paris is a city in France. Spark is a tool for data.")],
+        "doc_id long, text string",
+    )
+    got = {(r.subj, r.obj) for r in copula_facts(df).collect()}
+    assert ("Paris", "city") in got
+    assert ("Spark", "tool") in got
+    assert not any(o.endswith((" in", " for")) for _, o in got)

@@ -414,3 +414,28 @@ def test_direct_mapping_composite_key(spark):
     df = spark.createDataFrame([(1, 2, "v")], "a int, b int, c string")
     out = direct_map(df, "t", pk=["a", "b"], base="http://x/")
     assert out.first()["subj"] == "http://x/t/a=1;b=2"
+
+
+def test_direct_mapping_null_pk_and_iri_encoding(spark):
+    """Rows with a NULL pk emit nothing (no NULL-subject triples), and
+    values embedding ';'/'='/' ' percent-encode so distinct composite
+    keys cannot collide (code-review r5 wave-4 #3/#8)."""
+    from distributed_extraction_framework_spark.sources.relational import (
+        direct_map,
+    )
+
+    df = spark.createDataFrame(
+        [("x;b=1", "2", "v1"), ("x", "1;b=2", "v2"), (None, "9", "v3"),
+         ("New York", "1", "v4")],
+        "a string, b string, val string",
+    )
+    out = direct_map(df, "t", pk=["a", "b"], base="http://e/")
+    subs = {r["subj"] for r in out.collect()}
+    assert None not in subs
+    assert not any(r["subj"] is None for r in out.collect())
+    # the two ;=-bearing rows stay DISTINCT subjects
+    assert "http://e/t/a=x%3Bb%3D1;b=2" in subs
+    assert "http://e/t/a=x;b=1%3Bb%3D2" in subs
+    assert "http://e/t/a=New%20York;b=1" in subs
+    # null-pk row contributed nothing at all
+    assert not any(r["obj"] == "v3" for r in out.collect())

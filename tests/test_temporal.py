@@ -113,3 +113,46 @@ def test_hypertable_rollup_consistency(spark, duck):
     h = tiers["1 hour"].agg(F.sum("n")).collect()[0][0]
     d = tiers["1 day"].agg(F.sum("n")).collect()[0][0]
     assert h == d == ev.count()
+
+
+def test_asof_join_latest_row_atomic(spark):
+    """merge_asof returns the latest right ROW as-is: a NULL column in
+    that row must stay NULL, not backfill from an older row
+    (code-review r5 wave-4 #1)."""
+    left = spark.createDataFrame([(1, 30.0)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10.0, 1, 2), (1, 20.0, 5, None)],
+        "k long, ts double, a int, b int",
+    )
+    row = TP.asof_join(left, right, key="k").collect()[0]
+    assert (row["a"], row["b"], row["ts_right"]) == (5, None, 20.0)
+
+
+def test_range_join_inverted_interval_dropped(spark):
+    """An inverted interval (end < start) matches nothing and must not
+    explode a descending sequence or poison the default bucket width
+    (code-review r5 wave-4 #4)."""
+    points = spark.createDataFrame([(5.0,)], ["p"])
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0, "ok"), (1.7e9, 0.0, "bad")],
+        "start double, end double, tag string",
+    )
+    got = [r["tag"] for r in
+           TP.range_join(points, intervals, point_col="p").collect()]
+    assert got == ["ok"]
+
+
+def test_hypertable_rollup_rejects_non_nesting_tiers(spark):
+    """7-minute buckets straddle 1-hour windows: the rollup must refuse
+    instead of silently mis-counting (code-review r5 wave-4 #7)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:58:00", "a", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="multiple"):
+        TP.hypertable_rollup(df, tiers=("7 minutes", "1 hour"))
+    # the nesting default chain still works
+    out = TP.hypertable_rollup(df)
+    assert out["1 day"].collect()[0]["n"] == 1

@@ -158,3 +158,19 @@ def test_encode_handles_null_text(spark):
     rows = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, []).collect()}
     assert rows[0] == []
     assert rows[1] == ["l", "o", "w", END]
+
+
+def test_bpe_train_frees_checkpoint_blocks(docs, spark):
+    """Per-iteration localCheckpoint blocks are dropped explicitly —
+    DataFrame.unpersist() alone leaks them until JVM GC (code-review r5
+    wave-4 #10)."""
+    def persistent_ids():
+        conv = spark._jvm.scala.collection.JavaConverters \
+            .mapAsJavaMapConverter(
+                spark.sparkContext._jsc.sc().getPersistentRDDs()
+            ).asJava()
+        return {int(k) for k in conv.keySet().toArray()}
+
+    before = persistent_ids()
+    bpe_train(docs, n_merges=3)
+    assert persistent_ids() - before == set()

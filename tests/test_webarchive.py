@@ -482,3 +482,25 @@ def test_fetch_schedule_host_identity(spark):
     got = fetch_schedule(frontier).collect()
     assert {r["host"] for r in got} == {"example.com"}
     assert sorted(r["slot"] for r in got) == [0, 1, 2]
+
+
+def test_parse_feeds_cdata_link_and_atom_rel(spark):
+    """CDATA-wrapped RSS links unwrap instead of dropping the entry;
+    Atom picks the rel='alternate' (or rel-less) link, not the first
+    href in document order (code-review r5 wave-4 #5/#6)."""
+    rss = ("<rss><channel><item><title>t</title>"
+           "<link><![CDATA[https://x/a]]></link></item></channel></rss>")
+    atom = ("<feed><entry><title>A</title>"
+            '<link rel="replies" href="https://x/comments"/>'
+            '<link rel="alternate" href="https://x/post"/></entry>'
+            "<entry><title>B</title>"
+            '<link rel="self" href="https://x/self"/></entry>'
+            "</feed>")
+    df = spark.createDataFrame([(0, rss), (1, atom)],
+                               "feed_id long, xml string")
+    got = {(r["id"], r["kind"]): r["link"]
+           for r in parse_feeds(df).collect()}
+    assert got[(0, "rss")] == "https://x/a"
+    assert got[(1, "atom")] == "https://x/post"
+    # entry B has no alternate/rel-less link -> dropped, not mis-linked
+    assert len(got) == 2
