@@ -396,12 +396,22 @@ def html_to_text_series(htmls: pd.Series) -> pd.Series:
     return htmls.map(html_to_text_kernel)
 
 
-def make_parse_page_udf(kernel: str | None = None):
+def make_parse_page_udf(kernel: str | None = None, deterministic: bool = True):
     """Pandas UDF: text → PARSED_PAGE_SCHEMA struct (one parse per page).
 
     ``kernel`` (default ``$SPARK_GRAFT_KERNEL`` or 'fast') selects the
     parse kernel generation — see the PARSE_KERNELS block above. Resolved
-    driver-side at UDF creation, so the choice ships inside the closure."""
+    driver-side at UDF creation, so the choice ships inside the closure.
+
+    ``deterministic=False`` marks the UDF non-deterministic so the
+    optimizer may not duplicate it below an inferred filter (the
+    InferFiltersFromGenerate pattern: ``explode(parsed.infobox)`` infers
+    ``size(parsed.infobox) > 0``, and pushing that filter evaluates the
+    UDF once below it and again in the projection — every page parsed
+    twice). The parse is pure, so results are unchanged; callers whose
+    plan explodes the struct directly (operators/mapping.py) opt in,
+    while extract()'s fused projection (no such filter) keeps the
+    deterministic default and its filter-pushdown freedom."""
     import os
 
     from pyspark.sql.functions import pandas_udf
@@ -425,6 +435,8 @@ def make_parse_page_udf(kernel: str | None = None):
             }
         )
 
+    if not deterministic:
+        parse_page = parse_page.asNondeterministic()
     return parse_page
 
 

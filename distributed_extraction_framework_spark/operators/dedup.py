@@ -361,7 +361,17 @@ def simhash_near_duplicates(
     bands → any pair within Hamming h agrees exactly on ≥1 band →
     candidates = band equi-join; verify with JVM ``bit_count(a ^ b)``.
     """
-    sh = add_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    # materialize the fingerprints ONCE (lazy localCheckpoint): the banded
+    # self-join consumes sh on both sides, and the band-key isnotnull
+    # filter the join infers otherwise duplicates the pandas UDF below and
+    # above the filter (guide §4.4) — 4 ArrowEvalPython evaluations of the
+    # corpus for one fingerprint pass. (id, int64) rows are the cheapest
+    # thing to materialize (guide §8: decide with small rows).
+    sh = (
+        add_simhash(df, text_col)
+        .select(F.col(id_col).alias("id"), "simhash")
+        .localCheckpoint(eager=False)
+    )
     band_structs = F.array(
         *[
             F.struct(

@@ -136,10 +136,16 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
     return df
 
 
-def enrich_pages(prepared: DataFrame, with_parse: bool = True) -> DataFrame:
+def enrich_pages(
+    prepared: DataFrame,
+    with_parse: bool = True,
+    parse_deterministic: bool = True,
+) -> DataFrame:
     """Add the shared extraction intermediates, computed ONCE per page:
     internal-link targets, external links, template names, redirect target,
-    and (optionally) the pandas-UDF structural parse."""
+    and (optionally) the pandas-UDF structural parse.
+    ``parse_deterministic=False``: see wikitext.make_parse_page_udf —
+    for callers whose plans explode ``parsed`` directly."""
     df = (
         prepared.withColumn(
             "ilinks",
@@ -175,7 +181,12 @@ def enrich_pages(prepared: DataFrame, with_parse: bool = True) -> DataFrame:
         )
     )
     if with_parse:
-        df = df.withColumn("parsed", W.make_parse_page_udf()(F.col("text")))
+        df = df.withColumn(
+            "parsed",
+            W.make_parse_page_udf(deterministic=parse_deterministic)(
+                F.col("text")
+            ),
+        )
     return df
 
 

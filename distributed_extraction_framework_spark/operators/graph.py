@@ -373,7 +373,16 @@ def bfs_distances(
     spark = edges.sparkSession
     if isinstance(sources, list):
         sources = spark.createDataFrame([(s,) for s in sources], "uri string")
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    # materialize the cleaned edge set ONCE: every level joins against it,
+    # and without the checkpoint each round re-runs the upstream plan
+    # (regex extraction when the edges come straight from extract()) —
+    # the same loop-invariant treatment pagerank/hits already apply
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     frontier = (
         sources.select(F.col(sources.columns[0]).alias("uri"))
         .distinct()
@@ -920,40 +929,56 @@ def weighted_sssp(
     caller's contract to exclude (Bellman–Ford would need the V−1 bound
     and a negative-cycle check this operator does not implement).
     """
+    from pyspark.sql import Observation
+
     if isinstance(sources, list):
         spark = edges.sparkSession
         sources = spark.createDataFrame([(s,) for s in sources], "uri string")
-    e = edges.select("src", "dst", F.col("w").cast("double"))
-    dist = sources.select("uri", F.lit(0.0).alias("dist")).distinct().localCheckpoint()
-    frontier = dist
+    # loop-invariant edge set materialized once (each round joins it; an
+    # un-checkpointed e would re-run the upstream plan every round)
+    e = edges.select("src", "dst", F.col("w").cast("double")).localCheckpoint()
+    dist = (
+        sources.select("uri", F.lit(0.0).alias("dist"))
+        .distinct()
+        .withColumn("_improved", F.lit(True))
+        .localCheckpoint()
+    )
     for i in range(max_iter + 1):
         if i == max_iter:
             raise RuntimeError(
                 f"weighted_sssp frontier still active after {max_iter} rounds"
             )
+        # ONE action per round (the connected_components observe idiom,
+        # VERDICT r5 #1): the relaxation, the dist merge and the improved
+        # flag all land in a single checkpointed state table whose job
+        # also collects the frontier size — the frontier itself is just a
+        # local filter of the checkpointed state, no extra job, and the
+        # old eager improved-checkpoint + isEmpty + dist-checkpoint
+        # (2-3 actions/round) collapses to one.
+        frontier = dist.where(F.col("_improved")).select("uri", "dist")
         cand = (
             e.join(frontier.withColumnRenamed("uri", "src"), "src")
             .groupBy(F.col("dst").alias("uri"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("d"))
         )
-        improved = (
-            cand.join(dist, "uri", "left")
-            .where(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
-            .select("uri", F.col("d").alias("dist"))
-            .localCheckpoint()
-        )
-        if improved.isEmpty():
-            break
+        obs = Observation()
         dist = (
-            dist.join(improved.withColumnRenamed("dist", "d2"), "uri", "full")
+            dist.select("uri", "dist")
+            .join(cand, "uri", "full")
             .select(
                 "uri",
                 F.least(
-                    F.coalesce("dist", F.col("d2")),
-                    F.coalesce("d2", F.col("dist")),
+                    F.coalesce("dist", F.col("d")),
+                    F.coalesce("d", F.col("dist")),
                 ).alias("dist"),
+                (
+                    F.col("d").isNotNull()
+                    & (F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+                ).alias("_improved"),
             )
+            .observe(obs, F.sum(F.col("_improved").cast("long")).alias("n"))
             .localCheckpoint()
         )
-        frontier = improved
-    return dist
+        if int(obs.get["n"] or 0) == 0:
+            break
+    return dist.select("uri", "dist")

@@ -358,8 +358,19 @@ def mapping_extract(
     first matching condition instead of ``template_classes``; property
     mappings stay template-keyed (the per-case mappings of a conditional
     template are merged onto the template by the XML loader)."""
-    e = enrich_pages(prepare_pages(pages), with_parse=True).filter(
-        F.col("ns") == S.NS_MAIN
+    # non-deterministic parse: explode(parsed.infobox) otherwise infers a
+    # size()>0 filter that duplicates the parse UDF (guide §4.4 — every
+    # page parsed twice, plan-verified); the lazy checkpoint materializes
+    # the narrow kv rows ONCE for the three consumers below (types /
+    # conditional_types / property mappings — a union Catalyst cannot
+    # share subtrees across, so un-checkpointed each branch re-ran the
+    # whole extraction+parse)
+    # ns filter applied BEFORE the non-deterministic parse (the optimizer
+    # may not push filters past a non-deterministic projection, so the
+    # order in the code is the order in the plan)
+    e = enrich_pages(
+        prepare_pages(pages).filter(F.col("ns") == S.NS_MAIN),
+        with_parse=True, parse_deterministic=False,
     )
     kv = e.select(
         "subj", "lang", "context",
@@ -369,7 +380,7 @@ def mapping_extract(
         ucfirst(base_norm(F.col("ib.template"))).alias("template"),
         F.regexp_replace(F.trim(F.col("ib.key")), " ", "_").alias("key"),
         F.trim(F.col("ib.value")).alias("value"),
-    )
+    ).localCheckpoint(eager=False)
 
     # rdf:type from the template→class table; conditional templates are
     # carved out and typed by their first matching condition instead
@@ -463,8 +474,12 @@ def template_kv_arrays(pages: DataFrame) -> DataFrame:
     One row per (main-namespace page, template); keys are normalized the
     same way as :func:`mapping_extract` (trim, spaces→underscores) so spec
     tables written against PropertyMapping names match here too."""
-    e = enrich_pages(prepare_pages(pages), with_parse=True).filter(
-        F.col("ns") == S.NS_MAIN
+    # non-deterministic parse for the same reason as mapping_extract: the
+    # explode otherwise double-evaluates the parse UDF under an inferred
+    # size() filter (guide §4.4)
+    e = enrich_pages(
+        prepare_pages(pages).filter(F.col("ns") == S.NS_MAIN),
+        with_parse=True, parse_deterministic=False,
     )
     kv = e.select(
         "subj", "lang", "context",

@@ -97,8 +97,17 @@ def rdfs_entailment(
     if "lang" in cols:
         is_lit = is_lit | F.col("lang").isNotNull()
     # __lit rides along so rdfs3 (range) can skip literal objects even on
-    # triples re-predicated by rdfs7 — literalness is per-row, not per-pred
-    base = quads.select("subj", "pred", "obj", is_lit.alias("__lit"))
+    # triples re-predicated by rdfs7 — literalness is per-row, not per-pred.
+    # Materialized ONCE (lazy localCheckpoint): the rule branches below are
+    # a union Catalyst cannot share subtrees across, so without it every
+    # rule re-runs the (potentially regex-extraction-sized) upstream plan —
+    # measured 14 parquet scans / 38 exchanges for the 4-rule driver gate.
+    # One narrow (subj, pred, obj, bool) materialization beats re-scanning
+    # the corpus once per rule at any scale (guide §3.3; swap for
+    # ``checkpoint()`` on a real multi-executor cluster).
+    base = quads.select(
+        "subj", "pred", "obj", is_lit.alias("__lit")
+    ).localCheckpoint(eager=False)
     derived: list[DataFrame] = []
 
     spc = _closure(subprop)
@@ -231,7 +240,11 @@ def owl_entailment(
         is_lit = is_lit | F.col("datatype").isNotNull()
     if "lang" in cols:
         is_lit = is_lit | F.col("lang").isNotNull()
-    base = quads.select("subj", "pred", "obj", is_lit.alias("__lit"))
+    # same single-materialization rationale as rdfs_entailment: every rule
+    # branch and the final anti-join re-consume base/res
+    base = quads.select(
+        "subj", "pred", "obj", is_lit.alias("__lit")
+    ).localCheckpoint(eager=False)
     res = base.where(~F.col("__lit")).select("subj", "pred", "obj")
     derived: list[DataFrame] = []
 
