@@ -417,11 +417,21 @@ _LINK_VALUE_RE = r"^\[\[([^\[\]|]+)(\|[^\[\]]*)?\]\]$"
 _URL_VALUE_RE = r"^https?://\S+$"
 
 
+_UNIT_MAP = None
+
+
 def _unit_datatype(unit: Column) -> Column:
-    expr = F.lit(None).cast("string")
-    for suffix, dt in S.UNIT_DATATYPES.items():
-        expr = F.when(unit == suffix, F.lit(dt)).otherwise(expr)
-    return expr
+    # ONE map lookup instead of a 27-deep WHEN chain: the chain inlined its
+    # ``unit`` argument (a regexp_extract over the 27-suffix alternation)
+    # into every branch, so a matching value could pay the extract up to
+    # 27 times; element_at evaluates the key expression exactly once
+    global _UNIT_MAP
+    if _UNIT_MAP is None:
+        _UNIT_MAP = F.create_map(
+            *[x for s, dt in S.UNIT_DATATYPES.items()
+              for x in (F.lit(s), F.lit(dt))]
+        )
+    return F.try_element_at(_UNIT_MAP, unit)
 
 
 def infobox_properties(e) -> Column:
@@ -503,14 +513,23 @@ def abstracts(e) -> Column:
     first_para = F.regexp_replace(
         F.regexp_replace(fp, r"^\s+", ""), r"\s+$", ""
     )
-    q = F.array(
-        quad("abstracts", _c("subj"), S.DBO_ABSTRACT, first_para,
-             lang=_c("lang"), datatype=S.RDF_LANGSTRING, context=_c("context"))
+    # the non-empty guard filters the BUILT array on its obj field rather
+    # than testing length(first_para) in the guard condition: the guard
+    # form evaluated the whole 7-regex chain TWICE per page (once for the
+    # CASE condition, once in the projection — Generate is outside
+    # whole-stage codegen, so no subexpression elimination; plan-verified),
+    # and this chain over the full text is the single most expensive
+    # Catalyst expression in the fused extraction
+    q = F.filter(
+        F.array(
+            quad("abstracts", _c("subj"), S.DBO_ABSTRACT, first_para,
+                 lang=_c("lang"), datatype=S.RDF_LANGSTRING,
+                 context=_c("context"))
+        ),
+        lambda s: F.length(s["obj"]) > 0,
     )
     return guard(
-        (_c("ns") == S.NS_MAIN)
-        & (_c("redirect_target") == "")
-        & (F.length(first_para) > 0),
+        (_c("ns") == S.NS_MAIN) & (_c("redirect_target") == ""),
         q,
     )
 

@@ -78,6 +78,12 @@ class Pipeline:
         self.run_id = uuid.uuid4().hex[:12]
         self._lineage_rows: list[tuple] = []
         self._fresh: set[str] = set()  # stages BUILT this run (not resumed)
+        # driver-side mirror of the lineage table (stage, partition,
+        # n_rows, input_fingerprint, status): lineage is stage×partition-
+        # sized (never corpus-sized), so ONE read at first use replaces a
+        # parquet read + filter + count JOB per completion check — the
+        # resume path of a 5-stage DAG paid ~10 such jobs per run
+        self._lineage_cache: list[tuple] | None = None
 
     # -- bookkeeping --------------------------------------------------------
     def _fingerprint(self, pages: DataFrame) -> str:
@@ -107,15 +113,33 @@ class Pipeline:
         parts = ["|".join(files), str(len(files)),
                  pages.schema.simpleString()]
         if not files:
+            # overflow-free order-independent combiner (ADVICE r5 #1): a
+            # plain SUM(xxhash64) raises ARITHMETIC_OVERFLOW under ANSI
+            # mode beyond a few rows, and the old bare except silently
+            # degraded to the constant fingerprint — reopening the
+            # stale-resume hole the hash exists to close. DECIMAL(38,0)
+            # cannot overflow before ~10^19 rows.
             try:
                 row = pages.agg(
-                    F.sum(F.xxhash64(*[F.col(c) for c in pages.columns]))
-                    .alias("h"),
+                    F.sum(
+                        F.xxhash64(*[F.col(c) for c in pages.columns])
+                        .cast("decimal(38,0)")
+                    ).alias("h"),
                     F.count(F.lit(1)).alias("n"),
                 ).first()
                 parts.append(f"{row['h']}|{row['n']}")
-            except Exception:
-                pass
+            except Exception as e:  # e.g. a column type xxhash64 rejects
+                # annotate rather than silently reverting to the constant
+                # form (the advice's minimum bar): the fingerprint records
+                # that no content hash protected this input
+                import warnings
+
+                warnings.warn(
+                    f"pipeline input content hash unavailable "
+                    f"({type(e).__name__}); resume matching falls back to "
+                    f"schema-only identity for this in-memory input"
+                )
+                parts.append(f"content-hash-unavailable:{type(e).__name__}")
         return hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:16]
 
     def _config_sig(self) -> str:
@@ -141,39 +165,46 @@ class Pipeline:
     def _stage_path(self, stage: str) -> str:
         return f"{self.cfg.warehouse}/{stage}"
 
+    def _lineage_records(self) -> list[tuple]:
+        """(stage, partition, n_rows, input_fingerprint, status) rows —
+        the persisted lineage table read ONCE per Pipeline instance plus
+        everything recorded by this run (``_record`` keeps the mirror in
+        sync). All completion/total checks answer from this driver-side
+        list instead of a parquet read + filter + count job each."""
+        if self._lineage_cache is None:
+            try:
+                rows = (
+                    self.spark.read.parquet(self._stage_path("lineage"))
+                    .select("stage", "partition", "n_rows",
+                            "input_fingerprint", "status")
+                    .collect()
+                )
+                self._lineage_cache = [
+                    (r["stage"], r["partition"], r["n_rows"],
+                     r["input_fingerprint"], r["status"]) for r in rows
+                ]
+            except Exception:
+                self._lineage_cache = []
+        return self._lineage_cache
+
     def _lineage_complete(self, stage: str, fingerprint: str,
                           partition: str | None = None) -> bool:
         """``partition`` pins the check to one lineage partition row — the
         exports stage passes its format set there, so ADDING a format to
         the config re-runs the stage instead of silently skipping it."""
-        try:
-            lin = self.spark.read.parquet(self._stage_path("lineage"))
-        except Exception:
-            return False
-        cond = (
-            (F.col("stage") == stage)
-            & (F.col("status") == "complete")
-            & (F.col("input_fingerprint") == fingerprint)
+        return any(
+            s == stage and st == "complete" and f == fingerprint
+            and (partition is None or p == partition)
+            for (s, p, _n, f, st) in self._lineage_records()
         )
-        if partition is not None:
-            cond = cond & (F.col("partition") == partition)
-        return lin.filter(cond).count() > 0
 
     def _stage_row_total(self, stage: str, fingerprint: str) -> int:
         """Total output rows of a completed stage, summed from its lineage
         partition rows — no data re-scan."""
-        try:
-            lin = self.spark.read.parquet(self._stage_path("lineage"))
-        except Exception:
-            return 0
-        row = (
-            lin.filter(
-                (F.col("stage") == stage)
-                & (F.col("status") == "complete")
-                & (F.col("input_fingerprint") == fingerprint)
-            ).agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).first()
+        return sum(
+            n for (s, _p, n, f, st) in self._lineage_records()
+            if s == stage and st == "complete" and f == fingerprint
         )
-        return int(row["n"])
 
     def _committed(self, stage: str, fingerprint: str) -> bool:
         """Stage output exists AND lineage says it completed for this input."""
@@ -191,6 +222,10 @@ class Pipeline:
         self._lineage_rows.append(
             (self.run_id, stage, partition, n_rows, wall_ms, fingerprint,
              status, int(time.time() * 1000))
+        )
+        # keep the driver-side mirror consistent with what will be flushed
+        self._lineage_records().append(
+            (stage, partition, n_rows, fingerprint, status)
         )
 
     def _flush_lineage(self) -> None:
