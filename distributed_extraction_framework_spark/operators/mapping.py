@@ -189,11 +189,16 @@ def instance_types_transitive(
     broadcast-joins against it — a map-side join, zero added shuffles
     except the final per-(subj, ancestor) distinct that multi-path DAG
     inheritance requires."""
-    from .graph import reachability
+    # schema-sized relation → the driver-side bounded closure (the
+    # reasoning._closure tier): the reference ontology is hundreds of
+    # rows, and reachability's per-round checkpoint/observe jobs cost
+    # ~1s of pure scheduling for a relation this small; relations past
+    # the driver budget still fall back to distributed repeated squaring
+    # inside _closure
+    from .reasoning import _closure
 
-    closure = reachability(
-        subclasses.select(F.col("cls").alias("src"), F.col("parent").alias("dst")),
-        max_iter=max_iter,
+    closure = _closure(
+        subclasses.select(F.col("cls").alias("src"), F.col("parent").alias("dst"))
     )
     t = quads.filter(F.col("dataset") == "instance_types")
     return (

@@ -598,28 +598,34 @@ def neighborhood_function(
 
     Cost: ``max_rounds`` rounds of ONE join + ONE groupBy-max each
     (register state <= 2^p rows per node), plus one m-row aggregation
-    per round for the curve point. Feed :func:`effective_diameter` for
-    the 90%-saturation radius."""
-    rows = []
+    per round for the curve point. The curve points are 1-row aggregate
+    frames UNIONED into the result — no per-round driver collect: the
+    caller's single action materializes each round's (lazily
+    checkpointed) register table exactly once and every curve branch
+    reads the cached blocks. Feed :func:`effective_diameter` for the
+    90%-saturation radius."""
     register, rho = _hll_register_rho(F.col("node"), p, salt)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .unionByName(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    cur = nodes.select("node", register.alias("register"), rho.alias("rho"))
+    cur = nodes.select(
+        "node", register.alias("register"), rho.alias("rho")
+    ).localCheckpoint(eager=False)
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     ).distinct().localCheckpoint(eager=False)
 
-    def _nf(regs: DataFrame) -> float:
+    def _nf_df(regs: DataFrame, t: int) -> DataFrame:
         est = hll_estimate(regs, p=p, group_cols=["node"], decimals=decimals)
-        row = est.agg(
-            F.sum(F.col("est").cast("decimal(18,6)")).alias("s")
-        ).collect()[0]
-        return float(row["s"])
+        return est.agg(
+            F.lit(t).cast("int").alias("t"),
+            F.sum(F.col("est").cast("decimal(18,6)"))
+            .cast("double").alias("nf"),
+        )
 
-    rows.append((0, _nf(cur)))
+    out = _nf_df(cur, 0)
     for t in range(1, max_rounds + 1):
         from_nbrs = e.join(cur, e["__d"] == cur["node"]).select(
             F.col("__s").alias("node"), "register", "rho"
@@ -630,8 +636,16 @@ def neighborhood_function(
             .agg(F.max("rho").alias("rho"))
             .localCheckpoint(eager=False)
         )
-        rows.append((t, _nf(cur)))
-    return edges.sparkSession.createDataFrame(rows, "t int, nf double")
+        out = out.unionByName(_nf_df(cur, t))
+    # exact schema of the former createDataFrame(rows, "t int, nf double")
+    # form, nullability included
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    return out.to(StructType([
+        StructField("t", IntegerType(), True),
+        StructField("nf", DoubleType(), True),
+    ]))
 
 
 def effective_diameter(nf_rows: list[tuple[int, float]], fraction: float = 0.9) -> float:
