@@ -215,9 +215,13 @@ def numeric_outliers(
         if approx
         else (lambda c: F.percentile(c, 0.5))
     )
+    # materialized once (lazy): three consumers below (median aggregate,
+    # MAD aggregate, final violation join) would each re-run the upstream
+    # plan otherwise — and the numeric-literal projection is a narrow
+    # filtered subset of the corpus, exactly the thing worth keeping
     vals = quads.filter(F.col("datatype").isin(*_NUMERIC_DT)).select(
         "subj", "pred", F.col("obj").try_cast("double").alias("value")
-    ).filter(F.col("value").isNotNull())
+    ).filter(F.col("value").isNotNull()).localCheckpoint(eager=False)
     med = vals.groupBy("pred").agg(pct(F.col("value")).alias("med"))
     mad = (
         vals.join(F.broadcast(med), "pred")

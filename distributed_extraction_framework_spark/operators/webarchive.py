@@ -487,15 +487,23 @@ def fetch_schedule(
         )
         order = [F.asc("url")]
     w = Window.partitionBy("host").orderBy(*order)
-    df = df.withColumn("slot", (F.row_number().over(w) - 1).cast("bigint"))
+    df = df.withColumn("_rn", F.row_number().over(w))
+    if max_per_host is not None:
+        # filter on the RAW row_number attribute, not a derived
+        # arithmetic column: Spark's InferWindowGroupLimit rule matches
+        # ``rank-like <= k`` directly over the window expression and
+        # pushes a per-group top-k limit BELOW the window sort (and into
+        # the shuffle's map side), so a mega-host partition stops paying
+        # for rows past the cap (VERDICT r5 #2; plan-asserted in
+        # tests/test_webarchive.py). ``slot`` derives after.
+        df = df.filter(F.col("_rn") <= max_per_host)
+    df = df.withColumn("slot", (F.col("_rn") - 1).cast("bigint")).drop("_rn")
     if delays is not None:
         df = df.join(F.broadcast(delays), "host", "left")
         delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
     else:
         delay = F.lit(float(default_delay))
     df = df.withColumn("scheduled_at", F.col("slot") * delay)
-    if max_per_host is not None:
-        df = df.filter(F.col("slot") < max_per_host)
     return df.select("url", "host", "slot", "scheduled_at")
 
 

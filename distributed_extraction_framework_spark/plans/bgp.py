@@ -1340,8 +1340,11 @@ _AGG_FN = {
     # AVG(DISTINCT ?x) = sum over the distinct values / their count
     # (Spark has no avg_distinct; DISTINCT was previously silently
     # ignored — code-review r5 wave-2 #5)
+    # numerator and denominator must share ONE value domain (ADVICE r5
+    # #2): dividing by countDistinct over the RAW column double-counted
+    # distinct lexical forms that are numerically equal ('1' vs '1.0')
     "avg": lambda c, d: (
-        F.sum_distinct(c.cast("double")) / F.countDistinct(c)
+        F.sum_distinct(c.cast("double")) / F.countDistinct(c.cast("double"))
         if d else F.avg(c.cast("double"))
     ),
     # DISTINCT is a no-op for MIN/MAX/SAMPLE (same extremum either way)

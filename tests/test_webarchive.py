@@ -218,6 +218,24 @@ def test_fetch_schedule(spark):
         F.max("count")).collect()[0][0] == 2
 
 
+def test_fetch_schedule_cap_pushes_window_group_limit(spark):
+    # hot-host fixture: one mega-host owning nearly all frontier rows —
+    # the cap must appear as a WindowGroupLimit BELOW the window sort
+    # (the rank-filter form InferWindowGroupLimit recognises), so the
+    # mega-host partition stops paying for rows past the cap
+    frontier = spark.createDataFrame(
+        [(f"https://hot.example/p/{i}",) for i in range(50)]
+        + [("https://cold.example/p/0",)],
+        "url string",
+    )
+    capped = fetch_schedule(frontier, max_per_host=3)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    got = capped.groupBy("host").count().collect()
+    counts = {r["host"]: r["count"] for r in got}
+    assert counts == {"hot.example": 3, "cold.example": 1}
+
+
 def test_parse_feeds(spark):
     rss = (
         "<rss><channel>"
