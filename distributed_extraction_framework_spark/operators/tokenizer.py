@@ -137,12 +137,123 @@ def _apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
     )
 
 
+# separator for the batch-apply map keys: symbols are TOKEN_RE tokens
+# ([a-z0-9]+), the end marker and their concatenations — NUL never occurs
+_SEP = "\x00"
+
+
+def _apply_merge_batch(
+    syms: Column, batch: list[tuple[str, str, int]]
+) -> Column:
+    """Apply a greedy-safe merge batch (:func:`_select_merge_batch`) in
+    ONE left-to-right fold: the accumulator's last symbol + the next
+    symbol key into a merge map; a hit replaces the last symbol with the
+    merged form. Equal to chaining :func:`_apply_merge` per pair — batch
+    pairs are symbol-disjoint (occurrences cannot interact) and no batch
+    concatenation collides with an existing symbol (a merged token can
+    never complete another batch pair) — so one pass per ROUND replaces
+    one pass per MERGE, which is what makes wide batches actually cheap
+    (the chained form re-folded every word once per pair)."""
+    if len(batch) == 1:
+        return _apply_merge(syms, batch[0][0], batch[0][1])
+    mapping = F.create_map(
+        *[x for (lhs, rhs, _cnt) in batch
+          for x in (F.lit(lhs + _SEP + rhs), F.lit(lhs + rhs))]
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        merged = F.try_element_at(
+            mapping, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+        )
+        return F.when(
+            merged.isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms) - 1),
+        F.slice(syms, 1, 1),
+        step,
+    )
+
+
+def _candidate_prefix(
+    rows: list, k: int, min_count: int
+) -> tuple[list[tuple[str, str, int]], int]:
+    """Longest symbol-disjoint PREFIX of the top-``k+1`` (cnt desc, lhs,
+    rhs)-ordered pair rows, plus the count of the first pair left out
+    (the trim boundary; 0 when the pair list was exhausted)."""
+    cand: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    boundary = 0
+    for i, r in enumerate(rows):
+        cnt = int(r["cnt"])
+        if i >= k or cnt < min_count:
+            boundary = cnt if cnt >= min_count else 0
+            break
+        syms = {r["lhs"], r["rhs"]}
+        if used & syms:
+            boundary = cnt
+            break
+        cand.append((r["lhs"], r["rhs"], cnt))
+        used |= syms
+    return cand, boundary
+
+
+def _select_merge_batch(
+    cand: list[tuple[str, str, int]],
+    boundary: int,
+    colliding: set[str],
+) -> list[tuple[str, str, int]]:
+    """Finalize a greedy-safe merge batch from a symbol-disjoint candidate
+    prefix (:func:`_candidate_prefix`): truncate at the first pair whose
+    CONCATENATION string already exists as a symbol in the pair table
+    (``colliding``), then trim to counts STRICTLY above the boundary.
+
+    Why the surviving batch exactly reproduces sequential greedy BPE:
+
+    * prefix + symbol-disjointness — applying any batch pair cannot touch
+      another batch pair's symbols, so every batch pair's count (and the
+      batch's internal (cnt, lex) order) is invariant under the other
+      batch merges;
+    * the concat-collision stop — merging ``(l, r)`` creates tokens
+      spelled ``l·r``; if some EXISTING pair uses ``l·r`` as a symbol
+      (e.g. batch ``(a,b)`` with ``(ab,c)`` anywhere in the table), that
+      pair's count can GROW past later batch pairs and reorder the
+      sequential argmax, so such a merge ends the batch (every symbol
+      occurrence has an adjacent pair — words always carry the end
+      marker — making the pair-table probe a complete symbol check);
+    * the strict-count trim — with growth excluded, every pair CREATED
+      by a batch merge ``(X, l·r)`` / ``(l·r, Y)`` implies a
+      pre-existing adjacent pair ``(X, l)`` / ``(r, Y)`` sharing a
+      symbol with the batch, so its count is bounded by an excluded
+      pair's count ≤ the boundary < every kept pair's count; every
+      already-existing non-batch pair is ≤ the boundary and cannot
+      grow. Lexicographic tie-breaks cannot rescue either (strict
+      inequality). Hence after applying batch pair i, the sequential
+      argmax is exactly batch pair i+1.
+
+    Falls back to the single top pair when truncation/trim would empty
+    the batch — a 1-pair batch is trivially sequential."""
+    batch = cand
+    for i, (lhs, rhs, cnt) in enumerate(cand):
+        if lhs + rhs in colliding:
+            batch = cand[:i]
+            boundary = cnt  # earliest-rank excluded pair wins the boundary
+            break
+    trimmed = [m for m in batch if m[2] > boundary]
+    return trimmed if trimmed else cand[:1]
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
     min_parallelism: int | None = None,
+    batch_merges: int = 32,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges → ``[(lhs, rhs, pair_count), ...]``
     in rank order. Stops early when the best remaining pair falls under
@@ -151,9 +262,19 @@ def bpe_train(
     Determinism: ties on count break lexicographically on (lhs, rhs), so
     the merge table is identical at any parallelism — the property the
     north rule's two-cluster-size criterion needs.
+
+    ``batch_merges`` (VERDICT r5 #1): each round collects the top
+    ``batch_merges + 1`` pairs and applies the longest symbol-disjoint,
+    strictly-count-separated prefix in ONE vocabulary job
+    (:func:`_select_merge_batch` — provably identical output to the
+    one-merge-per-round form, pytest-gated), so a 32k-merge production
+    vocabulary costs ~n_merges/batch jobs instead of 2·n_merges.
+    ``batch_merges=1`` recovers the strictly sequential form.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1: {n_merges}")
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1: {batch_merges}")
     spark = docs.sparkSession
 
     # DataFrame.unpersist() does NOT free localCheckpoint blocks (it
@@ -188,23 +309,44 @@ def bpe_train(
     )
     vocab_ids = _persistent_ids() - before
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        best = (
-            pair_counts(vocab)
-            .orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
+    while len(merges) < n_merges:
+        k = min(batch_merges, n_merges - len(merges))
+        before_pc = _persistent_ids()
+        pc = pair_counts(vocab).localCheckpoint(eager=False)
+        rows = (
+            pc.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(k + 1)
             .collect()
         )
-        if not best or best[0]["cnt"] < min_count:
+        if not rows or rows[0]["cnt"] < min_count:
+            _drop_blocks(_persistent_ids() - before_pc)
             break
-        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
-        merges.append((lhs, rhs, cnt))
-        # re-pin every iteration: keeps the fold expression depth at 1
+        cand, boundary = _candidate_prefix(rows, k, min_count)
+        if len(cand) > 1:
+            # one vocabulary-sized probe per round (reads the lazily
+            # checkpointed pair table, no recompute): which candidate
+            # concatenations already exist as symbols? — the growth
+            # guard _select_merge_batch's proof needs
+            concats = [lhs + rhs for (lhs, rhs, _c) in cand]
+            colliding = {
+                r["s"]
+                for r in pc.select(
+                    F.explode(F.array("lhs", "rhs")).alias("s")
+                ).where(F.col("s").isin(concats)).distinct().collect()
+            }
+        else:
+            colliding = set()
+        # the pair table's checkpoint blocks die with the round (same
+        # explicit reclamation as the vocab blocks below)
+        _drop_blocks(_persistent_ids() - before_pc)
+        batch = _select_merge_batch(cand, boundary, colliding)
+        merges.extend(batch)
+        # re-pin every round: keeps the fold expression depth at 1
         # regardless of merge count (32k merges would otherwise nest 32k
         # aggregate() layers into one plan)
         before = _persistent_ids()
         nxt = vocab.withColumn(
-            "syms", _apply_merge(F.col("syms"), lhs, rhs)
+            "syms", _apply_merge_batch(F.col("syms"), batch)
         ).localCheckpoint(eager=True)
         nxt_ids = _persistent_ids() - before
         _drop_blocks(vocab_ids)

@@ -110,6 +110,46 @@ def test_train_matches_reference_merge_for_merge(docs):
     assert any(len(a + b) > 2 for a, b, _ in got)
 
 
+def test_train_batched_equals_sequential(spark):
+    # richer corpus than TEXTS so batches actually form AND collide:
+    # deterministic pseudo-random words over a small alphabet create
+    # heavy symbol overlap between top pairs (the case the prefix-
+    # disjoint + strict-count-trim rule must survive), verified against
+    # both the strictly sequential operator form and the reference
+    import hashlib
+
+    words = []
+    for i in range(400):
+        h = hashlib.md5(f"w{i}".encode()).hexdigest()
+        words.append("".join("abcdefgh"[int(c, 16) % 8] for c in h[:6]))
+    texts = [" ".join(words[i::7]) for i in range(7)]
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = ref_train(texts, 40, min_count=1)
+    sequential = bpe_train(docs2, 40, min_count=1, batch_merges=1)
+    batched = bpe_train(docs2, 40, min_count=1)  # default batch 32
+    assert sequential == want
+    assert batched == want
+
+
+def test_train_batched_concat_collision(spark):
+    # the growth hole the concat-collision stop exists for: with 'ab'
+    # already a frequent symbol pair-member, merging (a,b) creates new
+    # 'ab' tokens and can RAISE (ab,c)-style counts past other batch
+    # pairs — batched must still equal sequential merge-for-merge
+    texts = [
+        " ".join(["abc"] * 30 + ["ab"] * 4 + ["xy"] * 20 + ["qr"] * 18),
+        " ".join(["abc"] * 25 + ["xy"] * 6 + ["ab"] * 3 + ["qr"] * 5),
+    ]
+    docs2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = ref_train(texts, 12, min_count=1)
+    got = bpe_train(docs2, 12, min_count=1)
+    assert got == want
+
+
 def test_train_min_count_stops_early(docs):
     # an absurd floor → only pairs with corpus-wide support survive
     got = bpe_train(docs, 50, min_count=10)
