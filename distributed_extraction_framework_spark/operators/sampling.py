@@ -187,9 +187,16 @@ def negative_samples(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    # distinct edge set materialized ONCE (lazy): three consumers below
+    # (entity vocabulary, the drawn fan-out, the filtered-setting
+    # positive set) would each re-run the upstream plan — a whole
+    # extraction pass when the triples come straight from extract()
+    edges = (
+        triples.select(s_col, o_col).distinct().localCheckpoint(eager=False)
+    )
     ents = dense_index(
-        triples.select(F.col(s_col).alias("u"))
-        .union(triples.select(F.col(o_col).alias("u")))
+        edges.select(F.col(s_col).alias("u"))
+        .union(edges.select(F.col(o_col).alias("u")))
         .distinct(),
         "u",
         partitions=index_partitions,
@@ -202,8 +209,7 @@ def negative_samples(
         F.substring(F.md5(F.concat_ws("|", *parts)), 1, 8), 16, 10
     ).cast("long")
     drawn = (
-        triples.select(s_col, o_col)
-        .distinct()
+        edges
         .withColumn(
             "neg_i",
             F.explode(
@@ -218,9 +224,9 @@ def negative_samples(
         drawn.join(ents, drawn["__ni"] == ents["idx"])
         .select(s_col, o_col, "neg_i", F.col("u").alias("neg_dst"))
     )
-    pos = triples.select(
+    pos = edges.select(
         F.col(s_col).alias("__ps"), F.col(o_col).alias("__po")
-    ).distinct()
+    )
     return with_neg.join(
         pos,
         (F.col(s_col) == F.col("__ps")) & (F.col("neg_dst") == F.col("__po")),
