@@ -131,7 +131,10 @@ def delta_extract(
     from .extractors import extract
 
     touched = touched_pages(old_pages, new_pages, page_key, change_col)
-    tk = touched.select(page_key)
+    # materialized once (lazy): both semi-joins below consume the touched
+    # key set, and an un-checkpointed tk re-runs the full two-corpus
+    # digest diff per side; the key set is delta-sized — cheap to keep
+    tk = touched.select(page_key).localCheckpoint(eager=False)
     old_hit = old_pages.join(tk, page_key, "left_semi")
     new_hit = new_pages.join(tk, page_key, "left_semi")
     kwargs = {"extractors": extractors} if extractors is not None else {}

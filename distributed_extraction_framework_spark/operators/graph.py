@@ -457,9 +457,13 @@ def cocitation_pmi(
         .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # materialized once (lazy): four consumers (both self-join sides, the
+    # per-target marginals, n_pages) would each re-run the upstream plan
+    # — a whole extraction pass when edges come straight from extract()
     kept = (
         e.join(deg.where(F.col("d") <= max_out_degree), "src")
         .select("src", "dst")
+        .localCheckpoint(eager=False)
     )
     a, b = kept.alias("a"), kept.alias("b")
     cij = (

@@ -143,7 +143,9 @@ _SEP = "\x00"
 
 
 def _apply_merge_batch(
-    syms: Column, batch: list[tuple[str, str, int]]
+    syms: Column,
+    batch: list[tuple[str, str, int]],
+    word: Column | None = None,
 ) -> Column:
     """Apply a greedy-safe merge batch (:func:`_select_merge_batch`) in
     ONE left-to-right fold: the accumulator's last symbol + the next
@@ -153,30 +155,47 @@ def _apply_merge_batch(
     concatenation collides with an existing symbol (a merged token can
     never complete another batch pair) — so one pass per ROUND replaces
     one pass per MERGE, which is what makes wide batches actually cheap
-    (the chained form re-folded every word once per pair)."""
-    if len(batch) == 1:
-        return _apply_merge(syms, batch[0][0], batch[0][1])
-    mapping = F.create_map(
-        *[x for (lhs, rhs, _cnt) in batch
-          for x in (F.lit(lhs + _SEP + rhs), F.lit(lhs + rhs))]
-    )
+    (the chained form re-folded every word once per pair).
 
-    def step(acc: Column, x: Column) -> Column:
-        merged = F.try_element_at(
-            mapping, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+    ``word`` (the raw word string) enables the cheap skip: adjacent syms
+    ``(l, r)`` partition the word+marker text, so ``l·r`` must appear as
+    a SUBSTRING of ``word</w>`` — words failing every batch pair's
+    containment check cannot change and copy through without paying the
+    quadratic fold (the fold itself stays the exact check for the
+    words that pass)."""
+
+    def _fold(target: Column) -> Column:
+        if len(batch) == 1:
+            return _apply_merge(target, batch[0][0], batch[0][1])
+        mapping = F.create_map(
+            *[x for (lhs, rhs, _cnt) in batch
+              for x in (F.lit(lhs + _SEP + rhs), F.lit(lhs + rhs))]
         )
-        return F.when(
-            merged.isNotNull(),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-            ),
-        ).otherwise(F.concat(acc, F.array(x)))
 
-    return F.aggregate(
-        F.slice(syms, 2, F.size(syms) - 1),
-        F.slice(syms, 1, 1),
-        step,
-    )
+        def step(acc: Column, x: Column) -> Column:
+            merged = F.try_element_at(
+                mapping, F.concat(F.element_at(acc, -1), F.lit(_SEP), x)
+            )
+            return F.when(
+                merged.isNotNull(),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return F.aggregate(
+            F.slice(target, 2, F.size(target) - 1),
+            F.slice(target, 1, 1),
+            step,
+        )
+
+    if word is None:
+        return _fold(syms)
+    text = F.concat(word, F.lit(END))
+    may_hit = F.lit(False)
+    for lhs, rhs, _cnt in batch:
+        may_hit = may_hit | text.contains(lhs + rhs)
+    return F.when(may_hit, _fold(syms)).otherwise(syms)
 
 
 def _candidate_prefix(
@@ -308,25 +327,29 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     vocab_ids = _persistent_ids() - before
+    # the pair table is STATE, maintained incrementally (the standard
+    # fast-BPE delta update): a merge only changes words that contain
+    # the merged pair, so each round subtracts the changed words' old
+    # pairs and adds their new ones instead of re-exploding the whole
+    # vocabulary — the full pair_counts() pass runs exactly once
+    before = _persistent_ids()
+    pc = pair_counts(vocab).localCheckpoint(eager=True)
+    pc_ids = _persistent_ids() - before
     merges: list[tuple[str, str, int]] = []
     while len(merges) < n_merges:
         k = min(batch_merges, n_merges - len(merges))
-        before_pc = _persistent_ids()
-        pc = pair_counts(vocab).localCheckpoint(eager=False)
         rows = (
             pc.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
             .limit(k + 1)
             .collect()
         )
         if not rows or rows[0]["cnt"] < min_count:
-            _drop_blocks(_persistent_ids() - before_pc)
             break
         cand, boundary = _candidate_prefix(rows, k, min_count)
         if len(cand) > 1:
-            # one vocabulary-sized probe per round (reads the lazily
-            # checkpointed pair table, no recompute): which candidate
-            # concatenations already exist as symbols? — the growth
-            # guard _select_merge_batch's proof needs
+            # pair-table probe (materialized state, pair-vocabulary-
+            # sized): which candidate concatenations already exist as
+            # symbols? — the growth guard _select_merge_batch needs
             concats = [lhs + rhs for (lhs, rhs, _c) in cand]
             colliding = {
                 r["s"]
@@ -336,22 +359,50 @@ def bpe_train(
             }
         else:
             colliding = set()
-        # the pair table's checkpoint blocks die with the round (same
-        # explicit reclamation as the vocab blocks below)
-        _drop_blocks(_persistent_ids() - before_pc)
         batch = _select_merge_batch(cand, boundary, colliding)
         merges.extend(batch)
+        # the same containment pre-filter the batch apply uses marks the
+        # (superset of) changed words for the delta; unchanged-but-
+        # matching words contribute identical ± pair rows that cancel
+        text = F.concat(F.col("word"), F.lit(END))
+        may_hit = F.lit(False)
+        for lhs, rhs, _cnt in batch:
+            may_hit = may_hit | text.contains(lhs + rhs)
         # re-pin every round: keeps the fold expression depth at 1
         # regardless of merge count (32k merges would otherwise nest 32k
         # aggregate() layers into one plan)
         before = _persistent_ids()
         nxt = vocab.withColumn(
-            "syms", _apply_merge_batch(F.col("syms"), batch)
+            "syms",
+            _apply_merge_batch(F.col("syms"), batch, word=F.col("word")),
         ).localCheckpoint(eager=True)
         nxt_ids = _persistent_ids() - before
+
+        def _pair_rows(df, sign):
+            return df.where(may_hit).select(
+                (sign * F.col("cnt")).alias("cnt"),
+                F.explode(_pair_structs(F.col("syms"))).alias("p"),
+            ).select(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"),
+                "cnt",
+            )
+
+        before = _persistent_ids()
+        pc_next = (
+            pc.unionByName(_pair_rows(vocab, F.lit(-1)))
+            .unionByName(_pair_rows(nxt, F.lit(1)))
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        pcn_ids = _persistent_ids() - before
         _drop_blocks(vocab_ids)
+        _drop_blocks(pc_ids)
         vocab, vocab_ids = nxt, nxt_ids
+        pc, pc_ids = pc_next, pcn_ids
     _drop_blocks(vocab_ids)
+    _drop_blocks(pc_ids)
     return merges
 
 
