@@ -123,7 +123,20 @@ def prepare_pages(pages: DataFrame) -> DataFrame:
             "rev_id",
             _hex_id(F.encode(F.concat(F.col("url"), F.lit("#"), ts_s), "utf-8")),
         )
-        .withColumn("subj", resource_uri(F.col("lang"), F.col("title")))
+        # page-constant URI prefix, hoisted so the per-link lambdas (which
+        # run interpreted — higher-order functions are CodegenFallback) do a
+        # plain concat instead of re-evaluating the lang CASE per element
+        .withColumn(
+            "_res_prefix",
+            F.concat(
+                F.lit("http://"),
+                F.when(F.col("lang") == "en", F.lit(S.RESOURCE_HOST)).otherwise(
+                    F.concat(F.col("lang"), F.lit("." + S.RESOURCE_HOST))
+                ),
+                F.lit("/resource/"),
+            ),
+        )
+        .withColumn("subj", F.concat(F.col("_res_prefix"), F.col("title")))
         .withColumn("context", F.concat(F.col("url"), F.lit("#ts="), ts_s))
         .withColumn(
             "local_title",
@@ -262,7 +275,7 @@ def redirects(e) -> Column:
     tgt = ucfirst(base_norm(_c("redirect_target")))
     q = F.array(
         quad("redirects", _c("subj"), S.DBO_WIKI_REDIRECTS,
-             resource_uri(_c("lang"), tgt), context=_c("context"))
+             F.concat(_c("_res_prefix"), tgt), context=_c("context"))
     )
     return guard(_c("redirect_target") != "", q)
 
@@ -294,7 +307,7 @@ def article_categories(e) -> Column:
     cats = F.filter(_c("ilinks"), _is_category)
     q = _uri_quads(
         "article_categories", S.DCT_SUBJECT, cats,
-        lambda t: resource_uri(_c("lang"), ucfirst(t)),
+        lambda t: F.concat(_c("_res_prefix"), ucfirst(t)),
     )
     return guard(_c("ns") == S.NS_MAIN, q)
 
@@ -312,7 +325,7 @@ def skos_categories(e) -> Column:
     )
     broader = _uri_quads(
         "skos_categories", S.SKOS_BROADER, parents,
-        lambda t: resource_uri(_c("lang"), ucfirst(t)),
+        lambda t: F.concat(_c("_res_prefix"), ucfirst(t)),
     )
     return guard(_c("ns") == S.NS_CATEGORY, F.concat(base, broader))
 
@@ -327,7 +340,7 @@ def page_links(e) -> Column:
     )
     q = _uri_quads(
         "page_links", S.DBO_WIKI_LINK, tgts,
-        lambda t: resource_uri(_c("lang"), ucfirst(t)),
+        lambda t: F.concat(_c("_res_prefix"), ucfirst(t)),
     )
     return guard((_c("ns") == S.NS_MAIN) & (_c("redirect_target") == ""), q)
 
@@ -371,7 +384,7 @@ def article_templates(e) -> Column:
     q = F.transform(
         F.array_distinct(_c("tmpl_names")),
         lambda t: quad("article_templates", _c("subj"), S.DBO_WIKI_USES_TEMPLATE,
-                       resource_uri(_c("lang"), F.concat(F.lit("Template:"), t)),
+                       F.concat(_c("_res_prefix"), F.lit("Template:"), t),
                        context=_c("context")),
     )
     return guard(_c("ns") == S.NS_MAIN, q)
@@ -472,7 +485,7 @@ def infobox_properties(e) -> Column:
             .when(
                 link_t != "",
                 quad("infobox_properties", _c("subj"), pred,
-                     resource_uri(_c("lang"), ucfirst(base_norm(link_t))),
+                     F.concat(_c("_res_prefix"), ucfirst(base_norm(link_t))),
                      context=_c("context")),
             )
             .when(
@@ -548,7 +561,7 @@ def disambiguations(e) -> Column:
     )
     q = _uri_quads(
         "disambiguations", S.DBO_WIKI_DISAMBIGUATES, tgts,
-        lambda t: resource_uri(_c("lang"), ucfirst(t)),
+        lambda t: F.concat(_c("_res_prefix"), ucfirst(t)),
     )
     return guard((_c("ns") == S.NS_MAIN) & is_dab, q)
 
