@@ -90,11 +90,19 @@ def pagerank(
     """
     from pyspark.sql import Observation
     # lazy: the _vertex_count_and_bytes action right below materializes
-    # both checkpoints in ONE job instead of one eager job each
+    # both checkpoints in ONE job instead of one eager job each.
+    # Edges are hash-partitioned by dst ONCE up front (dropDuplicates on
+    # the full column set dedups exchange-free under it — equal (src,dst)
+    # implies equal dst), so in the broadcast tier every round's
+    # contribution groupBy("dst") reuses the partitioning and runs with
+    # ZERO exchanges; the shuffle tier is unchanged (the per-round src
+    # join re-exchanges either way). One exchange up front replaces one
+    # per iteration.
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=False)
     )
     verts = (
