@@ -30,6 +30,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 15,
     strict: bool = True,
+    broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(vertex, component) for the undirected graph given by edges(src, dst).
 
@@ -66,11 +67,26 @@ def connected_components(
         .withColumn("component", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
+    # the label table stays vertex-sized (one row per vertex, two URI
+    # columns); under the byte gate it broadcasts into each round's
+    # propagation join — the checkpointed RDDs carry no stats, so the
+    # planner otherwise sort-merges, re-exchanging the symmetrized edge
+    # table by v every round. Above the gate the shuffled join remains
+    # the unbounded-scale shape (the pagerank/hits tier policy).
+    row = labels.agg(
+        F.count("*").alias("n"), F.avg(F.length("vertex")).alias("w")
+    ).first()
+    est_bytes = int(row["n"] * (2 * (row["w"] or 0.0) + 48.0))
+    use_broadcast = est_bytes <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
     converged = False
     for _ in range(max_iter):
         # candidate labels arriving over edges: neighbor's current component
         incoming = (
-            sym.join(labels, sym["v"] == labels["vertex"], "inner")
+            sym.join(bc(labels), sym["v"] == labels["vertex"], "inner")
             .select(sym["u"].alias("vertex"), F.col("component"),
                     F.lit(False).alias("_old"))
         )

@@ -372,6 +372,7 @@ def bfs_distances(
     edges: DataFrame,
     sources: DataFrame | list[str],
     max_iter: int = 10,
+    broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Unweighted shortest-path distance from a source set → ``(uri,
     dist)`` rows for every vertex within ``max_iter`` hops (sources at 0).
@@ -400,6 +401,24 @@ def bfs_distances(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # frontier/visited are ≤ vertex-sized; the checkpointed LogicalRDDs
+    # carry no stats, so without an explicit gate the planner sort-merges
+    # every level — exchanging the GRAPH-sized edge table by src each
+    # round. Gate on a conservative vertex-bytes bound derived from the
+    # materialized edge set (vertex set ≤ 2·|E| keys): under it the
+    # frontier join and the visited anti-join broadcast and the edge
+    # table is never re-shuffled; above it the shuffled form remains the
+    # 10^12-edge-safe shape (same tier policy as pagerank/hits).
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("src") + F.length("dst")).alias("w"),
+    ).first()
+    est_vertex_bytes = int(row["n"] * ((row["w"] or 0.0) + 48.0))
+    use_broadcast = est_vertex_bytes <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
     frontier = (
         sources.select(F.col(sources.columns[0]).alias("uri"))
         .distinct()
@@ -417,10 +436,10 @@ def bfs_distances(
             visited_uris = visited_uris.unionByName(piece.select("uri"))
         obs = Observation()
         frontier = (
-            frontier.join(e, frontier["uri"] == e["src"])
+            e.join(bc(frontier), frontier["uri"] == e["src"])
             .select(F.col("dst").alias("uri"))
             .distinct()
-            .join(visited_uris, "uri", "left_anti")
+            .join(bc(visited_uris), "uri", "left_anti")
             .withColumn("dist", F.lit(level))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .localCheckpoint(eager=True)
@@ -512,12 +531,18 @@ def hits(
     edges: DataFrame,
     iterations: int = 5,
     checkpoint_interval: int = 2,
+    broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) → ``(uri, hub, auth)``,
     fixed-iteration power method, L1-normalized output.
 
-    Same scale shape as :func:`pagerank`: per half-step one groupBy
-    shuffle over the edge list (irreducible), lineage checkpointed.
+    Same scale shape as :func:`pagerank`, including its byte-gated
+    broadcast tier: the half-step score table is vertex-sized, so under
+    ``broadcast_bytes`` it broadcasts (the checkpointed LogicalRDD has
+    no stats, so the planner would otherwise sort-merge EVERY half-step
+    — 3 exchanges where 1 suffices), and the edge set is partitioned by
+    dst once so the auth half-step's groupBy aggregates in place. Above
+    the gate every join degrades to the shuffled 10^12-edge-safe form.
     Normalization is deferred to the END: every per-step normalizer is a
     uniform scalar, so the final direction is identical and the loop
     body stays single-consumer (a mid-loop normalizer makes each raw
@@ -527,11 +552,12 @@ def hits(
     scale-determined and the unrolled-SQL oracle reproduces it
     bit-for-bit (modulo FP summation order — gated at 6 dp).
     """
-    # lazy: the count() right below materializes both in ONE job
+    # lazy: the size probe right below materializes both in ONE job
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
         .localCheckpoint(eager=False)
     )
     verts = (
@@ -540,11 +566,16 @@ def hits(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = verts.count()
+    n, est_bytes = _vertex_count_and_bytes(verts)
     if n == 0:
         return verts.withColumn("hub", F.lit(0.0)).withColumn(
             "auth", F.lit(0.0)
         )
+    use_broadcast = est_bytes <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
     hub = verts.select("uri", F.lit(1.0 / n).alias("s"))
 
     # vertices absent from a half-step's aggregate hold score 0: they add
@@ -554,7 +585,7 @@ def hits(
     # groupBy, nothing else
     def half_step(scores: DataFrame, join_on: str, group_to: str) -> DataFrame:
         return (
-            e.join(scores, e[join_on] == scores["uri"])
+            e.join(bc(scores), e[join_on] == scores["uri"])
             .groupBy(group_to)
             .agg(F.sum("s").alias("s"))
             .withColumnRenamed(group_to, "uri")
@@ -593,7 +624,12 @@ def hits(
     )
 
 
-def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
     """Vertices of the undirected ``k``-core → ``(uri, core_deg)``:
     iteratively peel vertices with degree < k until fixpoint;
     ``core_deg`` is the vertex's degree inside the surviving subgraph
@@ -610,7 +646,21 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     from pyspark.sql import Observation
 
     cur = undirected_edges(edges).localCheckpoint(eager=True)
-    prev_m = cur.count()
+    # one job: edge count (the convergence baseline) + the byte bound for
+    # the keeper-set broadcast gate — the surviving vertex set is
+    # ≤ 2·|E| keys, and without the gate each peel round sort-merges the
+    # edge table against the stat-less keeper RDD twice (4-5 exchanges
+    # where broadcast semi-joins need 1)
+    row = cur.agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("u") + F.length("v")).alias("w"),
+    ).first()
+    prev_m = int(row["n"])
+    est_vertex_bytes = int(prev_m * ((row["w"] or 0.0) + 48.0))
+    use_broadcast = est_vertex_bytes <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
 
     def deg_of(df: DataFrame) -> DataFrame:
         return (
@@ -626,8 +676,8 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         keep = deg_of(cur).where(F.col("d") >= k).select("x")
         obs = Observation()
         nxt = (
-            cur.join(keep.select(F.col("x").alias("u")), "u", "semi")
-            .join(keep.select(F.col("x").alias("v")), "v", "semi")
+            cur.join(bc(keep.select(F.col("x").alias("u"))), "u", "semi")
+            .join(bc(keep.select(F.col("x").alias("v"))), "v", "semi")
             .select("u", "v")
             .observe(obs, F.count(F.lit(1)).alias("m"))
             .localCheckpoint(eager=True)
@@ -741,7 +791,11 @@ def random_walks(
     return out
 
 
-def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan et al. 2007,
     the RAK algorithm) over the undirected graph of ``edges(src, dst)``
     → ``(vertex, label)`` community assignments.
@@ -772,9 +826,19 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
         .withColumn("label", F.col("vertex"))
         .localCheckpoint(eager=False)
     )
+    # label table is vertex-sized forever (one (vertex, label) row per
+    # vertex); under the byte gate it broadcasts into the per-round
+    # neighbor join — the stat-less checkpointed RDDs otherwise
+    # sort-merge, re-exchanging the symmetrized edge table every round
+    n, est_bytes = _vertex_count_and_bytes(labels, "vertex")
+    use_broadcast = (est_bytes * 2) <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
     for _ in range(rounds):
         counts = (
-            sym.join(labels, sym["v"] == labels["vertex"], "inner")
+            sym.join(bc(labels), sym["v"] == labels["vertex"], "inner")
             .groupBy(sym["u"].alias("vertex"), F.col("label"))
             .agg(F.count("*").alias("_c"))
         )
@@ -949,6 +1013,7 @@ def weighted_sssp(
     edges: DataFrame,
     sources: DataFrame | list[str],
     max_iter: int = 30,
+    broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Weighted single-source(-set) shortest paths → ``(uri, dist)`` for
     every vertex reachable from ``sources`` (sources at 0.0); edge input
@@ -972,6 +1037,19 @@ def weighted_sssp(
     # loop-invariant edge set materialized once (each round joins it; an
     # un-checkpointed e would re-run the upstream plan every round)
     e = edges.select("src", "dst", F.col("w").cast("double")).localCheckpoint()
+    # same frontier-broadcast gate as bfs_distances: the frontier is
+    # ≤ vertex-sized and the checkpointed edge set has no stats, so the
+    # planner would otherwise re-exchange the graph by src every round
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.avg(F.length("src") + F.length("dst")).alias("w"),
+    ).first()
+    est_vertex_bytes = int(row["n"] * ((row["w"] or 0.0) + 48.0))
+    use_broadcast = est_vertex_bytes <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
     dist = (
         sources.select("uri", F.lit(0.0).alias("dist"))
         .distinct()
@@ -992,7 +1070,7 @@ def weighted_sssp(
         # (2-3 actions/round) collapses to one.
         frontier = dist.where(F.col("_improved")).select("uri", "dist")
         cand = (
-            e.join(frontier.withColumnRenamed("uri", "src"), "src")
+            e.join(bc(frontier.withColumnRenamed("uri", "src")), "src")
             .groupBy(F.col("dst").alias("uri"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("d"))
         )
