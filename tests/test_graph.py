@@ -461,3 +461,65 @@ def test_k_truss_four_clique(spark):
     assert set(got) == set(k4)
     # inside the surviving K4 every edge closes exactly 2 triangles
     assert set(got.values()) == {2}
+
+
+def test_loop_operators_broadcast_and_shuffle_tiers_agree(spark):
+    """Every iterative loop that grew the byte-gated broadcast tier in
+    round 6 must produce IDENTICAL output in both tiers (the gate only
+    changes the physical join strategy, never the computation — all five
+    are exact min/count/max aggregations; hits is FP but deterministic
+    per plan, so compare at the gate's 6-dp discipline)."""
+    from distributed_extraction_framework_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from distributed_extraction_framework_spark.operators.graph import (
+        bfs_distances,
+        hits,
+        kcore,
+        label_propagation,
+        weighted_sssp,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(40)]
+        + [("n1", "n2"), ("n2", "n3"), ("n3", "n1")],
+        ["src", "dst"],
+    )
+    wedges = edges.withColumn("w", (F.length("src") % 3 + 1).cast("double"))
+
+    def rows(df, nd=None):
+        out = set()
+        for r in df.collect():
+            vals = tuple(
+                round(v, nd) if nd is not None and isinstance(v, float) else v
+                for v in r
+            )
+            out.add(vals)
+        return out
+
+    for lo, hi in [
+        (
+            bfs_distances(edges, ["n0"], broadcast_bytes=0),
+            bfs_distances(edges, ["n0"], broadcast_bytes=1 << 30),
+        ),
+        (
+            weighted_sssp(wedges, ["n0"], broadcast_bytes=0),
+            weighted_sssp(wedges, ["n0"], broadcast_bytes=1 << 30),
+        ),
+        (
+            kcore(edges, k=2, broadcast_bytes=0),
+            kcore(edges, k=2, broadcast_bytes=1 << 30),
+        ),
+        (
+            label_propagation(edges, rounds=3, broadcast_bytes=0),
+            label_propagation(edges, rounds=3, broadcast_bytes=1 << 30),
+        ),
+        (
+            connected_components(edges, broadcast_bytes=0),
+            connected_components(edges, broadcast_bytes=1 << 30),
+        ),
+    ]:
+        assert rows(lo) == rows(hi)
+    assert rows(hits(edges, iterations=3, broadcast_bytes=0), nd=6) == rows(
+        hits(edges, iterations=3, broadcast_bytes=1 << 30), nd=6
+    )
