@@ -124,9 +124,11 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
     """VERDICT r3 #4: convergence is an observe() metric collected by the
     per-round checkpoint job — the old second labels-vs-labels join +
     ``.count()`` action per round must be gone. Spy on the ONLY two action
-    entry points a convergence probe could use (count / collect): neither
-    may fire inside connected_components; the sole per-round action is the
-    eager localCheckpoint."""
+    entry points a convergence probe could use (count / collect): the
+    single allowed hit is the ONE-TIME broadcast-gate size probe at setup
+    (a 1-row ``first()``, which routes through ``collect``); anything
+    per-round would add one entry per iteration (this star graph runs ≥2
+    rounds) and still fails the exact-one assertion."""
     rows = [("z", "a"), ("z", "b"), ("z", "c"), ("z", "d")]
     edges = spark.createDataFrame(rows, ["src", "dst"])
     DataFrame = type(edges)
@@ -141,6 +143,8 @@ def test_connected_components_one_action_per_round(spark, monkeypatch):
         monkeypatch.setattr(DataFrame, name, spy)
     labels = connected_components(edges)
     monkeypatch.undo()
-    assert calls == [], f"convergence must not run extra actions, saw {calls}"
+    assert calls == ["collect"], (
+        f"only the one-time setup size probe may run an action, saw {calls}"
+    )
     comp = {r["vertex"]: r["component"] for r in labels.collect()}
     assert set(comp.values()) == {"a"}
