@@ -868,6 +868,7 @@ def strongly_connected_components(
     edges: DataFrame,
     max_rounds: int = 30,
     max_prop: int = 60,
+    broadcast_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Strongly connected components → ``(node, scc)`` with ``scc`` = the
     lexicographic min member (deterministic on any cluster/run).
@@ -897,44 +898,84 @@ def strongly_connected_components(
 
     Every step is a key-equi-join on node ids; ``localCheckpoint`` cuts
     the per-round lineage (swap for ``checkpoint`` on a real cluster).
+    Convergence in all three inner loops (trim, coloring, backward
+    sweep) and the peel test ride the round's checkpoint job as
+    ``observe()`` metrics — ONE action per round, no isEmpty/changed
+    join actions — and the node-sized tables broadcast under the
+    ``broadcast_bytes`` gate (the pagerank/hits tier policy; above it
+    every join stays in the shuffled unbounded-scale form).
     Raises after ``max_rounds``/``max_prop`` non-convergence rather than
     returning wrong components.
     """
+    from pyspark.sql import Observation
+
     e_all = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    # ONE action: the node-table checkpoint doubles as the size probe —
+    # row count drives every convergence test below (replacing the old
+    # per-round isEmpty/changed-join actions, the observe() fusion the
+    # other loops already use) and the byte bound gates the broadcast
+    # tier (node-sized tables — labels, frontiers, keeper sets — against
+    # the stat-less checkpointed edge set would otherwise sort-merge
+    # every round; above the gate the shuffled form remains).
+    obs0 = Observation()
     nodes = (
         e_all.select(F.col("src").alias("node"))
         .unionByName(e_all.select(F.col("dst").alias("node")))
         .distinct()
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("node")).alias("w"),
+        )
         .localCheckpoint()
     )
+    n_rem = int(obs0.get["n"] or 0)
+    est_bytes = int(n_rem * (2 * (obs0.get["w"] or 0.0) + 48.0))
+    use_broadcast = est_bytes <= broadcast_bytes
+
+    def bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
+
     done: list[DataFrame] = []
     rem_n, rem_e = nodes, e_all
     for _ in range(max_rounds):
-        # 1. trim to fixpoint
+        # 1. trim to fixpoint — the core checkpoint's observe() count IS
+        # the convergence test (trimmed empty ⟺ |core| == |rem_n|)
         while True:
             has_out = rem_e.select(F.col("src").alias("node")).distinct()
             has_in = rem_e.select(F.col("dst").alias("node")).distinct()
-            core = rem_n.join(has_out, "node", "left_semi").join(
-                has_in, "node", "left_semi"
-            ).localCheckpoint()
-            trimmed = rem_n.join(core, "node", "left_anti")
-            if trimmed.isEmpty():
-                break
-            done.append(trimmed.select("node", F.col("node").alias("scc")))
-            rem_n = core
-            rem_e = (
-                rem_e.join(core.withColumnRenamed("node", "src"), "src", "left_semi")
-                .join(core.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            obs = Observation()
+            core = (
+                rem_n.join(bc(has_out), "node", "left_semi")
+                .join(bc(has_in), "node", "left_semi")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint()
             )
-        if rem_n.isEmpty():
+            n_core = int(obs.get["n"] or 0)
+            if n_core == n_rem:
+                break
+            # lazy: both sides are checkpointed, the final union re-derives
+            # the anti-join cheaply — no third action per trim round
+            trimmed = rem_n.join(bc(core), "node", "left_anti")
+            done.append(trimmed.select("node", F.col("node").alias("scc")))
+            rem_n, n_rem = core, n_core
+            rem_e = (
+                rem_e.join(bc(core.withColumnRenamed("node", "src")),
+                           "src", "left_semi")
+                .join(bc(core.withColumnRenamed("node", "dst")),
+                      "dst", "left_semi")
+                .localCheckpoint()
+            )
+        if n_rem == 0:
             break
-        # 2. min-label forward propagation to convergence
+        # 2. min-label forward propagation to convergence — the changed
+        # count rides the round's checkpoint as an observe() metric (no
+        # second labels-vs-labels join+isEmpty action per round)
         labels = rem_n.select("node", F.col("node").alias("lbl")).localCheckpoint()
         for i in range(max_prop + 1):
             if i == max_prop:
@@ -942,68 +983,95 @@ def strongly_connected_components(
                     f"SCC label propagation did not converge in {max_prop} rounds"
                 )
             upd = (
-                rem_e.join(labels.withColumnRenamed("node", "src"), "src")
+                rem_e.join(bc(labels.withColumnRenamed("node", "src")), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("lbl").alias("cand"))
             )
-            nxt = labels.join(upd, "node", "left").select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("cand", F.col("lbl"))).alias("lbl"),
-            ).localCheckpoint()
-            changed = (
-                nxt.join(labels.withColumnRenamed("lbl", "old"), "node")
-                .where(F.col("lbl") != F.col("old"))
-                .isEmpty()
+            obs = Observation()
+            nxt = (
+                labels.join(bc(upd), "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("lbl"), F.coalesce("cand", F.col("lbl")))
+                    .alias("lbl"),
+                    (F.col("cand") < F.col("lbl")).alias("_chg"),
+                )
+                .observe(obs, F.sum(F.col("_chg").cast("long")).alias("c"))
+                .localCheckpoint()
             )
-            labels = nxt
-            if changed:
+            labels = nxt.drop("_chg")
+            if int(obs.get["c"] or 0) == 0:
                 break
-        # 3. backward sweep from roots within each color class
+        # 3. backward sweep from roots within each color class; `reached`
+        # is the lazy union of the per-round checkpointed frontiers (the
+        # bfs_distances visited-set treatment — re-checkpointing the
+        # whole set every round rewrites O(V·depth) for nothing)
         class_e = (
             rem_e.join(
-                labels.select(F.col("node").alias("src"), F.col("lbl").alias("ls")),
+                bc(labels.select(F.col("node").alias("src"),
+                                 F.col("lbl").alias("ls"))),
                 "src",
             )
             .join(
-                labels.select(F.col("node").alias("dst"), F.col("lbl").alias("ld")),
+                bc(labels.select(F.col("node").alias("dst"),
+                                 F.col("lbl").alias("ld"))),
                 "dst",
             )
             .where(F.col("ls") == F.col("ld"))
             .select("src", "dst", F.col("ls").alias("lbl"))
             .localCheckpoint()
         )
-        reached = labels.where(F.col("node") == F.col("lbl")).select(
-            "node", F.col("lbl").alias("scc")
-        ).localCheckpoint()
-        frontier = reached
+        pieces = [
+            labels.where(F.col("node") == F.col("lbl")).select(
+                "node", F.col("lbl").alias("scc")
+            ).localCheckpoint()
+        ]
+        frontier = pieces[0]
         for i in range(max_prop + 1):
             if i == max_prop:
                 raise RuntimeError(
                     f"SCC backward sweep did not converge in {max_prop} rounds"
                 )
+            reached = pieces[0]
+            for p in pieces[1:]:
+                reached = reached.unionByName(p)
+            obs = Observation()
             grown = (
                 class_e.join(
-                    frontier.select(F.col("node").alias("dst"),
-                                    F.col("scc").alias("lbl")),
+                    bc(frontier.select(F.col("node").alias("dst"),
+                                       F.col("scc").alias("lbl"))),
                     ["dst", "lbl"],
                 )
                 .select(F.col("src").alias("node"), F.col("lbl").alias("scc"))
                 .distinct()
-                .join(reached, "node", "left_anti")
+                .join(bc(reached), "node", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint()
             )
-            if grown.isEmpty():
+            if int(obs.get["n"] or 0) == 0:
                 break
-            reached = reached.unionByName(grown).localCheckpoint()
+            pieces.append(grown)
             frontier = grown
+        reached = pieces[0]
+        for p in pieces[1:]:
+            reached = reached.unionByName(p)
         done.append(reached)
-        # 4. peel and continue
-        rem_n = rem_n.join(reached, "node", "left_anti").localCheckpoint()
-        if rem_n.isEmpty():
+        # 4. peel and continue — the peel checkpoint's observe() count
+        # replaces the rem_n.isEmpty() action
+        obs = Observation()
+        rem_n = (
+            rem_n.join(bc(reached), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n_rem = int(obs.get["n"] or 0)
+        if n_rem == 0:
             break
         rem_e = (
-            rem_e.join(rem_n.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(rem_n.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            rem_e.join(bc(rem_n.withColumnRenamed("node", "src")),
+                       "src", "left_semi")
+            .join(bc(rem_n.withColumnRenamed("node", "dst")),
+                  "dst", "left_semi")
             .localCheckpoint()
         )
     else:

@@ -477,6 +477,7 @@ def test_loop_operators_broadcast_and_shuffle_tiers_agree(spark):
         hits,
         kcore,
         label_propagation,
+        strongly_connected_components,
         weighted_sssp,
     )
 
@@ -517,6 +518,10 @@ def test_loop_operators_broadcast_and_shuffle_tiers_agree(spark):
         (
             connected_components(edges, broadcast_bytes=0),
             connected_components(edges, broadcast_bytes=1 << 30),
+        ),
+        (
+            strongly_connected_components(edges, broadcast_bytes=0),
+            strongly_connected_components(edges, broadcast_bytes=1 << 30),
         ),
     ]:
         assert rows(lo) == rows(hi)
