@@ -274,11 +274,19 @@ def owl_entailment(
         )
 
     if transitive is not None:
+        from pyspark.sql import Observation
+
         sub = res.join(F.broadcast(transitive.select("prop")),
                        res["pred"] == F.col("prop")).select(
             "pred", F.col("subj").alias("src"), F.col("obj").alias("dst")
         ).distinct().localCheckpoint(eager=False)
         closure = sub
+        # ONE action per round (the observe() fusion every other loop in
+        # the repo uses): the round's checkpoint job collects the row
+        # count, and convergence compares it against the PREVIOUS round's
+        # tracked count — the old form re-counted both materialized
+        # frames every round (3 jobs/round instead of 1+setup)
+        n_prev = sub.count()
         for _ in range(max_iter):
             grown = closure.alias("a").join(
                 closure.alias("b"),
@@ -289,11 +297,17 @@ def owl_entailment(
                 F.col("a.src").alias("src"),
                 F.col("b.dst").alias("dst"),
             )
-            nxt = closure.unionByName(grown).distinct().localCheckpoint()
-            if nxt.count() == closure.count():
-                closure = nxt
-                break
+            obs = Observation()
+            nxt = (
+                closure.unionByName(grown).distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n_nxt = int(obs.get["n"] or 0)
             closure = nxt
+            if n_nxt == n_prev:
+                break
+            n_prev = n_nxt
         derived.append(
             closure.where(F.col("src") != F.col("dst")).select(
                 F.col("src").alias("subj"), "pred",
