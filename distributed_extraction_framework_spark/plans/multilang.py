@@ -62,19 +62,29 @@ def extract_concurrent(
     """The reference's thread-pool form: one job per language, concurrent.
 
     Each thread sets its own fair-scheduler pool so languages share the
-    cluster instead of FIFO-queueing. Returns per-language quad counts.
+    cluster instead of FIFO-queueing. Returns per-language quad counts —
+    collected as an ``observe()`` metric BY the sink's own write action,
+    so each language pays exactly ONE extraction pass (the old
+    ``quads.count()`` after the sink re-ran the whole fused extraction a
+    second time per language). Contract: ``sink`` must run an action on
+    the DataFrame it is given (every real sink writes), else the metric
+    never materializes.
     """
+    from pyspark.sql import Observation
+
     counts: dict[str, int] = {}
 
     def run(lang: str) -> tuple[str, int]:
         sc = spark.sparkContext
         sc.setLocalProperty("spark.scheduler.pool", f"lang-{lang}")
         try:
+            obs = Observation()
             quads = extract(pages.filter(F.col("lang") == lang),
-                            extractors=extractors)
+                            extractors=extractors).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             sink(lang, quads)
-            n = quads.count()
-            return lang, n
+            return lang, int(obs.get["n"] or 0)
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
