@@ -278,6 +278,15 @@ class Pipeline:
         self._fresh.add(stage)
         t0 = time.time()
         df = build()
+        row_obs = None
+        if not partition_col:
+            # the row total rides the stage write itself as an observe()
+            # metric — no post-write count job over the snapshot (the
+            # partitioned branch needs per-partition-value counts, which
+            # observe cannot group; its groupBy over the written parquet
+            # scans only the partition column and stays)
+            row_obs = Observation()
+            df = df.observe(row_obs, F.count(F.lit(1)).alias("n"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -302,7 +311,8 @@ class Pipeline:
                 # wave-2 #7)
                 self._record(stage, "*", 0, wall, fingerprint)
         else:
-            self._record(stage, "*", out.count(), wall, fingerprint)
+            self._record(stage, "*", int(row_obs.get["n"] or 0), wall,
+                         fingerprint)
         self._flush_lineage()
         return out
 
