@@ -143,7 +143,10 @@ class WebKGPipeline(Pipeline):
             path = self._stage_path("cdx")
             write_cdx(recs, path, num_files=cfg.cdx_files)
             # line-count the written text (one cheap output scan) rather
-            # than re-scanning + re-projecting the input
+            # than re-scanning + re-projecting the input. NB an observe()
+            # on the write was tried and REVERTED: repartitionByRange's
+            # boundary-sampling job executes the observed node a second
+            # time, so the metric double-counts (16 for 8 rows).
             n_cdx = self.spark.read.text(path).count()
             self._record("cdx", "all", n_cdx,
                          int((time.time() - t0) * 1000), fp)
