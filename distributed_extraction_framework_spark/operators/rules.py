@@ -44,7 +44,20 @@ from pyspark.sql import functions as F
 
 
 def _distinct_triples(triples: DataFrame) -> DataFrame:
-    return triples.select("subj", "pred", "obj").distinct()
+    """Narrow distinct (subj, pred, obj) — materialized ONCE (lazy
+    localCheckpoint; the caller's first action pays it): every operator
+    here consumes it from several plan branches (fwd/inv keyings,
+    predicate sizes, hub caps, the apply anti-join), and Catalyst shares
+    no subtrees across branches — un-pinned, each branch re-executed the
+    WHOLE upstream (the rule_apply gate's plan re-ran its KG-construction
+    scan 7×: 56 parquet scans where the pinned form needs one pass).
+    The guide §3.3 treatment; same rationale as rdfs_entailment's base.
+    On a real cluster swap for .checkpoint() / a stage snapshot."""
+    return (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
 
 def _pred_sizes(d: DataFrame) -> DataFrame:
@@ -148,6 +161,9 @@ def mine_chain_rules(
         left.join(right, "z")
         .select("x", "y", "body1", "body2")
         .distinct()
+        # two consumers (body sizes + the support join) — un-pinned, each
+        # re-executes the z-join; one lazy materialization instead
+        .localCheckpoint(eager=False)
     )
     body_sizes = chains.groupBy("body1", "body2").agg(
         F.count("*").alias("body_size")

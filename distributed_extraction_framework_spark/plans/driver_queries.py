@@ -9553,9 +9553,12 @@ def q_countmin_lookup(spark, sf_dir):
 
     toks = _tok_df(spark, sf_dir)
     sk = count_min_sketch(toks, "tok", depth=4, width=256)
+    # 20 rows, TWO consumers (the probe set and the final truth join) —
+    # un-pinned, each re-ran the corpus-wide token aggregation
     top = (
         toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+        .localCheckpoint(eager=False)
     )
     return count_min_lookup(sk, top, "tok", depth=4, width=256).join(
         top, "tok"
