@@ -296,7 +296,13 @@ def _support_of(und: DataFrame) -> DataFrame:
     e1 = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = und.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = und.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+    # the triangle list feeds THREE side projections — un-pinned, the
+    # wedge join (the expensive pass) re-executed per side; one lazy
+    # materialization of the triangle-count-sized set instead
+    tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"]).select("x", "y", "z")
+        .localCheckpoint(eager=False)
+    )
     sides = (
         tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
         .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
@@ -318,7 +324,9 @@ def edge_support(edges: DataFrame) -> DataFrame:
     groupBy; the zero-support fill is a broadcast-eligible left join of
     the edge set against the schema-smaller support table.
     """
-    und = undirected_edges(edges)
+    # 4 consumers via _support_of's three wedge-join sides + the
+    # zero-fill join — pinned once (lazy)
+    und = undirected_edges(edges).localCheckpoint(eager=False)
     return (
         und.join(_support_of(und), ["u", "v"], "left")
         .select(

@@ -1049,9 +1049,12 @@ def collective_link(
         .filter(F.col("__rn") <= topk_candidates)
         .drop("__rn")
     )
+    # three consumers (both sides of the page self-join + the final
+    # scoring join) — pinned once so the mention⋈candidate join and its
+    # upstream run a single time (lazy; mention-candidate-sized rows)
     cm = mentions.join(F.broadcast(capped), "surface").select(
         "page", "mention", "surface", "entity", "prior"
-    )
+    ).localCheckpoint(eager=False)
     und = (
         edges.select("src", "dst")
         .unionByName(

@@ -45,6 +45,10 @@ def entity_summaries(
     d = triples.select("subj", "pred", "obj").distinct()
     if type_pred is not None:
         d = d.filter(F.col("pred") != type_pred)
+    # two consumers (the predicate counts and the ranked join) — pinned
+    # once so the upstream is not re-executed per branch (guide §3.3;
+    # lazy: the caller's first action materializes it)
+    d = d.localCheckpoint(eager=False)
     counts = d.groupBy("pred").agg(F.count("*").alias("_pn"))
     w = Window.partitionBy("subj").orderBy(
         F.col("_pn").asc(), F.col("pred").asc(), F.col("obj").asc()
@@ -68,7 +72,8 @@ def class_completeness(
     ``completeness`` = n_with_pred / n_instances, double rounded 6 dp.
     """
     t = types.select(F.col(inst_col).alias("inst"),
-                     F.col(class_col).alias("cls")).distinct()
+                     F.col(class_col).alias("cls")).distinct() \
+        .localCheckpoint(eager=False)  # 2 consumers: sizes + the join
     sizes = t.groupBy("cls").agg(F.count("*").alias("n_instances"))
     has = (
         triples.select(F.col("subj").alias("inst"), "pred").distinct()
@@ -137,7 +142,10 @@ def sdtype_infer(
                 F.concat(F.lit("^"), F.col("pred")).alias("pred"),
             )
         )
-    feats = feats.distinct()
+    # three consumers (typed join, untyped anti-join — itself consumed
+    # twice below) — un-pinned, the distinct union over the corpus ran
+    # up to 6x in one plan (audit: 14 scans on the gate)
+    feats = feats.distinct().localCheckpoint(eager=False)
 
     t = types.select(F.col("entity").alias("__e"), "cls")
     typed_feats = feats.join(t, feats["entity"] == F.col("__e")).select(
@@ -152,7 +160,7 @@ def sdtype_infer(
     )
 
     untyped = feats.join(t.select("__e"), feats["entity"] == F.col("__e"),
-                         "left_anti")
+                         "left_anti").localCheckpoint(eager=False)
     n_feats = untyped.groupBy("entity").agg(
         F.count(F.lit(1)).alias("n_feats")
     )
@@ -262,6 +270,9 @@ def schema_graph(
         quads.filter(F.col("pred") == type_pred)
         .select(F.col("subj").alias("__i"), F.col("obj").alias("__c"))
         .distinct()
+        # consumed as BOTH lift sides — pinned so the type-table distinct
+        # runs once, not per side
+        .localCheckpoint(eager=False)
     )
     e = quads.filter(F.col("pred") != type_pred).select(
         "subj", "pred", "obj", "lang", "datatype",

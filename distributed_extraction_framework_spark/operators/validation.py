@@ -60,6 +60,24 @@ def validate_shapes(quads: DataFrame, shapes: list[Shape]) -> DataFrame:
         raise ValueError("no shapes given")
     out: DataFrame | None = None
 
+    # every shape adds 1-3 union branches over `quads`, and Catalyst
+    # shares no subtrees across union branches — un-pinned, the corpus
+    # upstream re-executed once per branch (audit: 6 passes on the
+    # shacl_validate gate). Pin ONE narrow projection filtered to the
+    # predicates the shapes actually mention (usually a sliver of the
+    # corpus); every branch below filters within that set, so results
+    # are unchanged. Lazy: the caller's action materializes it.
+    preds = {sh.pred for sh in shapes} | {
+        sh.target_pred for sh in shapes if sh.target_pred
+    }
+    cols = [c for c in ("subj", "pred", "obj", "lang", "datatype")
+            if c in quads.columns]
+    quads = (
+        quads.select(*cols)
+        .where(F.col("pred").isin(*preds))
+        .localCheckpoint(eager=False)
+    )
+
     def emit(df: DataFrame) -> None:
         nonlocal out
         out = df if out is None else out.unionByName(df)

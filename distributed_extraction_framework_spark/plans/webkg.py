@@ -321,7 +321,14 @@ def incremental_web_triples(
             F.md5(h).alias("digest"),
         )
 
-    diff = recrawl_diff(caps(pages_v1), caps(pages_v2), key_col="key")
+    # (key, digest-diff) rows — two consumers (the stale anti-join keys
+    # and the fresh re-extraction keys); un-pinned, each re-ran the
+    # full-outer digest join AND both capture scans. One lazy
+    # materialization of the small key table instead (guide §8: decide
+    # with small rows).
+    diff = recrawl_diff(
+        caps(pages_v1), caps(pages_v2), key_col="key"
+    ).localCheckpoint(eager=False)
     stale = diff.filter(
         F.col("change").isin("changed", "removed")
     ).select(F.col("key").alias(id_col))
