@@ -396,9 +396,16 @@ def kmv_jaccard(
     one row ``(n_union_sketch, n_shared, jaccard_est)``: bottom-k of the
     union sketch, fraction also present in both inputs (Beyer et al.
     2007 §5 — the sketches compose without re-reading the data)."""
+    # each input sketch feeds the union AND the intersection, and the
+    # union sketch feeds the semi-join AND its own count — un-pinned,
+    # every consumer re-ran the upstream sketch aggregation (6 source
+    # scans on the gate). All three frames are ≤ k rows: pin them (lazy).
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
     u = (
         a.select("h").unionByName(b.select("h")).distinct()
         .orderBy("h").limit(k)
+        .localCheckpoint(eager=False)
     )
     both = a.select("h").intersect(b.select("h"))
     shared = u.join(both, "h", "left_semi")
