@@ -495,9 +495,16 @@ def template_kv_arrays(pages: DataFrame) -> DataFrame:
         F.regexp_replace(F.trim(F.col("ib.key")), " ", "_").alias("key"),
         F.trim(F.col("ib.value")).alias("value"),
     )
+    # pinned ONCE (lazy): every construct consuming this frame fans out
+    # into 2-3 union branches (geo lat/long/point, interval start/end,
+    # intermediate link/types/inner), and Catalyst shares no subtrees
+    # across branches — un-pinned, each branch re-ran the whole
+    # extraction+parse (plan audit: parse_page executed 3× in the
+    # mapping_geo gate). The frame is pages × templates/page rows of
+    # narrow arrays — exactly the cheap thing to keep.
     return kv.groupBy("subj", "lang", "context", "template").agg(
         F.collect_list(F.struct("key", "value")).alias("_kvs")
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _kv_get(key_col):
