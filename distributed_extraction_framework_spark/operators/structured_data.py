@@ -1221,6 +1221,11 @@ def table_entity_facts(cells: DataFrame, id_col: str = "id",
     scan on (id, tbl) then (id, tbl, row). Both joins key on compact
     scalars; at crawl scale AQE broadcast-promotes the column-sized
     subject map, leaving one cell-sized exchange."""
+    # three consumers (the column profile, the key projection, the final
+    # fact join) — un-pinned, each re-ran the Arrow table-parse pass
+    # (plan audit: the parse UDF executed 3× in the gate); one lazy
+    # materialization of the cell table instead
+    cells = cells.localCheckpoint(eager=False)
     subj_cols = table_subject_columns(
         table_column_profile(cells, id_col=id_col), id_col=id_col,
         max_numeric_ratio=max_numeric_ratio)
