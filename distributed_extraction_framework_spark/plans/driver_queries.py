@@ -2207,6 +2207,11 @@ def q_bgp_join(spark, sf_dir):
 
     pages = _pages(spark, sf_dir)
     quads = extract(pages, extractors=["page_links", "article_categories"])
+    # materialize the store once: each triple pattern scans it, and the
+    # un-pinned extraction plan re-ran per pattern (a real store is a
+    # materialized table; parquet-backed stores must NOT be pinned —
+    # their per-pattern pushed-filter scans are the scale shape)
+    quads = quads.localCheckpoint(eager=False)
     return bgp_query(
         quads,
         f"SELECT DISTINCT ?doc ?cat WHERE {{ ?doc <{S.DBO_WIKI_LINK}> ?mid . "
@@ -2313,6 +2318,7 @@ def q_bgp_optional(spark, sf_dir):
 
     quads = extract(_pages(spark, sf_dir),
                     extractors=["labels", "geo_coordinates"])
+    quads = quads.localCheckpoint(eager=False)  # see q_bgp_join
     return bgp_query(
         quads,
         f"SELECT ?s ?l ?lat WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
@@ -2341,6 +2347,7 @@ def q_bgp_union(spark, sf_dir):
 
     quads = extract(_pages(spark, sf_dir),
                     extractors=["redirects", "disambiguations"])
+    quads = quads.localCheckpoint(eager=False)  # see q_bgp_join
     return bgp_query(
         quads,
         f"SELECT DISTINCT ?s ?t WHERE {{ "
@@ -2527,6 +2534,7 @@ def q_bgp_path_seq(spark, sf_dir):
     from .bgp import bgp_query
 
     quads = extract(_pages(spark, sf_dir), extractors=["redirects", "labels"])
+    quads = quads.localCheckpoint(eager=False)  # see q_bgp_join
     return bgp_query(
         quads,
         f"SELECT DISTINCT ?s ?l WHERE {{ "
@@ -2560,6 +2568,7 @@ def q_bgp_path_alt(spark, sf_dir):
 
     quads = extract(_pages(spark, sf_dir),
                     extractors=["article_categories", "redirects"])
+    quads = quads.localCheckpoint(eager=False)  # see q_bgp_join
     return bgp_query(
         quads,
         f"SELECT DISTINCT ?s ?o WHERE {{ "
@@ -2612,6 +2621,7 @@ def q_bgp_minus(spark, sf_dir):
 
     quads = extract(_pages(spark, sf_dir),
                     extractors=["labels", "geo_coordinates"])
+    quads = quads.localCheckpoint(eager=False)  # see q_bgp_join
     return bgp_query(
         quads,
         f"SELECT ?s ?l WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
@@ -2638,6 +2648,7 @@ def q_bgp_exists(spark, sf_dir):
     from .bgp import bgp_query
 
     quads = extract(_pages(spark, sf_dir), extractors=["labels", "page_links"])
+    quads = quads.localCheckpoint(eager=False)  # see q_bgp_join
     return bgp_query(
         quads,
         f"SELECT ?s ?l WHERE {{ ?s <{S.RDFS_LABEL}> ?l . "
